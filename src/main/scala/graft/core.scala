@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One oracle-checkable query: a Spark plan plus (optionally) the
+  * equivalent ANSI SQL that DuckDB runs over the same parquet tables.
+  *
+  * Contract (driver): the Spark result and the DuckDB result are compared
+  * after sorting columns by name and canonicalizing rows, so
+  *  - column names MUST match between `run` and `oracle`;
+  *  - output must be deterministic as a SET of rows (no raw `rand()`,
+  *    no unordered `limit` without a total tiebreak);
+  *  - doubles must be bit-reproducible across engines: derive them from
+  *    exact decimal/integer arithmetic and cast to double at the end, or
+  *    round aggressively.
+  */
+final case class GraftQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** A named group of queries (one per SURVEY.md §2 operator family). */
+trait QuerySuite {
+  def suite: Seq[GraftQuery]
+}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  * All reads go through here so schema handling / pruning is uniform.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
+
+/** Central SparkSession factory: every entry point (Verify, Bench, tests)
+  * builds its session here so scale-oriented settings are uniform.
+  * Tuned for local[N] but written for a real cluster: AQE handles
+  * post-shuffle coalescing and skew; shuffle partitions match cores.
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+}

@@ -32,8 +32,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet timestamp[ns]; Spark reads it as Long only
+    // under nanosAsLong (set in GraftSession). Convert to a microsecond
+    // TimestampType with integer division — same truncation DuckDB
+    // applies when it reads the ns column, so oracles line up.
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    else df
+  }
 }
 
 /** Central SparkSession factory: every entry point (Verify, Bench, tests)
@@ -51,5 +60,6 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 }

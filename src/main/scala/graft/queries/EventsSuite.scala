@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{GraftQuery, QuerySuite, Tables}
+
+/** Event/time-series operators over the `events` table — the batch form
+  * of the streaming surface (SURVEY.md §2.12): tumbling windows,
+  * sessionization, lag/lead, cumulative aggregates, pivot. The same
+  * plans run under Structured Streaming via graft.streaming (readStream
+  * + watermark); batch keeps them oracle-checkable.
+  *
+  * Scale notes: every window partitions by a high-cardinality key
+  * (user_id) — no single-partition windows; the tumbling agg is a plain
+  * hash aggregate on (bucket, type) with map-side partials.
+  */
+object EventsSuite extends QuerySuite {
+  import Det._
+
+  /** e01 — tumbling hourly window aggregate (streaming window() in batch
+    * form): count + sum(value) per hour per event_type. */
+  private val e01 = GraftQuery(
+    "e01_tumbling_agg",
+    (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sumDec(col("value")).as("total")),
+    Some(s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+      COUNT(*) AS cnt, ${sqlSumDec("value")} AS total
+    FROM events GROUP BY 1, 2"""))
+
+  /** e02 — sessionization with a 30-minute inactivity gap: lag + flag +
+    * running sum over (user_id, ts) assigns session ids; then per-session
+    * stats. The canonical stateful-streaming op, done relationally. */
+  private val e02 = GraftQuery(
+    "e02_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum("new_sess").over(w))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("sess_start"),
+          max("ts").as("sess_end"))
+    },
+    Some("""WITH flagged AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+      min(ts) AS sess_start, max(ts) AS sess_end
+    FROM (SELECT user_id, ts,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS session_seq
+          FROM flagged)
+    GROUP BY 1, 2"""))
+
+  /** e03 — lag/lead deltas: inter-event gap seconds per user (ref: the
+    * closest the reference gets is append-order accumulation; this is the
+    * general sequential-delta op). */
+  private val e03 = GraftQuery(
+    "e03_lag_delta",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+        .filter(col("gap_us").isNotNull)
+        .select("user_id", "event_id", "gap_us")
+    },
+    Some("""SELECT user_id, event_id,
+      epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id)) AS gap_us
+    FROM events QUALIFY gap_us IS NOT NULL"""))
+
+  /** e04 — cumulative running aggregate per user ordered by time:
+    * running event count and exact running value sum. */
+  private val e04 = GraftQuery(
+    "e04_running_sum",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("run_cnt"),
+          sum(dec2(col("value"))).over(w).cast("double").as("run_total"))
+    },
+    Some("""SELECT user_id, event_id,
+      COUNT(*) OVER w AS run_cnt,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_total
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+
+  /** e05 — pivot by event_type (conditional aggregation; ref
+    * `pipeline.py:109` status counting generalized): one row per user,
+    * one count column per type. */
+  private val e05 = GraftQuery(
+    "e05_pivot",
+    (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").as("n_click"),
+          col("view").as("n_view"), col("purchase").as("n_purchase"),
+          col("signup").as("n_signup"), col("error").as("n_error")),
+    Some("""SELECT user_id,
+      COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+      COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+    FROM events GROUP BY 1"""))
+
+  /** e06 — daily top-3 users by exact value sum (windows over windows:
+    * day bucket → per-day ranking). */
+  private val e06 = GraftQuery(
+    "e06_daily_top_users",
+    (s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+        .agg(sumDec(col("value")).as("day_total"))
+      val w = Window.partitionBy("day")
+        .orderBy(col("day_total").desc, col("user_id").asc)
+      daily.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+    },
+    Some(s"""SELECT * FROM (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+        ${sqlSumDec("value")} AS day_total,
+        CAST(row_number() OVER (PARTITION BY CAST(ts AS DATE)
+          ORDER BY CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) DESC,
+                   user_id) AS BIGINT) AS rnk
+      FROM events GROUP BY 1, 2)
+    WHERE rnk <= 3"""))
+
+  /** e07 — event-order funnel per user: did view precede purchase?
+    * min-timestamp-per-type self-comparison (conditional agg, no join). */
+  private val e07 = GraftQuery(
+    "e07_funnel",
+    (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          min(when(col("event_type") === "purchase", col("ts")))
+            .as("first_purchase"))
+        .withColumn("converted",
+          col("first_view").isNotNull && col("first_purchase").isNotNull &&
+            col("first_view") < col("first_purchase"))
+        .select("user_id", "first_view", "first_purchase", "converted"),
+    Some("""SELECT user_id,
+      min(CASE WHEN event_type='view' THEN ts END) AS first_view,
+      min(CASE WHEN event_type='purchase' THEN ts END) AS first_purchase,
+      COALESCE(min(CASE WHEN event_type='view' THEN ts END) IS NOT NULL
+        AND min(CASE WHEN event_type='purchase' THEN ts END) IS NOT NULL
+        AND min(CASE WHEN event_type='view' THEN ts END)
+            < min(CASE WHEN event_type='purchase' THEN ts END), FALSE)
+        AS converted
+    FROM events GROUP BY 1"""))
+
+  override val suite: Seq[GraftQuery] = Seq(e01, e02, e03, e04, e05, e06, e07)
+}

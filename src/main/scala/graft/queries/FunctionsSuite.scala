@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, QuerySuite, Tables}
+
+/** Scalar-function inventory — SURVEY.md §2.9 (F1-F24) re-expressed over
+  * the driver test tables. Every query is a pure, codegen-friendly
+  * expression tree (no UDFs), so filters/projections push into the scan
+  * and the whole stage fuses under WholeStageCodegen.
+  *
+  * Cross-engine notes (Spark vs DuckDB oracle):
+  *  - `split` == `string_split` for single-space ASCII text;
+  *  - `md5` hex strings match bit-for-bit (lowercase hex both sides);
+  *  - array lambdas: `transform/filter/aggregate` == `list_transform/
+  *    list_filter/list_reduce`;
+  *  - Spark `sequence(a,b)` is inclusive, DuckDB `range(a,b)` exclusive;
+  *  - `dayofweek` differs (Spark 1=Sun vs DuckDB 0=Sun) → aligned
+  *    explicitly in f07.
+  */
+object FunctionsSuite extends QuerySuite {
+
+  /** f01 — string cleanup chain (F1-F4; ref `standardize_categories.py:
+    * 39-40`, `generate_mock_data.py:11-16`): lower/trim/upper/substring/
+    * lpad/concat_ws build a deterministic product code from part rows. */
+  private val f01 = GraftQuery(
+    "f01_string_chain",
+    (s, dir) =>
+      Tables(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          lower(trim(col("p_name"))).as("name_norm"),
+          concat_ws("-",
+            upper(substring(col("p_brand"), 1, 2)),
+            upper(substring(col("p_type"), 1, 2)),
+            lpad(col("p_size").cast("string"), 3, "0")).as("code")),
+    Some("""SELECT p_partkey, lower(trim(p_name)) AS name_norm,
+      concat_ws('-', upper(substring(p_brand,1,2)),
+        upper(substring(p_type,1,2)),
+        lpad(CAST(p_size AS VARCHAR),3,'0')) AS code
+    FROM part"""))
+
+  /** f02 — split / array ops / rejoin (F4-F5; ref `seperate_tables.py:
+    * 82-83` pipe-split, `'|'.join`): tokenize document text, count and
+    * re-join the first 5 tokens. */
+  private val f02 = GraftQuery(
+    "f02_split_array",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          array_join(slice(split(col("text"), " "), 1, 5), "|").as("head5")),
+    Some("""SELECT doc_id,
+      len(string_split(text,' ')) AS n_tokens,
+      array_to_string(list_slice(string_split(text,' '),1,5),'|') AS head5
+    FROM documents"""))
+
+  /** f03 — explode list to rows (F6-F7; ref `seperate_tables.py:81-106`
+    * image explode): one row per token with its position, for the first
+    * 3 tokens of each doc. posexplode == unnest WITH ORDINALITY. */
+  private val f03 = GraftQuery(
+    "f03_explode",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(slice(split(col("text"), " "), 1, 3))
+            .as(Seq("pos", "token")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("token")),
+    Some("""SELECT doc_id, CAST(pos AS BIGINT) AS pos, token
+    FROM (SELECT doc_id, unnest(list_slice(string_split(text,' '),1,3)) AS token,
+            unnest(range(1, 1+len(list_slice(string_split(text,' '),1,3)))) AS pos
+          FROM documents)"""))
+
+  /** f04 — regex strip / extract / match (F8-F10; ref `products_scraping
+    * .py:443,506`): digits-only normalization and capture over p_name,
+    * rlike alternation over p_type. */
+  private val f04 = GraftQuery(
+    "f04_regex",
+    (s, dir) =>
+      Tables(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          regexp_replace(col("p_name"), "[^0-9]", "").as("digits_only"),
+          regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("first_word"),
+          col("p_type").rlike("(?i)(brass|steel)").as("is_metal")),
+    Some("""SELECT p_partkey,
+      regexp_replace(p_name, '[^0-9]', '', 'g') AS digits_only,
+      regexp_extract(p_type, '^([A-Z]+)', 1) AS first_word,
+      regexp_matches(p_type, '(?i)(brass|steel)') AS is_metal
+    FROM part"""))
+
+  /** f05 — containment predicates (F11-F12; ref `standardize_categories
+    * .py:51`, `products_scraping.py:345`). */
+  private val f05 = GraftQuery(
+    "f05_contains",
+    (s, dir) =>
+      Tables(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          col("p_type").contains("BRUSHED").as("has_brushed"),
+          col("p_type").startsWith("ECONOMY").as("is_economy"),
+          col("p_type").endsWith("TIN").as("ends_tin"),
+          (instr(col("p_name"), "red") > 0).as("has_red")),
+    Some("""SELECT p_partkey,
+      contains(p_type,'BRUSHED') AS has_brushed,
+      starts_with(p_type,'ECONOMY') AS is_economy,
+      suffix(p_type,'TIN') AS ends_tin,
+      strpos(p_name,'red') > 0 AS has_red
+    FROM part"""))
+
+  /** f06 — JSON parse + serialize (F15-F16; ref `seperate_tables.py:
+    * 35-44`, `generate_mock_data.py:59-62`): extract typed field from the
+    * props JSON column, rebuild a JSON string. */
+  private val f06 = GraftQuery(
+    "f06_json",
+    (s, dir) =>
+      Tables(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          concat(lit("""{"type":""""), col("event_type"),
+            lit("""","k":"""), get_json_object(col("props"), "$.k"),
+            lit("}")).as("rebuilt")),
+    Some("""SELECT event_id,
+      CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+      concat('{"type":"', event_type, '","k":',
+             json_extract_string(props,'$.k'), '}') AS rebuilt
+    FROM events"""))
+
+  /** f07 — timestamp functions (F19; ref `seperate_tables.py:31-32`
+    * strftime): truncation, formatting, calendar parts. Session TZ is
+    * UTC in both engines; dayofweek aligned to ISO (1=Mon..7=Sun). */
+  private val f07 = GraftQuery(
+    "f07_datetime",
+    (s, dir) =>
+      Tables(s, dir, "events")
+        .select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          date_trunc("hour", col("ts")).as("ts_hour"),
+          year(col("ts")).cast("long").as("y"),
+          month(col("ts")).cast("long").as("m"),
+          dayofmonth(col("ts")).cast("long").as("d"),
+          hour(col("ts")).cast("long").as("h"),
+          dayofweek(col("ts")).cast("long").as("dow_sun1")),
+    Some("""SELECT event_id,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+      date_trunc('hour', ts) AS ts_hour,
+      CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+      CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h,
+      CAST(dayofweek(ts) + 1 AS BIGINT) AS dow_sun1
+    FROM events"""))
+
+  /** f08 — casts, rounding, arithmetic (F20-F23; ref `generate_mock_data
+    * .py:84-88`, `seperate_tables.py:69-74`): integer math is exact so
+    * no decimal scaffolding is needed. */
+  private val f08 = GraftQuery(
+    "f08_cast_arith",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity").cast("long").as("qty_int"),
+          round(col("l_discount") * 100).cast("long").as("disc_pct"),
+          (col("l_quantity").cast("long") * 1000).as("qty_millis"),
+          col("l_quantity").cast("string").as("qty_str")),
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      CAST(l_quantity AS BIGINT) AS qty_int,
+      CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+      CAST(l_quantity AS BIGINT) * 1000 AS qty_millis,
+      CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '.0' AS qty_str
+    FROM lineitem"""))
+
+  /** f09 — truncate + ellipsis, coalesce/default (F14, F21, P7; ref
+    * `generate_embeddings.py:107-108`, `seperate_tables.py:91,101`). */
+  private val f09 = GraftQuery(
+    "f09_truncate_coalesce",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          when(length(col("text")) > 60,
+            concat(substring(col("text"), 1, 60), lit("...")))
+            .otherwise(col("text")).as("preview"),
+          coalesce(nullif(col("lang"), lit("en")), lit("default"))
+            .as("lang_or_default")),
+    Some("""SELECT doc_id,
+      CASE WHEN length(text) > 60 THEN substring(text,1,60) || '...'
+           ELSE text END AS preview,
+      COALESCE(NULLIF(lang,'en'), 'default') AS lang_or_default
+    FROM documents"""))
+
+  /** f10 — URL build + parse (F17-F18; ref `products_scraping.py:344-349,
+    * 537-540`): synthesize a URL from columns, then parse path + last
+    * segment back out. Spark uses parse_url; the oracle derives the same
+    * value by construction. */
+  private val f10 = GraftQuery(
+    "f10_url",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val url = concat(lit("https://example.com/"), col("source"),
+        lit("/doc-"), col("doc_id"), lit(".html?lang="), col("lang"))
+      d.select(
+        col("doc_id"),
+        url.as("url"),
+        parse_url(url, lit("PATH")).as("path"),
+        element_at(split(parse_url(url, lit("PATH")), "/"), -1)
+          .as("last_segment"),
+        parse_url(url, lit("QUERY"), lit("lang")).as("qs_lang"))
+    },
+    Some("""SELECT doc_id,
+      'https://example.com/' || source || '/doc-' || doc_id || '.html?lang=' || lang AS url,
+      '/' || source || '/doc-' || doc_id || '.html' AS path,
+      'doc-' || doc_id || '.html' AS last_segment,
+      lang AS qs_lang
+    FROM documents"""))
+
+  /** f11 — array construction + lambdas (F22 size-ladder; ref
+    * `generate_mock_data.py:67-79`): price ladder base + i*step via
+    * sequence/transform, exact integer arithmetic. */
+  private val f11 = GraftQuery(
+    "f11_array_lambda",
+    (s, dir) =>
+      Tables(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          transform(sequence(lit(0), lit(2)),
+            i => col("p_size").cast("long") * 1000 + i * 500)
+            .as("price_ladder"),
+          aggregate(sequence(lit(1), col("p_size").cast("int")),
+            lit(0L), (acc, x) => acc + x).as("size_triangle")),
+    Some("""SELECT p_partkey,
+      list_transform(range(0,3), i -> CAST(p_size AS BIGINT)*1000 + i*500)
+        AS price_ladder,
+      list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, p_size+1)),
+        (a, x) -> a + x) AS size_triangle
+    FROM part"""))
+
+  /** f12 — map/struct construction (SURVEY §1.1 cmetadata; ref
+    * `generate_embeddings.py:196-207`): key-value metadata as JSON. */
+  private val f12 = GraftQuery(
+    "f12_metadata_map",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          to_json(struct(col("lang"), col("source"),
+            col("n_chars"))).as("cmetadata")),
+    Some("""SELECT doc_id,
+      '{"lang":"' || lang || '","source":"' || source ||
+        '","n_chars":' || n_chars || '}' AS cmetadata
+    FROM documents"""))
+
+  /** f13 — conditional category mapping compiled to a when/rlike chain
+    * (ref `standardize_categories.py:38-72` — the dictionary+regex
+    * mapper as a pure expression tree, no UDF). */
+  private val f13 = GraftQuery(
+    "f13_rlike_categorizer",
+    (s, dir) =>
+      Tables(s, dir, "part")
+        .withColumn("category",
+          when(col("p_type").rlike("(?i)anodized"), "anodized")
+            .when(col("p_type").rlike("(?i)(brushed|burnished)"), "finished")
+            .when(col("p_type").rlike("(?i)plated"), "plated")
+            .when(col("p_type").rlike("(?i)polished"), "polished")
+            .otherwise("other"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT CASE
+        WHEN regexp_matches(p_type, '(?i)anodized') THEN 'anodized'
+        WHEN regexp_matches(p_type, '(?i)(brushed|burnished)') THEN 'finished'
+        WHEN regexp_matches(p_type, '(?i)plated') THEN 'plated'
+        WHEN regexp_matches(p_type, '(?i)polished') THEN 'polished'
+        ELSE 'other' END AS category, COUNT(*) AS cnt
+    FROM part GROUP BY 1"""))
+
+  /** f14 — md5 content hash (cross-engine-stable hashing primitive used
+    * by the dedup suite; ref `remove_duplicates.py` key idea). */
+  private val f14 = GraftQuery(
+    "f14_md5",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("text_md5")),
+    Some("SELECT doc_id, md5(text) AS text_md5 FROM documents"))
+
+  override val suite: Seq[GraftQuery] = Seq(
+    f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13, f14)
+}

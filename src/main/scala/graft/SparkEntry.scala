@@ -15,7 +15,8 @@ import graft.queries._
 object SparkEntry {
 
   private val suites: Seq[QuerySuite] = Seq(
-    RelationalSuite, FunctionsSuite, EventsSuite)
+    RelationalSuite, FunctionsSuite, EventsSuite,
+    VectorSuite, DedupSuite, TextSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.suite)
 

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text hashing / tokenization combinators (SURVEY.md §2.11, north-star
+  * text-analysis + dedup ops). All pure Catalyst expression trees — no
+  * UDFs — so they stay inside whole-stage codegen and push down.
+  *
+  * Cross-engine determinism: every hash bottoms out in md5 hex strings,
+  * which DuckDB reproduces bit-for-bit; numeric hashes take a 15-hex-char
+  * (60-bit) or 8-hex-char (32-bit) big-endian prefix so they fit a signed
+  * long in both engines.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (ref `seperate_tables.py:82` split idiom). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Deterministic 60-bit positive hash: first 15 hex chars of md5. */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic 32-bit positive hash: first 8 hex chars of md5. */
+  def md5Long32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** n-word shingles from a token array: positions 1..size-n+1. */
+  def shingles(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " "))
+
+  /** The i-th MinHash "hash function" applied to one shingle: the base
+    * 60-bit hash XOR a salt derived from i (both < 2^60, so the XOR
+    * stays positive). */
+  def saltedHash(shingle: Column, saltIdx: Column): Column =
+    md5Long60(shingle).bitwiseXOR(md5Long60(saltIdx))
+
+  /** Rolling polynomial fingerprint of a token array, mod 1e9+7
+    * (ref: document fingerprinting north-star op). Fold keeps the
+    * accumulator < 2^30 so acc*31 + h32 never overflows a long. */
+  def fingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, w) => (acc * 31L + md5Long32(w)) % 1000000007L)
+}
+
+/** Dense-vector combinators over ArrayType columns (SURVEY.md §2.11
+  * V1-V7). Two tiers:
+  *  - `*Q` quantized-integer forms: exact long arithmetic, bit-identical
+  *    across engines — these back the DuckDB-oracle queries;
+  *  - double forms: the production path (codegen'd lambda folds) used by
+  *    the bench/knn library API where cross-engine bit-equality is not
+  *    required.
+  */
+object VectorOps {
+
+  /** Quantize a float/double vector to longs at `scale` (default 1e6).
+    * round() is half-away-from-zero in both Spark and DuckDB. */
+  def quantize(v: Column, scale: Double = 1e6): Column =
+    transform(v, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+
+  /** Exact integer sum of squares. */
+  def sumSqQ(a: Column): Column = dotQ(a, a)
+
+  /** L2 distance from quantized vectors: exact integer sum-of-squared-
+    * diffs, then one deterministic sqrt + rescale. */
+  def l2DistQ(a: Column, b: Column, scale: Double = 1e6): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (s, x) => s + x).cast("double")) / scale
+
+  /** Cosine similarity from quantized vectors (scale cancels). */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(sumSqQ(a).cast("double")) * sqrt(sumSqQ(b).cast("double")))
+
+  // ---- production double-precision forms (V2-V5) ----
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (s, x) => s + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** L2-normalize (ref `generate_embeddings.py:267`); zero-vector guard
+    * mirrors the reference's zero-fallback. */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0d, a).otherwise(transform(a, x => x / n))
+  }
+}

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, QuerySuite, Tables}
+import graft.functions.TextOps
+
+/** Document-deduplication operators (north-star family): exact hash
+  * dedup, MinHash signatures, LSH banding, n-gram Jaccard verification,
+  * SimHash + blocked Hamming pairs — all as pure relational plans with
+  * md5-based hashes that DuckDB reproduces bit-for-bit.
+  *
+  * Scale notes (100 TB): every stage is shuffle-on-key relational —
+  * shingle explode is map-side; signatures are one hash-aggregate on
+  * (doc, hash_id); LSH candidate generation joins on (band, key), which
+  * is exactly the skew-bounded equi-join AQE handles; nothing ever
+  * compares all pairs (the Jaccard verify runs only on LSH candidates).
+  */
+object DedupSuite extends QuerySuite {
+  import TextOps._
+
+  private val K = 8 // minhash functions
+  private val BANDS = 4 // bands of 2 rows each
+
+  /** MinHash signature rows (doc_id, hash_id, mh): 3-word shingles,
+    * 60-bit salted hashes, min per (doc, hash fn). */
+  private def sigDf(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(K - 1))).as("hash_id"), col("sh"))
+      .groupBy("doc_id", "hash_id")
+      .agg(min(saltedHash(col("sh"), col("hash_id"))).as("mh"))
+
+  private val sigSql =
+    s"""sh AS (
+      SELECT doc_id, unnest(list_transform(
+        range(1, len(string_split(text,' ')) - 1),
+        i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))
+        AS sh
+      FROM documents),
+    hx AS (
+      SELECT doc_id, sh, h.hash_id,
+        xor(
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1,16), i ->
+              CAST(strpos('0123456789abcdef', substring(md5(sh),i,1)) - 1
+                AS BIGINT))), (a,b) -> a*16+b),
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1,16), i ->
+              CAST(strpos('0123456789abcdef',
+                substring(md5(CAST(h.hash_id AS VARCHAR)),i,1)) - 1
+                AS BIGINT))), (a,b) -> a*16+b)) AS sh_hash
+      FROM sh, (SELECT unnest(range(0,$K)) AS hash_id) h),
+    sig AS (
+      SELECT doc_id, hash_id, min(sh_hash) AS mh
+      FROM hx GROUP BY 1, 2)"""
+
+  /** LSH band keys: pair up adjacent signature rows (band of 2). */
+  private def bandsDf(s: SparkSession, dir: String): DataFrame = {
+    val sig = sigDf(s, dir)
+    val even = sig.filter(col("hash_id") % 2 === 0)
+      .select(col("doc_id"), (col("hash_id") / 2).cast("int").as("band"),
+        col("mh").as("mh0"), col("hash_id").as("h0"))
+    val odd = sig.select(col("doc_id").as("doc_id2"),
+      col("hash_id").as("h1"), col("mh").as("mh1"))
+    even.join(odd,
+      col("doc_id") === col("doc_id2") && col("h1") === col("h0") + 1)
+      .select(col("doc_id"), col("band"),
+        concat_ws("|", col("mh0"), col("mh1")).as("bkey"))
+  }
+
+  private val bandsSql =
+    s"""bands AS (
+      SELECT e.doc_id, CAST(e.hash_id / 2 AS INTEGER) AS band,
+        CAST(e.mh AS VARCHAR) || '|' || CAST(o.mh AS VARCHAR) AS bkey
+      FROM sig e JOIN sig o
+        ON e.doc_id = o.doc_id AND o.hash_id = e.hash_id + 1
+      WHERE e.hash_id % 2 = 0)"""
+
+  /** d01 — exact dedup by content hash (ref `remove_duplicates.py:6-12`
+    * scaled to content identity): canonical doc per md5(text), group
+    * size attached. */
+  private val d01 = GraftQuery(
+    "d01_exact_dedup",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("group_size")),
+    Some("""SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+      COUNT(*) AS group_size FROM documents GROUP BY 1"""))
+
+  /** d02 — MinHash signatures (north-star: shingle → minhash). */
+  private val d02 = GraftQuery(
+    "d02_minhash_sig",
+    (s, dir) => sigDf(s, dir),
+    Some(s"""WITH $sigSql SELECT doc_id, hash_id, mh FROM sig"""))
+
+  /** d03 — LSH candidate pairs: docs agreeing on any band. */
+  private val d03 = GraftQuery(
+    "d03_lsh_candidates",
+    (s, dir) => {
+      val b = bandsDf(s, dir)
+      val l = b.select(col("band").as("l_band"), col("bkey").as("l_bkey"),
+        col("doc_id").as("a_id"))
+      val r = b.select(col("band").as("r_band"), col("bkey").as("r_bkey"),
+        col("doc_id").as("b_id"))
+      l.join(r, col("l_band") === col("r_band") &&
+          col("l_bkey") === col("r_bkey") && col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+    },
+    Some(s"""WITH $sigSql, $bandsSql
+    SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"""))
+
+  /** d04 — n-gram Jaccard verification of LSH candidates (north-star:
+    * near-dup confirm): exact word-set Jaccard >= 0.8 on candidate
+    * pairs only — never all pairs. */
+  private val d04 = GraftQuery(
+    "d04_jaccard_verify",
+    (s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("w"))
+      val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val cand = {
+        val b = bandsDf(s, dir)
+        val l = b.select(col("band").as("l_band"), col("bkey").as("l_bkey"),
+          col("doc_id").as("a_id"))
+        val r = b.select(col("band").as("r_band"), col("bkey").as("r_bkey"),
+          col("doc_id").as("b_id"))
+        l.join(r, col("l_band") === col("r_band") &&
+            col("l_bkey") === col("r_bkey") && col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+      }
+      val wa = words.select(col("doc_id").as("a_id"), col("w"))
+      val wb = words.select(col("doc_id").as("b_id"), col("w"))
+      val inter = cand.join(wa, "a_id").join(wb, Seq("b_id", "w"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("ni"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .withColumn("jaccard",
+          col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+        .filter(col("jaccard") >= 0.8)
+        .select("a_id", "b_id", "jaccard")
+    },
+    Some(s"""WITH $sigSql, $bandsSql,
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+    words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY 1),
+    inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS ni
+      FROM cand c
+      JOIN words wa ON wa.doc_id = c.a_id
+      JOIN words wb ON wb.doc_id = c.b_id AND wb.w = wa.w
+      GROUP BY 1, 2)
+    SELECT i.a_id, i.b_id,
+      CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a_id
+    JOIN sizes sb ON sb.doc_id = i.b_id
+    WHERE jaccard >= 0.8"""))
+
+  /** d05 — 32-bit SimHash signature per document (north-star SimHash):
+    * per-bit majority vote over token hashes, relational form. */
+  private val d05 = GraftQuery(
+    "d05_simhash",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .withColumn("h32", md5Long32(col("w")))
+        .select(col("doc_id"), col("h32"),
+          explode(sequence(lit(0), lit(31))).as("bit"))
+        .withColumn("sign",
+          when(expr("(h32 div shiftleft(1L, bit)) % 2") === 1, 1L)
+            .otherwise(-1L))
+        .groupBy("doc_id", "bit")
+        .agg(sum(col("sign")).as("vote"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("vote") >= 0,
+          expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash")),
+    Some("""WITH words AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+    hashed AS (
+      SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1,9), i ->
+          CAST(strpos('0123456789abcdef', substring(md5(w),i,1)) - 1
+            AS BIGINT))), (a,b) -> a*16+b) AS h32
+      FROM words),
+    votes AS (
+      SELECT doc_id, b.bit,
+        SUM(CASE WHEN (h32 // (1::BIGINT << b.bit)) % 2 = 1
+                 THEN 1 ELSE -1 END) AS vote
+      FROM hashed, (SELECT unnest(range(0,32)) AS bit) b
+      GROUP BY 1, 2)
+    SELECT doc_id,
+      CAST(SUM(CASE WHEN vote >= 0 THEN 1::BIGINT << bit ELSE 0 END)
+        AS BIGINT) AS simhash
+    FROM votes GROUP BY 1"""))
+
+  /** d06 — SimHash blocked near-dup pairs: block on either 16-bit half
+    * (standard SimHash blocking — a near-dup pair with Hamming distance
+    * <= 6 in 32 bits must agree on at least one half only heuristically,
+    * but blocking is the candidate generator, Hamming the verifier). */
+  private val d06 = GraftQuery(
+    "d06_simhash_pairs",
+    (s, dir) => {
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .withColumn("h32", md5Long32(col("w")))
+        .select(col("doc_id"), col("h32"),
+          explode(sequence(lit(0), lit(31))).as("bit"))
+        .withColumn("sign",
+          when(expr("(h32 div shiftleft(1L, bit)) % 2") === 1, 1L)
+            .otherwise(-1L))
+        .groupBy("doc_id", "bit")
+        .agg(sum(col("sign")).as("vote"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("vote") >= 0,
+          expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+      val blocked = sh.select(col("doc_id"), col("simhash"),
+        explode(array(
+          concat(lit("hi:"), expr("simhash div 65536")),
+          concat(lit("lo:"), col("simhash") % 65536))).as("block"))
+      val l = blocked.select(col("block").as("l_block"),
+        col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+      val r = blocked.select(col("block").as("r_block"),
+        col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+      l.join(r, col("l_block") === col("r_block") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long")
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+    },
+    Some("""WITH words AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+    hashed AS (
+      SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1,9), i ->
+          CAST(strpos('0123456789abcdef', substring(md5(w),i,1)) - 1
+            AS BIGINT))), (a,b) -> a*16+b) AS h32
+      FROM words),
+    votes AS (
+      SELECT doc_id, b.bit,
+        SUM(CASE WHEN (h32 // (1::BIGINT << b.bit)) % 2 = 1
+                 THEN 1 ELSE -1 END) AS vote
+      FROM hashed, (SELECT unnest(range(0,32)) AS bit) b
+      GROUP BY 1, 2),
+    sh AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN vote >= 0 THEN 1::BIGINT << bit ELSE 0 END)
+          AS BIGINT) AS simhash
+      FROM votes GROUP BY 1),
+    blocked AS (
+      SELECT doc_id, simhash, unnest([
+        'hi:' || CAST(simhash // 65536 AS VARCHAR),
+        'lo:' || CAST(simhash % 65536 AS VARCHAR)]) AS block
+      FROM sh)
+    SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+      CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+    FROM blocked x JOIN blocked y
+      ON x.block = y.block AND x.doc_id < y.doc_id
+    WHERE hamming <= 6"""))
+
+  override val suite: Seq[GraftQuery] = Seq(d01, d02, d03, d04, d05, d06)
+}

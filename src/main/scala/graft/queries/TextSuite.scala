@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{GraftQuery, QuerySuite, Tables}
+import graft.functions.TextOps
+
+/** Text-analysis operators (north-star family): token/quality metrics,
+  * heuristic language ID, document fingerprinting, n-gram profiles.
+  * All pure expression trees / relational plans over `documents`.
+  */
+object TextSuite extends QuerySuite {
+  import TextOps._
+
+  /** Tiny per-language marker lexicons for the heuristic language ID.
+    * Real pipelines use n-gram profiles; the operator shape (per-lang
+    * token-vote + argmax with deterministic tiebreak) is identical. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "small"),
+    "es" -> Seq("data", "table", "row", "join"),
+    "de" -> Seq("hash", "stream", "batch", "group"),
+    "fr" -> Seq("query", "merge", "sort", "filter"),
+    "zh" -> Seq("spark", "vector", "window", "scan"))
+
+  /** t01 — quality metrics per document (north-star quality scoring):
+    * token count, distinct ratio, mean token length, stopword ratio.
+    * Ratios are exact-int divisions cast to double — deterministic. */
+  private val t01 = GraftQuery(
+    "t01_quality_metrics",
+    (s, dir) => {
+      val stop = Seq("the", "a", "of", "and")
+      Tables(s, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks"))).as("uniq_ratio"),
+          (aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
+            .cast("double") / size(col("toks"))).as("mean_tok_len"),
+          (size(filter(col("toks"), w => w.isin(stop: _*)))
+            .cast("double") / size(col("toks"))).as("stop_ratio"))
+    },
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
+      CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        / len(string_split(text,' ')) AS uniq_ratio,
+      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text,' '),
+            w -> CAST(length(w) AS BIGINT))), (a,b) -> a+b) AS DOUBLE)
+        / len(string_split(text,' ')) AS mean_tok_len,
+      CAST(len(list_filter(string_split(text,' '),
+          w -> w IN ('the','a','of','and'))) AS DOUBLE)
+        / len(string_split(text,' ')) AS stop_ratio
+    FROM documents"""))
+
+  /** t02 — heuristic language ID (north-star language-ID): vote per
+    * language lexicon, argmax with lexicographic tiebreak; compared
+    * against the labeled lang column. */
+  private val t02 = GraftQuery(
+    "t02_langid",
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      val votes = langMarkers.map { case (lang, markers) =>
+        struct(
+          size(filter(toks, w => w.isin(markers: _*))).as("votes"),
+          lit(lang).as("lang"))
+      }
+      // array_max on struct(votes, lang) orders by votes then lang —
+      // ties resolve to the lexicographically LAST lang, deterministic.
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled"),
+          array_max(array(votes: _*)).getField("lang").as("predicted"))
+        .withColumn("hit", (col("labeled") === col("predicted")))
+    },
+    Some("""WITH scored AS (
+      SELECT doc_id, lang AS labeled,
+        [
+          {'votes': len(list_filter(string_split(text,' '),
+             w -> w IN ('the','a','fast','small'))), 'lang': 'en'},
+          {'votes': len(list_filter(string_split(text,' '),
+             w -> w IN ('data','table','row','join'))), 'lang': 'es'},
+          {'votes': len(list_filter(string_split(text,' '),
+             w -> w IN ('hash','stream','batch','group'))), 'lang': 'de'},
+          {'votes': len(list_filter(string_split(text,' '),
+             w -> w IN ('query','merge','sort','filter'))), 'lang': 'fr'},
+          {'votes': len(list_filter(string_split(text,' '),
+             w -> w IN ('spark','vector','window','scan'))), 'lang': 'zh'}
+        ] AS vs
+      FROM documents)
+    SELECT doc_id, labeled,
+      list_max(vs)['lang'] AS predicted,
+      labeled = list_max(vs)['lang'] AS hit
+    FROM scored"""))
+
+  /** t03 — rolling-hash document fingerprint (north-star fingerprinting):
+    * order-sensitive polynomial hash mod 1e9+7 over token hashes. */
+  private val t03 = GraftQuery(
+    "t03_fingerprint",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp")),
+    Some("""SELECT doc_id,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(text,' '), w ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1,9), i ->
+              CAST(strpos('0123456789abcdef', substring(md5(w),i,1)) - 1
+                AS BIGINT))), (a,b) -> a*16+b))),
+        (acc, h) -> (acc*31 + h) % 1000000007) AS fp
+    FROM documents"""))
+
+  /** t04 — top-5 bigrams per language (n-gram profile): explode 2-gram
+    * shingles, count per (lang, bigram), rank with total tiebreak. */
+  private val t04 = GraftQuery(
+    "t04_top_bigrams",
+    (s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("bigram").asc)
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          explode(shingles(tokens(col("text")), 2)).as("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+    },
+    Some("""WITH bg AS (
+      SELECT lang, unnest(list_transform(
+        range(1, len(string_split(text,' '))),
+        i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' ')))
+        AS bigram
+      FROM documents),
+    counted AS (
+      SELECT lang, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+    SELECT lang, bigram, cnt,
+      CAST(row_number() OVER (PARTITION BY lang
+        ORDER BY cnt DESC, bigram) AS BIGINT) AS rnk
+    FROM counted QUALIFY rnk <= 5"""))
+
+  /** t05 — corpus token frequency table with rank (vocabulary stats). */
+  private val t05 = GraftQuery(
+    "t05_token_freq",
+    (s, dir) => {
+      val w = Window.orderBy(col("cnt").desc, col("w").asc)
+      Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+    },
+    Some("""SELECT w, cnt,
+      CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rnk
+    FROM (SELECT w, COUNT(*) AS cnt
+          FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+          GROUP BY 1)"""))
+
+  override val suite: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05)
+}

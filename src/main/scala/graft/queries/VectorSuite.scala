@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{GraftQuery, QuerySuite, Tables}
+import graft.functions.{TextOps, VectorOps}
+
+/** Vector / similarity-search operators — SURVEY.md §2.11 (V1-V7) plus
+  * the ANN scale path (IVF cell pruning) from the north-star spec.
+  *
+  * Oracle determinism: embeddings are quantized to longs at 1e6
+  * (`VectorOps.quantize`) so every dot/norm/distance is exact integer
+  * arithmetic in both engines, with one trailing IEEE sqrt/division.
+  *
+  * Scale notes (100 TB): the brute-force kNN broadcasts the (small)
+  * query set against the corpus — a map-side cross join with a
+  * TakeOrderedAndProject per query, no corpus shuffle. The IVF pair
+  * (v06/v07) is the real scale design: cluster assignment is a
+  * broadcast-8-centroids map pass, and probes prune to one cell —
+  * at 1000 executors that's a partition-pruned scan, not a full sweep.
+  */
+object VectorSuite extends QuerySuite {
+  import VectorOps._
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .withColumn("qv", quantize(col("embedding")))
+
+  /** Oracle-side quantized view, shared by all queries below. */
+  private val qvSql =
+    """SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       FROM embeddings"""
+
+  /** v01 — deterministic hash embedder (V1 test stand-in for the
+    * SentenceTransformer; ref `generate_embeddings.py:245-272`): 16-dim
+    * signed feature hashing of document tokens, relational form. */
+  private val v01 = GraftQuery(
+    "v01_hash_embedder",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .withColumn("h", TextOps.md5Long60(col("w")))
+        .groupBy(col("doc_id"), (col("h") % 16).as("dim"))
+        .agg(sum(when(col("h") % 32 < 16, 1L).otherwise(-1L)).as("feat")),
+    Some("""WITH words AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+    hashed AS (
+      SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1,16), i ->
+          CAST(strpos('0123456789abcdef', substring(md5(w),i,1)) - 1 AS BIGINT))),
+        (a,b) -> a*16+b) AS h
+      FROM words)
+    SELECT doc_id, h % 16 AS dim,
+      CAST(SUM(CASE WHEN h % 32 < 16 THEN 1 ELSE -1 END) AS BIGINT) AS feat
+    FROM hashed GROUP BY 1, 2"""))
+
+  /** v02 — L2 normalize (V2; ref `generate_embeddings.py:267`),
+    * row-per-dimension form so the compare is scalar doubles. */
+  private val v02 = GraftQuery(
+    "v02_l2_normalize",
+    (s, dir) =>
+      emb(s, dir)
+        .withColumn("ss", sumSqQ(col("qv")))
+        .select(col("vec_id"), col("ss"),
+          posexplode(col("qv")).as(Seq("pos", "q")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+          (col("q").cast("double") / sqrt(col("ss").cast("double")))
+            .as("comp")),
+    Some(s"""WITH q AS ($qvSql),
+    ss AS (SELECT vec_id,
+      CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS ss FROM q)
+    SELECT q.vec_id, CAST(pos AS BIGINT) AS pos,
+      CAST(comp AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) AS comp
+    FROM (SELECT vec_id, unnest(qv) AS comp,
+            unnest(range(1, 1+len(qv))) AS pos FROM q) q
+    JOIN ss ON q.vec_id = ss.vec_id"""))
+
+  /** v03 — brute-force kNN (V5; ref `generate_embeddings.py:418-452`):
+    * 10 query vectors against the full corpus, top-5 each by exact
+    * quantized L2, total-ordered tiebreak. The query side is broadcast —
+    * the corpus never shuffles. */
+  private val v03 = GraftQuery(
+    "v03_knn_bruteforce",
+    (s, dir) => {
+      val corpus = emb(s, dir).select(col("vec_id"), col("qv"))
+      val queries = emb(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("query_qv"))
+      val w = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("d2",
+          aggregate(zip_with(col("qv"), col("query_qv"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (sqrt(col("d2").cast("double")) / 1e6).as("dist"), col("rnk"))
+    },
+    Some(s"""WITH q AS ($qvSql),
+    pairs AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(list_sum(list_transform(range(1, 1+len(c.qv)),
+          i -> (c.qv[i]-qs.qv[i])*(c.qv[i]-qs.qv[i]))) AS BIGINT) AS d2
+      FROM q c, q qs WHERE qs.vec_id < 10 AND c.vec_id <> qs.vec_id)
+    SELECT query_id, neighbor_id, sqrt(CAST(d2 AS DOUBLE)) / 1e6 AS dist,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id)
+        AS BIGINT) AS rnk
+    FROM pairs QUALIFY rnk <= 5"""))
+
+  /** v04 — kNN result join-back + similarity score (V4/V6; ref
+    * `generate_embeddings.py:471-490`): nearest neighbor per query with
+    * its label and score = 1/(1+dist). */
+  private val v04 = GraftQuery(
+    "v04_knn_joinback",
+    (s, dir) => {
+      val corpus = emb(s, dir).select(col("vec_id"), col("qv"))
+      val queries = emb(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("query_qv"))
+      val labels = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("neighbor_id"), col("label"))
+      val w = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("d2",
+          aggregate(zip_with(col("qv"), col("query_qv"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (lit(1.0) / (lit(1.0) + sqrt(col("d2").cast("double")) / 1e6))
+            .as("score"))
+        .join(broadcast(labels), "neighbor_id")
+        .select("query_id", "neighbor_id", "label", "score")
+    },
+    Some(s"""WITH q AS ($qvSql),
+    nn AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(list_sum(list_transform(range(1, 1+len(c.qv)),
+          i -> (c.qv[i]-qs.qv[i])*(c.qv[i]-qs.qv[i]))) AS BIGINT) AS d2
+      FROM q c, q qs WHERE qs.vec_id < 10 AND c.vec_id <> qs.vec_id
+      QUALIFY row_number() OVER (PARTITION BY qs.vec_id
+        ORDER BY d2, c.vec_id) = 1)
+    SELECT query_id, neighbor_id, e.label,
+      1.0 / (1.0 + sqrt(CAST(d2 AS DOUBLE)) / 1e6) AS score
+    FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id"""))
+
+  /** v05 — embedding-cosine near-duplicate pairs (north-star dedup
+    * family): sampled same-label pairs with cosine above threshold.
+    * The sample bound (vec_id % 7 = 0) stands in for LSH candidate
+    * generation, which d03 demonstrates on text. */
+  private val v05 = GraftQuery(
+    "v05_cosine_pairs",
+    (s, dir) => {
+      val sampled = emb(s, dir).filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), col("label"), col("qv"))
+      val a = sampled.select(col("vec_id").as("a_id"),
+        col("label").as("a_label"), col("qv").as("a_qv"))
+      val b = sampled.select(col("vec_id").as("b_id"),
+        col("label").as("b_label"), col("qv").as("b_qv"))
+      a.join(b, col("a_id") < col("b_id") && col("a_label") === col("b_label"))
+        .withColumn("cos", cosineQ(col("a_qv"), col("b_qv")))
+        .filter(col("cos") > 0.3)
+        .select(col("a_id"), col("b_id"), col("a_label").as("label"),
+          col("cos"))
+    },
+    Some(s"""WITH q AS ($qvSql),
+    sampled AS (SELECT * FROM q WHERE vec_id % 7 = 0)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+      CAST(list_sum(list_transform(range(1, 1+len(a.qv)),
+          i -> a.qv[i]*b.qv[i])) AS BIGINT)::DOUBLE /
+        (sqrt(CAST(list_sum(list_transform(a.qv, x -> x*x)) AS BIGINT)::DOUBLE)
+       * sqrt(CAST(list_sum(list_transform(b.qv, x -> x*x)) AS BIGINT)::DOUBLE))
+        AS cos
+    FROM sampled a JOIN sampled b
+      ON a.vec_id < b.vec_id AND a.label = b.label
+    WHERE cos > 0.3"""))
+
+  /** v06 — IVF cell assignment (ANN scale path): nearest of 8 seed
+    * centroids (vectors 0..7) per corpus vector. At scale this is the
+    * partitioning key for a cell-pruned ANN index. */
+  private val v06 = GraftQuery(
+    "v06_ivf_assign",
+    (s, dir) => {
+      val cents = emb(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("qv").as("cent_qv"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+      emb(s, dir).select(col("vec_id"), col("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("d2",
+          aggregate(zip_with(col("qv"), col("cent_qv"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .groupBy(col("cent_id").as("cell"))
+        .agg(count(lit(1)).as("cell_size"))
+    },
+    Some(s"""WITH q AS ($qvSql),
+    assign AS (
+      SELECT v.vec_id, c.vec_id AS cell,
+        CAST(list_sum(list_transform(range(1, 1+len(v.qv)),
+          i -> (v.qv[i]-c.qv[i])*(v.qv[i]-c.qv[i]))) AS BIGINT) AS d2
+      FROM q v, q c WHERE c.vec_id < 8
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY d2, c.vec_id) = 1)
+    SELECT cell, COUNT(*) AS cell_size FROM assign GROUP BY 1"""))
+
+  /** v07 — IVF probe: kNN for query vec 42 restricted to its own cell —
+    * the pruned-scan read path of the v06 index. */
+  private val v07 = GraftQuery(
+    "v07_ivf_probe",
+    (s, dir) => {
+      val cents = emb(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("qv").as("cent_qv"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+      val assigned = emb(s, dir).select(col("vec_id"), col("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("d2",
+          aggregate(zip_with(col("qv"), col("cent_qv"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("qv"), col("cent_id").as("cell"))
+      val probe = assigned.filter(col("vec_id") === 42)
+        .select(col("qv").as("probe_qv"), col("cell").as("probe_cell"))
+      val wq = Window.orderBy(col("d2q"), col("vec_id"))
+      assigned
+        .join(broadcast(probe), col("cell") === col("probe_cell"))
+        .filter(col("vec_id") =!= 42)
+        .withColumn("d2q",
+          aggregate(zip_with(col("qv"), col("probe_qv"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+        .withColumn("rnk", row_number().over(wq).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("vec_id").as("neighbor_id"), col("cell"),
+          (sqrt(col("d2q").cast("double")) / 1e6).as("dist"), col("rnk"))
+    },
+    Some(s"""WITH q AS ($qvSql),
+    assign AS (
+      SELECT v.vec_id, v.qv, c.vec_id AS cell,
+        CAST(list_sum(list_transform(range(1, 1+len(v.qv)),
+          i -> (v.qv[i]-c.qv[i])*(v.qv[i]-c.qv[i]))) AS BIGINT) AS d2
+      FROM q v, q c WHERE c.vec_id < 8
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY d2, c.vec_id) = 1),
+    probe AS (SELECT qv AS probe_qv, cell AS probe_cell
+              FROM assign WHERE vec_id = 42)
+    SELECT a.vec_id AS neighbor_id, a.cell,
+      sqrt(CAST(list_sum(list_transform(range(1, 1+len(a.qv)),
+        i -> (a.qv[i]-p.probe_qv[i])*(a.qv[i]-p.probe_qv[i])))
+        AS BIGINT)::DOUBLE) / 1e6 AS dist,
+      CAST(row_number() OVER (ORDER BY
+        list_sum(list_transform(range(1, 1+len(a.qv)),
+          i -> (a.qv[i]-p.probe_qv[i])*(a.qv[i]-p.probe_qv[i]))), a.vec_id)
+        AS BIGINT) AS rnk
+    FROM assign a JOIN probe p ON a.cell = p.probe_cell
+    WHERE a.vec_id <> 42 QUALIFY rnk <= 3"""))
+
+  override val suite: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07)
+}

@@ -1,0 +1,116 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Denormalized staging rows → 3-table star schema (ref
+  * `scripts/transform/seperate_tables.py`): `categories` dim,
+  * `products` fact with FK category_id, `product_images` child with FK
+  * product_id. One source read fans out into three derived DataFrames
+  * (SURVEY.md §2.5 A6); FK resolution is broadcast-join, not dict
+  * lookup; dense ids come from a window for dims and `zipWithIndex`
+  * for fact-scale tables (a global row_number window would serialize
+  * the fact through one partition — SURVEY.md §7.5).
+  *
+  * Timestamps are injected (`now`) instead of per-row wall clock
+  * (`seperate_tables.py:31-32`) for reproducibility.
+  */
+object Normalize {
+
+  final case class Outputs(
+      categories: DataFrame, products: DataFrame, images: DataFrame)
+
+  /** Dense 1-based ids at fact scale without a single-partition window:
+    * per-partition counts → cumulative offsets → partition-local index.
+    * Ordering is whatever the incoming partitioning gives — callers that
+    * need a *stable* order must sort first (dims use the window path). */
+  def zipWithIndexId(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(StructField(idCol, LongType, nullable = false)
+      +: df.schema.fields)
+    val rdd = df.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq((i + 1L) +: row.toSeq)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** The categories dim (ref `seperate_tables.py:24-33,111-127`):
+    * one row per distinct category_name, deterministic keep-first,
+    * ids ordered by name (the reference uses first-encounter order —
+    * file-order-dependent; we normalize to name order and document). */
+  def categories(staged: DataFrame, now: Column): DataFrame =
+    staged.select(col("category_name")).distinct()
+      .withColumn("category_id",
+        row_number().over(Window.orderBy("category_name")))
+      .select(
+        col("category_id"),
+        col("category_name"),
+        lit("").as("category_background_url"),
+        Categorizer.categoryType(col("category_name")).as("category_type"),
+        lit("").as("category_description"),
+        now.as("created_at"),
+        now.as("updated_at"))
+
+  /** The products fact (ref `seperate_tables.py:60-79,128-163`):
+    * broadcast dim join resolves category_id; product_id is dense over
+    * a stable product_code sort via zipWithIndex (no global window). */
+  def products(staged: DataFrame, cats: DataFrame, now: Column): DataFrame = {
+    val joined = staged.join(
+      broadcast(cats.select("category_id", "category_name")),
+      Seq("category_name"))
+    zipWithIndexId(joined.sort("product_code"), "product_id")
+      .select(
+        col("product_id"), col("category_id"), col("product_code"),
+        col("product_name"), col("product_description"),
+        col("product_brand"),
+        col("product_discount_percentage").cast("double"),
+        col("product_unit_price"),
+        col("product_total_orders").cast("int"),
+        col("product_total_ratings").cast("int"),
+        col("product_overall_stars").cast("double"),
+        col("product_stock_quantity").cast("int"),
+        now.as("created_at"), now.as("updated_at"))
+  }
+
+  /** The product_images child (ref `seperate_tables.py:81-106,164-179`):
+    * pipe-delimited parallel url/name lists exploded via arrays_zip,
+    * empty names defaulted to the product name, FK via broadcast join
+    * on product_code. */
+  def images(staged: DataFrame, prods: DataFrame, now: Column): DataFrame = {
+    val exploded = staged
+      .select(col("product_code"), col("product_name"),
+        explode_outer(arrays_zip(
+          split(col("product_image_url"), "\\|").as("url"),
+          split(coalesce(col("product_image_name"), lit("")), "\\|")
+            .as("name"))).as("img"))
+      .select(
+        col("product_code"),
+        trim(col("img.url")).as("product_image_url"),
+        when(trim(col("img.name")) === "" || col("img.name").isNull,
+          col("product_name")).otherwise(trim(col("img.name")))
+          .as("product_image_name"))
+      .filter(col("product_image_url").isNotNull &&
+        col("product_image_url") =!= "")
+    val withFk = exploded
+      .join(broadcast(prods.select("product_id", "product_code")),
+        Seq("product_code"))
+    zipWithIndexId(withFk.sort("product_code", "product_image_url"),
+      "product_image_url_id")
+      .select(
+        col("product_image_url_id"), col("product_id"),
+        col("product_image_url"), col("product_image_name"),
+        lit(1).cast("short").as("product_image_type"),
+        now.as("created_at"), now.as("updated_at"))
+  }
+
+  /** Full separate-tables stage: one cached source read, three sinks
+    * (ref `seperate_tables.py:191-196`). */
+  def apply(staged: DataFrame, now: Column): Outputs = {
+    val src = staged.cache()
+    val cats = categories(src, now)
+    val prods = products(src, cats, now)
+    val imgs = images(src, prods, now)
+    Outputs(cats, prods, imgs)
+  }
+}

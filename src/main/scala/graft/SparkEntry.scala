@@ -16,7 +16,7 @@ object SparkEntry {
 
   private val suites: Seq[QuerySuite] = Seq(
     RelationalSuite, FunctionsSuite, EventsSuite,
-    VectorSuite, DedupSuite, TextSuite)
+    VectorSuite, DedupSuite, TextSuite, BenchSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.suite)
 

@@ -1,0 +1,215 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native codegen vector expressions — SURVEY.md §4 / §7.4: the hot-path
+  * alternative to the `aggregate(zip_with(...))` lambda folds in
+  * `graft.functions.VectorOps`. A lambda fold allocates a
+  * per-element closure frame and boxes through HigherOrderFunction
+  * machinery; these expressions compile to a flat primitive loop over
+  * `ArrayData`, stay inside whole-stage codegen, and vectorize well.
+  *
+  * Registered as SQL functions (`graft_l2_distance`, `graft_dot`,
+  * `graft_cosine`, `graft_l2_normalize`) via [[GraftExtensions]]
+  * (`SparkSessionExtensions.injectFunction`) so they are usable from
+  * both the Column API (`call_function`) and plain SQL.
+  *
+  * Null elements inside vectors are not expected (embedding columns are
+  * `containsNull=false` in practice) and read as 0.0.
+  */
+abstract class BinaryVectorExpression extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  /** scalar combine step in generated Java: (acc, x, y) => new acc */
+  protected def combineJava(acc: String, x: String, y: String): String
+  protected def finishJava(acc: String): String
+  protected def combine(acc: Double, x: Double, y: Double): Double
+  protected def finish(acc: Double): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (va, vb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(va.numElements(), vb.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc = combine(acc, va.getDouble(i), vb.getDouble(i))
+      i += 1
+    }
+    finish(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = $a.getDouble($i);
+          double $y = $b.getDouble($i);
+          $acc = ${combineJava(acc, x, y)};
+        }
+        ${ev.value} = ${finishJava(acc)};
+      """
+    })
+}
+
+/** Euclidean distance between two double vectors (V3; ref pgvector
+  * `<->`, `generate_embeddings.py:441`). */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "graft_l2_distance"
+  protected def combineJava(acc: String, x: String, y: String): String =
+    s"$acc + ($x - $y) * ($x - $y)"
+  protected def finishJava(acc: String): String = s"java.lang.Math.sqrt($acc)"
+  protected def combine(acc: Double, x: Double, y: Double): Double =
+    acc + (x - y) * (x - y)
+  protected def finish(acc: Double): Double = math.sqrt(acc)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Dot product of two double vectors. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "graft_dot"
+  protected def combineJava(acc: String, x: String, y: String): String =
+    s"$acc + $x * $y"
+  protected def finishJava(acc: String): String = acc
+  protected def combine(acc: Double, x: Double, y: Double): Double =
+    acc + x * y
+  protected def finish(acc: Double): Double = acc
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Cosine similarity; 0.0 when either vector has zero norm (matches the
+  * reference's zero-vector embedding fallback, V1). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (va, vb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(va.numElements(), vb.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = va.getDouble(i); val y = vb.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = $a.getDouble($i);
+          double $y = $b.getDouble($i);
+          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        }
+        ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+          : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** L2-normalize a double vector; zero vectors pass through unchanged
+  * (V2; ref `generate_embeddings.py:267` + zero fallback). */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_l2_normalize"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); ss += x * x; i += 1 }
+    if (ss == 0.0) {
+      i = 0; while (i < n) { out(i) = v.getDouble(i); i += 1 }
+    } else {
+      val inv = 1.0 / math.sqrt(ss)
+      i = 0; while (i < n) { out(i) = v.getDouble(i) * inv; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val ss = ctx.freshName("ss"); val inv = ctx.freshName("inv")
+      val arr = ctx.freshName("arr")
+      s"""
+        int $n = $a.numElements();
+        double[] $arr = new double[$n];
+        double $ss = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $arr[$i] = $a.getDouble($i);
+          $ss += $arr[$i] * $arr[$i];
+        }
+        if ($ss != 0.0) {
+          double $inv = 1.0 / java.lang.Math.sqrt($ss);
+          for (int $i = 0; $i < $n; $i++) { $arr[$i] *= $inv; }
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Session extension registering the graft SQL functions — enabled via
+  * `spark.sql.extensions=graft.expr.GraftExtensions` (see
+  * `graft.GraftSession`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", null, name, usage, "")
+    ext.injectFunction((FunctionIdentifier("graft_l2_distance"),
+      info("graft_l2_distance", "_FUNC_(a, b) - Euclidean distance"),
+      (es: Seq[Expression]) => L2Distance(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "_FUNC_(a, b) - dot product"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "_FUNC_(a, b) - cosine similarity"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_l2_normalize"),
+      info("graft_l2_normalize", "_FUNC_(a) - L2 normalize"),
+      (es: Seq[Expression]) => L2Normalize(es(0))))
+  }
+}

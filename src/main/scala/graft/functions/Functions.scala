@@ -36,6 +36,17 @@ object TextOps {
   def saltedHash(shingle: Column, saltIdx: Column): Column =
     md5Long60(shingle).bitwiseXOR(md5Long60(saltIdx))
 
+  /** Driver-side twin of [[md5Long60]] — same value as the engine
+    * computes, used to pre-fold constant salts into literals so the
+    * per-row plan hashes each shingle once instead of once per hash
+    * function. */
+  def md5Long60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** Rolling polynomial fingerprint of a token array, mod 1e9+7
     * (ref: document fingerprinting north-star op). Fold keeps the
     * accumulator < 2^30 so acc*31 + h32 never overflows a long. */

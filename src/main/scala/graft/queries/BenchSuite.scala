@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, QuerySuite, Tables}
+import graft.functions.VectorOps
+import graft.vector.VectorSearch
+
+/** Performance-path queries (no DuckDB oracle — the driver records a
+  * rows-only check): the same kNN plan through the lambda-fold vector
+  * math vs the native codegen expressions, on a corpus inflated 100×
+  * (embeddings × sequence) so the distance loop dominates. BENCH_r{N}
+  * shows the two timings side by side; x02 is the production path.
+  */
+object BenchSuite extends QuerySuite {
+
+  /** 100× synthetic inflation: each vector re-tagged with a replica id.
+    * Deterministic (no rand); cached so the three x-queries time the
+    * distance computation, not the re-inflation. */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def inflated(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir),
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0L), lit(99L))).as("rep"))
+        .select((col("vec_id") * 100 + col("rep")).as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .cache())
+
+  private def queries(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qvec"))
+
+  /** x01 — kNN with lambda-fold L2 (aggregate/zip_with baseline). */
+  private val x01 = GraftQuery(
+    "x01_knn_lambda",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+      inflated(s, dir).crossJoin(broadcast(queries(s, dir)))
+        .withColumn("dist", VectorOps.l2Distance(col("vec"), col("qvec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "id", "dist", "rank")
+    })
+
+  /** x02 — same plan through the codegen L2Distance expression. */
+  private val x02 = GraftQuery(
+    "x02_knn_codegen",
+    (s, dir) => VectorSearch.knn(inflated(s, dir), "id", "vec",
+      queries(s, dir), "query_id", "qvec", k = 10))
+
+  /** x03 — IVF build + probe on the inflated corpus (the ANN scale
+    * path end-to-end: cluster assignment, cell pruning, in-cell kNN). */
+  private val x03 = GraftQuery(
+    "x03_knn_ivf",
+    (s, dir) => {
+      val index = VectorSearch.buildIvf(inflated(s, dir), "id", "vec", 16)
+      VectorSearch.searchIvf(index, queries(s, dir), "query_id", "qvec",
+        k = 10, nprobe = 2)
+    })
+
+  override val suite: Seq[GraftQuery] = Seq(x01, x02, x03)
+}

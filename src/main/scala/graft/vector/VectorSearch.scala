@@ -1,0 +1,101 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Library-level similarity-search API (the reference's
+  * `generate_embeddings.py` search path, V5/V6, re-expressed as plans):
+  * brute-force kNN as the exact baseline and an IVF-partitioned variant
+  * as the scale path. Distances use the native codegen expressions from
+  * [[graft.expr]] (registered by GraftExtensions).
+  *
+  * Scale design (100 TB): `knn` broadcasts the query set — the corpus
+  * is scanned once, map-side, and each partition keeps a local top-k
+  * before the global TakeOrdered merge. `IvfIndex` embeds the (tiny)
+  * centroid set as a *literal array expression*, so cluster assignment
+  * is a pure map-side argmin — no crossJoin, no shuffle, no window —
+  * and probes read only `nprobe` cells; written `partitionBy("cell")`
+  * that becomes real partition pruning.
+  */
+object VectorSearch {
+
+  private def l2(a: Column, b: Column): Column =
+    call_function("graft_l2_distance", a, b)
+
+  /** Exact brute-force top-k: one row per (query, rank<=k neighbor).
+    * `queries` must be small (it is broadcast). */
+  def knn(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(queries.select(
+        col(qidCol).as("query_id"), col(qvecCol).as("qvec"))))
+      .withColumn("dist", l2(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "dist", "rank")
+  }
+
+  /** IVF index: corpus rows tagged with their nearest centroid cell.
+    * `centroids` is driver-side (tiny by construction). */
+  final case class IvfIndex(
+      assigned: DataFrame, centroids: Seq[(Long, Seq[Double])]) {
+
+    /** (distance-to-centroid, cell) candidates as one literal-array
+      * expression over `vec` — evaluated map-side, fully codegen. */
+    private[vector] def cellCandidates(vec: Column): Column =
+      array(centroids.map { case (cellId, cvec) =>
+        struct(
+          l2(vec, typedLit(cvec)).as("d"),
+          lit(cellId).as("cell"))
+      }: _*)
+
+    /** Nearest cell for a vector: argmin over the literal candidates. */
+    def nearestCell(vec: Column): Column =
+      array_min(cellCandidates(vec)).getField("cell")
+
+    /** The query's nprobe nearest cells. */
+    def probeCells(vec: Column, nprobe: Int): Column =
+      transform(
+        slice(array_sort(cellCandidates(vec)), 1, nprobe),
+        c => c.getField("cell"))
+  }
+
+  /** Build the IVF index: pick nCells seed centroids deterministically
+    * (lowest ids via TakeOrdered — no global sort), embed them as
+    * literals, tag every corpus row with its nearest cell in one
+    * map-side pass. */
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): IvfIndex = {
+    val ids = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val cents: Seq[(Long, Seq[Double])] = ids
+      .orderBy("id").limit(nCells)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    val index = IvfIndex(null, cents)
+    val assigned = ids
+      .withColumn("cell", index.nearestCell(col("vec")))
+      .repartition(col("cell"))
+    index.copy(assigned = assigned)
+  }
+
+  /** Probe the IVF index: rank the query's `nprobe` nearest cells
+    * map-side, then kNN only within those cells. Approximate (standard
+    * IVF recall trade-off), exact within the probed cells. */
+  def searchIvf(index: IvfIndex, queries: DataFrame, qidCol: String,
+      qvecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    val q = queries.select(col(qidCol).as("query_id"),
+      col(qvecCol).cast("array<double>").as("qvec"))
+      .withColumn("cell", explode(index.probeCells(col("qvec"), nprobe)))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+    index.assigned.join(broadcast(q), Seq("cell"))
+      .withColumn("dist", l2(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "cell", "dist", "rank")
+  }
+}

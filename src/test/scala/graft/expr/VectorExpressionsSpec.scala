@@ -1,0 +1,70 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorOps
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL registration via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT graft_l2_distance(array(0.0d, 3.0d), array(4.0d, 0.0d)) d")
+      .as[Double].head()
+    assert(r == 5.0)
+    assert(spark.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) d")
+      .as[Double].head() == 11.0)
+  }
+
+  test("codegen expressions agree with the lambda-fold forms") {
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j)),
+        Array.tabulate(16)(j => math.cos(i * 13 + j))))
+      .toDF("id", "a", "b")
+    val both = df.select(
+      call_function("graft_l2_distance", col("a"), col("b")).as("fast"),
+      VectorOps.l2Distance(col("a"), col("b")).as("lambda"),
+      call_function("graft_cosine", col("a"), col("b")).as("fast_cos"),
+      VectorOps.cosine(col("a"), col("b")).as("lambda_cos"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12)
+    }
+  }
+
+  test("float arrays implicitly cast (embeddings table path)") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").limit(5)
+    val d = e.crossJoin(e.select(col("embedding").as("e2")).limit(1))
+      .select(call_function("graft_l2_distance",
+        col("embedding"), col("e2")).as("d"))
+      .as[Double].collect()
+    assert(d.length == 5 && d.forall(v => v >= 0.0 && !v.isNaN))
+  }
+
+  test("l2_normalize produces unit vectors; zero vectors pass through") {
+    val df = Seq(
+      (1L, Array(3.0, 4.0)),
+      (2L, Array(0.0, 0.0))).toDF("id", "v")
+    val out = df.select(col("id"),
+      call_function("graft_l2_normalize", col("v")).as("n"))
+      .as[(Long, Array[Double])].collect().toMap
+    assert(math.abs(out(1L).map(x => x * x).sum - 1.0) < 1e-12)
+    assert(out(2L).toSeq == Seq(0.0, 0.0))
+    // cosine of a zero vector is defined as 0
+    assert(df.filter($"id" === 2)
+      .select(call_function("graft_cosine", col("v"), col("v")).as("c"))
+      .as[Double].head() == 0.0)
+  }
+
+  test("null vector yields null (nullIntolerant)") {
+    val df = Seq((1L, Option(Array(1.0)), Option.empty[Array[Double]]))
+      .toDF("id", "a", "b")
+    val r = df.select(
+      call_function("graft_l2_distance", col("a"), col("b")).as("d"))
+      .collect()
+    assert(r.head.isNullAt(0))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorSearchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("brute-force knn returns k ranked neighbors per query") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = VectorSearch.knn(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4).collect()
+    assert(out.length == 12)
+    // rank 1 is the query itself at distance 0
+    val self = out.filter(_.getAs[Int]("rank") == 1)
+    assert(self.forall(r =>
+      r.getAs[Long]("query_id") == r.getAs[Long]("id") &&
+        r.getAs[Double]("dist") == 0.0))
+    // distances ascend with rank per query
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("dist"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("ivf probe with all cells probed matches brute force top-1") {
+    val queries = emb.filter(col("vec_id").isin(100L, 200L))
+    val index = VectorSearch.buildIvf(emb, "vec_id", "embedding", nCells = 4)
+    assert(index.assigned.select("cell").distinct().count() <= 4)
+    val exact = VectorSearch.knn(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1)
+      .collect().map(r =>
+        r.getAs[Long]("query_id") -> r.getAs[Long]("id")).toMap
+    val ivf = VectorSearch.searchIvf(index, queries, "vec_id", "embedding",
+      k = 1, nprobe = 4)
+      .collect().map(r =>
+        r.getAs[Long]("query_id") -> r.getAs[Long]("id")).toMap
+    // probing every cell makes IVF exact
+    assert(ivf == exact)
+  }
+
+  test("ivf with nprobe=1 scans only one cell per query") {
+    val queries = emb.filter(col("vec_id") === 100L)
+    val index = VectorSearch.buildIvf(emb, "vec_id", "embedding", nCells = 4)
+    val out = VectorSearch.searchIvf(index, queries, "vec_id", "embedding",
+      k = 5, nprobe = 1).collect()
+    assert(out.nonEmpty && out.map(_.getAs[Long]("cell")).distinct.length == 1)
+  }
+}

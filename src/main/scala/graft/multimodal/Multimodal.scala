@@ -1,0 +1,158 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support (north-star spec): image/audio/video as
+  * opaque `binary` columns plus typed metadata, with decode /
+  * feature-extract / resize / frame-sample implemented as distributed
+  * `mapPartitions` passes over a typed Dataset.
+  *
+  * The actual codec is STUBBED behind [[MediaDecoder]] (no image/audio
+  * libraries ship in this environment): [[FakeDecoder]] derives
+  * deterministic "pixels" from the bytes, so every piece of Spark-side
+  * plumbing — binaryFile source, schema, per-partition decoder reuse,
+  * batch shape, partitioning — is real and tested, and a production
+  * decoder drops in without touching any plan.
+  *
+  * The per-partition construction mirrors the external-model pattern
+  * (SURVEY.md §2.10 R7 / §2.11 V1): expensive native resources are
+  * initialized once per partition, not per row.
+  */
+final case class MediaFile(
+    path: String, kind: String, length: Long, content: Array[Byte])
+
+final case class DecodedImage(
+    path: String, width: Int, height: Int, channels: Int,
+    pixels: Array[Byte])
+
+final case class MediaFeatures(
+    path: String, kind: String, width: Int, height: Int,
+    embedding: Array[Float])
+
+final case class VideoFrame(
+    path: String, frameIdx: Int, image: DecodedImage)
+
+/** Pluggable codec boundary. Implementations must be Serializable and
+  * cheap to construct OR constructed per partition (see decodeImages).
+  */
+trait MediaDecoder extends Serializable {
+  def decodeImage(bytes: Array[Byte]): DecodedImage
+  def frameCount(bytes: Array[Byte]): Int
+  def decodeFrame(bytes: Array[Byte], idx: Int): DecodedImage
+}
+
+/** Deterministic stand-in codec: dimensions and pixels derive from the
+  * content hash — stable across runs, machines, and partitionings. A
+  * real implementation would wrap javax.imageio / ffmpeg here. */
+object FakeDecoder extends MediaDecoder {
+  private def h(bytes: Array[Byte], salt: Int): Int =
+    java.util.Arrays.hashCode(bytes) * 31 + salt
+
+  override def decodeImage(bytes: Array[Byte]): DecodedImage = {
+    val w = 8 + math.floorMod(h(bytes, 1), 8)
+    val ht = 8 + math.floorMod(h(bytes, 2), 8)
+    val px = Array.tabulate[Byte](w * ht * 3)(i =>
+      (math.floorMod(h(bytes, i), 256) - 128).toByte)
+    DecodedImage("", w, ht, 3, px)
+  }
+  override def frameCount(bytes: Array[Byte]): Int =
+    2 + math.floorMod(h(bytes, 99), 4)
+  override def decodeFrame(bytes: Array[Byte], idx: Int): DecodedImage =
+    decodeImage(bytes :+ idx.toByte)
+}
+
+object Multimodal {
+
+  /** Read a directory of media files as binary columns via Spark's
+    * binaryFile source (path/length/content), tagging a media kind from
+    * the extension. The 100 TB shape: content stays opaque bytes until
+    * a decode stage asks for it; pushdown prunes on path/length. */
+  def readMediaDir(spark: SparkSession, path: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"),
+        lower(element_at(split(col("path"), "\\."), -1)).as("ext"),
+        col("length"), col("content"))
+      .withColumn("kind",
+        when(col("ext").isin("jpg", "jpeg", "png", "gif"), "image")
+          .when(col("ext").isin("mp3", "wav", "flac"), "audio")
+          .when(col("ext").isin("mp4", "avi", "mkv"), "video")
+          .otherwise("other"))
+      .select(col("path"), col("kind"), col("length"), col("content"))
+      .as[MediaFile]
+  }
+
+  /** Decode stage: one decoder instance per partition (the executor-
+    * side native-resource cache pattern), streaming through rows. */
+  def decodeImages(files: Dataset[MediaFile],
+      mkDecoder: () => MediaDecoder = () => FakeDecoder)
+      : Dataset[DecodedImage] = {
+    import files.sparkSession.implicits._
+    files.filter(_.kind == "image").mapPartitions { it =>
+      val dec = mkDecoder() // per-partition init, reused across rows
+      it.map(f => dec.decodeImage(f.content).copy(path = f.path))
+    }
+  }
+
+  /** Nearest-neighbor resize on the decoded raster — pure Scala, no
+    * codec needed, fully distributed. */
+  def resize(img: DecodedImage, w: Int, h: Int): DecodedImage = {
+    val out = new Array[Byte](w * h * img.channels)
+    var y = 0
+    while (y < h) {
+      val sy = y * img.height / h
+      var x = 0
+      while (x < w) {
+        val sx = x * img.width / w
+        var c = 0
+        while (c < img.channels) {
+          out((y * w + x) * img.channels + c) =
+            img.pixels((sy * img.width + sx) * img.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(img.path, w, h, img.channels, out)
+  }
+
+  /** Feature extraction: fixed-size mean-pool embedding per image
+    * (resize to 8x8, mean per cell across channels) — deterministic,
+    * the plumbing twin of a CNN/CLIP embed stage. */
+  def featurize(images: Dataset[DecodedImage], dim: Int = 64)
+      : Dataset[MediaFeatures] = {
+    import images.sparkSession.implicits._
+    val side = math.sqrt(dim.toDouble).toInt
+    images.map { img =>
+      val small = resize(img, side, side)
+      val emb = Array.tabulate(side * side) { i =>
+        var s = 0.0f
+        var c = 0
+        while (c < small.channels) {
+          s += small.pixels(i * small.channels + c).toFloat
+          c += 1
+        }
+        s / small.channels / 128.0f
+      }
+      MediaFeatures(img.path, "image", img.width, img.height, emb)
+    }
+  }
+
+  /** Frame sampling for video: every nth frame via flatMap — one input
+    * row fans out to its sampled frames, preserving distribution. */
+  def sampleFrames(files: Dataset[MediaFile], everyN: Int,
+      mkDecoder: () => MediaDecoder = () => FakeDecoder)
+      : Dataset[VideoFrame] = {
+    import files.sparkSession.implicits._
+    files.filter(_.kind == "video").mapPartitions { it =>
+      val dec = mkDecoder()
+      it.flatMap { f =>
+        val n = dec.frameCount(f.content)
+        (0 until n by everyN).iterator.map(i =>
+          VideoFrame(f.path, i, dec.decodeFrame(f.content, i)))
+      }
+    }
+  }
+}

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.12): the reference's
+  * incremental idioms (append-mode CSV accumulation, per-file isolation)
+  * re-expressed as streaming plans, plus the event-time operators a
+  * production pipeline needs — watermarked tumbling windows, streaming
+  * dedup, stateful sessionization, and a foreachBatch sink that runs
+  * the batch transform chain incrementally.
+  *
+  * Everything here shares plan shapes with the batch EventsSuite
+  * (e01/e02): same aggregation, same session semantics — batch is the
+  * oracle-checkable twin of each streaming op.
+  */
+object EventStreams {
+
+  /** events table schema (TESTDATA.md), explicit for the file source. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event files — the streaming
+    * twin of the reference's append-mode CSV accumulation
+    * (`tests/test_products_scraping.py:44-49`). */
+  def fromFiles(spark: SparkSession, path: String,
+      format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventSchema).format(format).load(path)
+
+  /** Watermarked tumbling-window aggregation (streaming twin of e01):
+    * counts + sums per (window, event_type). */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("event_type"),
+        col("cnt"), col("total"))
+
+  /** Streaming dedup by key within the watermark horizon (D2 as a
+    * stream; state is bounded by the watermark). */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours")
+      : DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class SessionEvent(
+      user_id: Long, ts: Timestamp, event_id: Long)
+  final case class SessionState(
+      sessionSeq: Long, startMs: Long, lastMs: Long, n: Long)
+  final case class Session(
+      user_id: Long, session_seq: Long, n_events: Long,
+      sess_start: Timestamp, sess_end: Timestamp)
+
+  /** Stateful sessionization with an inactivity gap — the streaming
+    * twin of e02, via flatMapGroupsWithState (KeyValueGroupedDataset
+    * custom state, SURVEY.md §2.12). Emits a session when a gap closes
+    * it or on event-time timeout. State per user is O(1). */
+  def sessionize(events: DataFrame, gapMinutes: Long = 30,
+      watermark: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def flush(userId: Long, st: SessionState): Session =
+      Session(userId, st.sessionSeq, st.n,
+        new Timestamp(st.startMs), new Timestamp(st.lastMs))
+
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed the open session: emit and clear
+            val out = state.getOption.map(flush(userId, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(st) if t - st.lastMs <= gapMs =>
+                  Some(st.copy(lastMs = math.max(st.lastMs, t), n = st.n + 1))
+                case Some(st) =>
+                  closed += flush(userId, st)
+                  Some(SessionState(st.sessionSeq + 1, t, t, 1))
+                case None =>
+                  Some(SessionState(1, t, t, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** foreachBatch sink running an arbitrary batch transform per
+    * micro-batch and appending parquet — the incremental form of the
+    * reference's transform chain (`pipeline.py` + append CSV). */
+  def transformSink(events: DataFrame, transform: DataFrame => DataFrame,
+      outPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        transform(batch).write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+
+  /** Stage the sf0.001 events table as a file-source dir (2 chunks to
+    * exercise multi-file discovery). */
+  private lazy val srcDir: String = {
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // chunks split on event time, as a real ingest would arrive — the
+    // watermark then advances monotonically across micro-batches
+    val mid = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head().getLong(0)
+    ev.filter(unix_micros(col("ts")) < mid).write.mode("append").parquet(dir)
+    ev.filter(unix_micros(col("ts")) >= mid).write.mode("append").parquet(dir)
+    dir
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame,
+      name: String, mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("windowed agg over a file stream matches the batch plan") {
+    val stream = EventStreams.fromFiles(spark, srcDir)
+    runToMemory(EventStreams.windowedAgg(stream), "win_agg", "append")
+    val streamed = spark.table("win_agg")
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    val batch = spark.read.parquet(srcDir).count()
+    // watermark may hold back the final (incomplete) window in append
+    // mode; everything emitted must agree with batch totals per window
+    val batchWin = spark.read.parquet(srcDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"))
+    val joined = spark.table("win_agg")
+      .join(batchWin, Seq("win_start", "event_type"), "left")
+      .filter(spark.table("win_agg")("cnt") =!= batchWin("cnt"))
+    assert(joined.count() == 0, "streamed window disagrees with batch")
+    assert(streamed > 0 && streamed <= batch)
+  }
+
+  test("streaming dedup drops within-watermark duplicate keys") {
+    // duplicate every event by unioning the source with itself
+    val dir = Files.createTempDirectory("graft_stream_dup").toString
+    val ev = spark.read.parquet(srcDir)
+    ev.write.mode("append").parquet(dir)
+    ev.write.mode("append").parquet(dir)
+    val stream = EventStreams.fromFiles(spark, dir)
+    runToMemory(EventStreams.dedupStream(stream), "dedup_out", "append")
+    val n = spark.table("dedup_out").count()
+    assert(n == ev.count(), s"expected ${ev.count()} distinct, got $n")
+  }
+
+  test("stateful sessionization emits gap-closed sessions that match batch") {
+    val stream = EventStreams.fromFiles(spark, srcDir)
+    runToMemory(EventStreams.sessionize(stream).toDF(), "sessions", "append")
+    val streamed = spark.table("sessions")
+    // batch twin (e02 logic): closed sessions only (max ts per user is
+    // the open session, never emitted without timeout)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = spark.read.parquet(srcDir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum("new_sess").over(w))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"), max("ts").as("sess_end"))
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max("session_seq").as("session_seq"))
+    val closedBatch = batch.join(lastPerUser,
+      Seq("user_id", "session_seq"), "left_anti")
+    // every streamed session must exactly match the batch session with
+    // the same (user, seq): gap-closed sessions always stream; sessions
+    // closed by event-time timeout may stream too — both must agree
+    val mismatches = streamed
+      .join(batch, Seq("user_id", "session_seq"), "left")
+      .filter(batch("n_events").isNull ||
+        streamed("n_events") =!= batch("n_events"))
+    assert(mismatches.count() == 0)
+    assert(streamed.count() >= closedBatch.count())
+  }
+
+  test("foreachBatch transform sink appends transformed micro-batches") {
+    val out = Files.createTempDirectory("graft_stream_out").toString + "/o"
+    val cp = Files.createTempDirectory("graft_stream_cp").toString
+    val stream = EventStreams.fromFiles(spark, srcDir)
+    val q = EventStreams.transformSink(stream,
+      b => b.filter(col("event_type") === "purchase")
+        .withColumn("v2", col("value") * 2),
+      out, cp)
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    val want = spark.read.parquet(srcDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(got.count() == want)
+    assert(got.columns.contains("v2"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational combinators — the operator families of SURVEY.md §2 as a
+  * reusable library API (the suites in graft.queries are the
+  * oracle-checked instantiations of these shapes).
+  */
+object Ops {
+
+  /** Deterministic keep-first dedup (D1/W3; pandas
+    * `drop_duplicates(keep='first')`): one shuffle on the dedup key,
+    * explicit total order, no global sort. */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String],
+      orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Per-group top-k (generalized O1): partitioned window, never a
+    * global sort; ties broken by the caller's order columns. */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[String],
+      orderBy: Seq[Column], k: Int, rankCol: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
+  }
+
+  /** Union across drifting schemas (U1; staging headers drift in column
+    * order in the reference — positional union is wrong). */
+  def unionByNameAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Skew-resistant equi-join of a large, skewed left side against a
+    * small-but-not-broadcastable right side: the left salts each row
+    * into one of `saltN` buckets; the right is replicated saltN times;
+    * the join key becomes (key, salt) — hot keys spread over saltN
+    * reducers. Use when AQE's skew handling isn't enough (e.g. one key
+    * is >> a partition). Result equals a plain inner join. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltN: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(saltN)))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltN - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Except-by-key (D4 parent-URL removal shape): rows of `df` whose
+    * key does not appear in `except`. */
+  def exceptByKey(df: DataFrame, except: DataFrame, key: String): DataFrame =
+    df.join(except.select(col(key)).distinct(), Seq(key), "left_anti")
+
+  /** Rows whose full tuple repeats (D3 duplicate *detection*). */
+  def duplicateRows(df: DataFrame): DataFrame = {
+    val cols = df.columns.map(col).toSeq
+    df.groupBy(cols: _*).agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+  }
+
+  /** Dense sequential 1-based ids at fact scale (A2/W2) — delegates to
+    * the zipWithIndex path (no single-partition window). */
+  def withDenseId(df: DataFrame, idCol: String,
+      sortCols: Seq[String]): DataFrame =
+    graft.etl.Normalize.zipWithIndexId(df.sort(sortCols.map(col): _*), idCol)
+}

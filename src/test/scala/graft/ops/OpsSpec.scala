@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupKeepFirst keeps the row that sorts first per key") {
+    val df = Seq(("a", 2, "second"), ("a", 1, "first"), ("b", 9, "only"))
+      .toDF("k", "ord", "tag")
+    val out = Ops.dedupKeepFirst(df, Seq("k"), Seq(col("ord")))
+      .select("k", "tag").as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "first", "b" -> "only"))
+  }
+
+  test("topKPerGroup returns k ranked rows per group") {
+    val df = (1 to 20).map(i => (i % 2, i)).toDF("g", "v")
+    val out = Ops.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 3)
+    assert(out.count() == 6)
+    assert(out.filter($"g" === 0).select("v").as[Int].collect().sorted
+      .toSeq == Seq(16, 18, 20))
+  }
+
+  test("unionByNameAll tolerates column order and missing columns") {
+    val a = Seq((1, "x")).toDF("id", "name")
+    val b = Seq(("y", 2)).toDF("name", "id")
+    val c = Seq(3).toDF("id")
+    val out = Ops.unionByNameAll(Seq(a, b, c)).orderBy("id").collect()
+    assert(out.map(_.getAs[Int]("id")).toSeq == Seq(1, 2, 3))
+    assert(out(1).getAs[String]("name") == "y")
+    assert(out(2).isNullAt(out(2).fieldIndex("name")))
+  }
+
+  test("saltedJoin equals plain inner join under heavy skew") {
+    // 10k rows, 90% on one hot key
+    val left = spark.range(10000)
+      .select(when($"id" % 10 === 0, $"id" % 7).otherwise(0L).as("k"),
+        $"id".as("v"))
+    val right = (0L to 6L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).agg(count(lit(1)), sum("v"))
+      .as[(Long, Long)].head()
+    val salted = Ops.saltedJoin(left, right, "k", saltN = 8)
+      .agg(count(lit(1)), sum("v")).as[(Long, Long)].head()
+    assert(salted == plain)
+  }
+
+  test("exceptByKey removes keyed rows") {
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val minus = Seq(2).toDF("id")
+    assert(Ops.exceptByKey(df, minus, "id").select("id").as[Int]
+      .collect().sorted.toSeq == Seq(1, 3))
+  }
+
+  test("duplicateRows finds only repeating tuples") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 1)).toDF("x", "y")
+    val dups = Ops.duplicateRows(df).collect()
+    assert(dups.length == 1)
+    assert(dups(0).getAs[String]("x") == "a" &&
+      dups(0).getAs[Int]("y") == 1 && dups(0).getAs[Long]("dup_count") == 2)
+  }
+
+  test("withDenseId assigns 1..N in sort order") {
+    val df = Seq("c", "a", "b").toDF("v")
+    val out = Ops.withDenseId(df, "id", Seq("v"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan shape checks — the scale-readiness criteria from
+  * SURVEY.md §4 asserted against the actual executed plans: filters and
+  * projections reach the parquet scan, small dims broadcast, global
+  * top-k plans as TakeOrderedAndProject (no full sort), and hot
+  * expression paths stay inside WholeStageCodegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // finalize AQE so codegen / join choices are visible
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and column pruning push into the parquet scan (r02)") {
+    val p = plan("r02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_quantity)") ||
+      p.contains("GreaterThanOrEqual(l_quantity"), p)
+    // projection pruning: the read schema must not include unused
+    // money columns like l_comment
+    assert(!p.contains("l_comment"), "scan reads unused columns")
+  }
+
+  test("small dims join as BroadcastHashJoin (r07)") {
+    val p = plan("r07_dim_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to SMJ")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (r14)") {
+    val p = plan("r14_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("anti/semi joins choose hash strategies, not cartesian (r06/r09)") {
+    assert(!plan("r06_anti_join").contains("CartesianProduct"))
+    assert(!plan("r09_semi_join").contains("CartesianProduct"))
+  }
+
+  test("codegen kNN keeps the distance loop in WholeStageCodegen (x02)") {
+    val p = plan("x02_knn_codegen")
+    // `*(n)` prefixes mark WholeStageCodegen spans in simpleString —
+    // the projection computing the distance must carry one
+    val fused = """\*\(\d+\) Project \[[^\n]*graft_l2_distance""".r
+    assert(fused.findFirstIn(p).isDefined, p)
+  }
+
+  test("the flagship entry broadcasts its dim and aggregates partially") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+}

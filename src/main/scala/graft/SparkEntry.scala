@@ -15,7 +15,7 @@ import graft.queries._
 object SparkEntry {
 
   private val suites: Seq[QuerySuite] = Seq(
-    RelationalSuite, FunctionsSuite, EventsSuite, WindowSuite,
+    RelationalSuite, JoinsSuite, FunctionsSuite, EventsSuite, WindowSuite,
     VectorSuite, DedupSuite, TextSuite, BenchSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.suite)

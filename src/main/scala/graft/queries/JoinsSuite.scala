@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{GraftQuery, QuerySuite, Tables}
+
+/** Multi-join analytical shapes + set operations — the fact-scale
+  * workloads that stress join planning at 100 TB (TPC-H-shaped, since
+  * the test tables are TPC-H-ish). AQE picks broadcast vs shuffle per
+  * runtime stats; dims are hinted broadcast explicitly.
+  */
+object JoinsSuite extends QuerySuite {
+  import Det._
+
+  /** j01 — shipping-priority shape (TPC-H Q3): 3-way join, grouped
+    * exact revenue, top-10 with total tiebreak. */
+  private val j01 = GraftQuery(
+    "j01_shipping_priority",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(o("o_orderkey"), o("o_orderdate"))
+        .agg(sum(dec2(l("l_extendedprice")) *
+          (lit(1).cast("decimal(4,2)") - l("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("revenue"), col("o_orderdate"))
+    },
+    Some("""SELECT o_orderkey,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        AS DOUBLE) AS revenue,
+      o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
+
+  /** j02 — local-supplier-volume shape (TPC-H Q5): 6-way join through
+    * two dim chains, exact revenue per nation. */
+  private val j02 = GraftQuery(
+    "j02_local_supplier_volume",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      val sup = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"))
+        .agg(sum(dec2(l("l_extendedprice")) *
+          (lit(1).cast("decimal(4,2)") - l("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+    },
+    Some("""SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name"""))
+
+  /** j03 — large-order customers (TPC-H Q18 shape): aggregate →
+    * semi-join back to the fact via the aggregate result. */
+  private val j03 = GraftQuery(
+    "j03_large_orders",
+    (s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val big = l.groupBy("l_orderkey")
+        .agg(sumDec(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("total_qty"))
+    },
+    Some(s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+    FROM orders
+    JOIN (SELECT l_orderkey, ${sqlSumDec("l_quantity")} AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
+      ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey"""))
+
+  /** j04 — INTERSECT (SURVEY §2.8 "free in Spark"): nations having
+    * both customers and suppliers with high balances. */
+  private val j04 = GraftQuery(
+    "j04_intersect",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("nationkey"))
+      val sup = Tables(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+        .select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup)
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000"""))
+
+  /** j05 — EXCEPT: part sizes that appear in inventory but never in a
+    * large order line. */
+  private val j05 = GraftQuery(
+    "j05_except",
+    (s, dir) => {
+      val p = Tables(s, dir, "part").select(col("p_size").as("size"))
+      val ordered = Tables(s, dir, "part")
+        .join(Tables(s, dir, "lineitem").filter(col("l_quantity") >= 30),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_size").as("size"))
+      p.except(ordered)
+    },
+    Some("""SELECT p_size AS size FROM part
+    EXCEPT
+    SELECT p_size FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE l_quantity >= 30"""))
+
+  /** j06 — correlated-existence shape (TPC-H Q4-ish): orders with at
+    * least one lineitem shipped >90 days after order date, per
+    * priority (this schema has no commitdate - slow-ship stands in). */
+  private val j06 = GraftQuery(
+    "j06_order_priority_check",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY 1"""))
+
+  override val suite: Seq[GraftQuery] = Seq(j01, j02, j03, j04, j05, j06)
+}

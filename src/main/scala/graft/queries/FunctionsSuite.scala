@@ -288,6 +288,28 @@ object FunctionsSuite extends QuerySuite {
         .select(col("doc_id"), md5(col("text")).as("text_md5")),
     Some("SELECT doc_id, md5(text) AS text_md5 FROM documents"))
 
+  /** f15 — exact median + arg-min/max aggregates (SURVEY §2.5 family
+    * extension): median of an integer-valued measure is exactly
+    * representable in both engines ((a+b)/2 on ints); arg-extrema are
+    * keyed on the unique partkey so ties cannot occur. */
+  private val f15 = GraftQuery(
+    "f15_median_argmin",
+    (s, dir) =>
+      Tables(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(
+          expr("percentile(p_size, 0.5)").as("median_size"),
+          min_by(col("p_name"), col("p_partkey")).as("first_part"),
+          max_by(col("p_name"), col("p_partkey")).as("last_part"),
+          count(lit(1)).as("cnt")),
+    Some("""SELECT p_brand,
+      quantile_cont(CAST(p_size AS DOUBLE), 0.5) AS median_size,
+      arg_min(p_name, p_partkey) AS first_part,
+      arg_max(p_name, p_partkey) AS last_part,
+      COUNT(*) AS cnt
+    FROM part GROUP BY 1"""))
+
   override val suite: Seq[GraftQuery] = Seq(
-    f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13, f14)
+    f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13, f14,
+    f15)
 }

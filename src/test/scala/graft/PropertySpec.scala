@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.Ops
+
+/** Property-based invariants (SURVEY.md §5.2): dedup idempotence,
+  * explode/implode round-trips, JSON round-trips, union counts, id
+  * density — checked over generated data, not fixtures. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Seeded sampling stand-in for forAll (no scalatest-scalacheck
+    * bridge in the offline cache): n deterministic draws per property. */
+  private def forAll[A](gen: Gen[A], n: Int = 8)(f: A => Unit): Unit =
+    (1 to n).foreach(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f))
+
+  private def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private val rows = Gen.listOfN(60,
+    Gen.zip(Gen.choose(0, 9), Gen.choose(0, 5), Gen.alphaNumStr.map(_.take(8))))
+
+  test("dedupKeepFirst is idempotent and keeps one row per key") {
+    forAll(rows) { data =>
+      whenever(data.nonEmpty) {
+        val df = data.toDF("k", "ord", "v")
+        val once = Ops.dedupKeepFirst(df, Seq("k"), Seq(col("ord"), col("v")))
+        val twice = Ops.dedupKeepFirst(once, Seq("k"), Seq(col("ord"), col("v")))
+        val keys = df.select("k").distinct().count()
+        assert(once.count() == keys)
+        assert(twice.count() == keys)
+      }
+    }
+  }
+
+  test("split/explode and collect/join round-trip token sequences") {
+    forAll(Gen.listOfN(20, Gen.nonEmptyListOf(Gen.identifier.map(_.take(6))))) {
+      texts =>
+        val df = texts.zipWithIndex
+          .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+          .toDF("id", "text")
+        val back = df
+          .select(col("id"), posexplode(split(col("text"), " "))
+            .as(Seq("pos", "tok")))
+          .groupBy("id")
+          .agg(array_join(array_sort(
+            collect_list(struct(col("pos"), col("tok")))).getField("tok"),
+            " ").as("text2"))
+          .join(df, "id")
+          .filter(col("text") =!= col("text2"))
+        assert(back.count() == 0)
+    }
+  }
+
+  test("to_json/from_json round-trips structured rows") {
+    forAll(Gen.listOfN(20,
+      Gen.zip(Gen.choose(0L, 1000L), Gen.identifier.map(_.take(8))))) { data =>
+      whenever(data.nonEmpty) {
+        val df = data.toDF("n", "s")
+        val rt = df
+          .withColumn("j", to_json(struct(col("n"), col("s"))))
+          .withColumn("back", from_json(col("j"),
+            org.apache.spark.sql.types.DataType.fromDDL("n BIGINT, s STRING")))
+          .filter(col("back.n") =!= col("n") || col("back.s") =!= col("s"))
+        assert(rt.count() == 0)
+      }
+    }
+  }
+
+  test("unionByNameAll preserves total row count") {
+    forAll(Gen.choose(1, 4), Gen.choose(1, 30)) { (parts, per) =>
+      val dfs = (0 until parts).map(p =>
+        (0 until per).map(i => (p, i)).toDF("p", "i"))
+      assert(Ops.unionByNameAll(dfs).count() == parts.toLong * per)
+    }
+  }
+
+  test("withDenseId yields a dense 1..N permutation at any partitioning") {
+    forAll(Gen.choose(1, 200), Gen.choose(1, 8)) { (n, parts) =>
+      val ids = Ops.withDenseId(
+        spark.range(n.toLong).toDF("x").repartition(parts), "id", Seq("x"))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids == (1L to n))
+    }
+  }
+}

@@ -73,28 +73,40 @@ object Normalize {
         now.as("created_at"), now.as("updated_at"))
   }
 
-  /** The product_images child (ref `seperate_tables.py:81-106,164-179`):
-    * pipe-delimited parallel url/name lists exploded via arrays_zip,
-    * empty names defaulted to the product name, FK via broadcast join
-    * on product_code. */
+  /** The product_images child — reference-exact semantics
+    * (ref `seperate_tables.py:81-106,164-179`, verified golden against
+    * `data/processed/product_images.csv`):
+    *  - when BOTH url and name contain '|': zip the two lists
+    *    *truncated to the shorter* (python zip), trimming urls, blank
+    *    names defaulting to the product name;
+    *  - otherwise: exactly one row with the raw url (even when empty)
+    *    and name-or-product-name;
+    *  - FK resolution keeps the LAST product_id per product_code
+    *    (the reference's dict overwrite, `:143`). */
   def images(staged: DataFrame, prods: DataFrame, now: Column): DataFrame = {
+    val u = col("product_image_url")
+    val n = coalesce(col("product_image_name"), lit(""))
+    val uparts = split(u, "\\|")
+    val nparts = split(n, "\\|")
+    val k = least(size(uparts), size(nparts))
+    val both = u.contains("|") && n.contains("|")
+    val entries = when(both,
+      transform(sequence(lit(1), k), i => struct(
+        trim(element_at(uparts, i)).as("url"),
+        trim(element_at(nparts, i)).as("name"))))
+      .otherwise(array(struct(u.as("url"), n.as("name"))))
     val exploded = staged
       .select(col("product_code"), col("product_name"),
-        explode_outer(arrays_zip(
-          split(col("product_image_url"), "\\|").as("url"),
-          split(coalesce(col("product_image_name"), lit("")), "\\|")
-            .as("name"))).as("img"))
+        explode(entries).as("img"))
       .select(
         col("product_code"),
-        trim(col("img.url")).as("product_image_url"),
-        when(trim(col("img.name")) === "" || col("img.name").isNull,
-          col("product_name")).otherwise(trim(col("img.name")))
+        col("img.url").as("product_image_url"),
+        when(col("img.name") === "" || col("img.name").isNull,
+          col("product_name")).otherwise(col("img.name"))
           .as("product_image_name"))
-      .filter(col("product_image_url").isNotNull &&
-        col("product_image_url") =!= "")
-    val withFk = exploded
-      .join(broadcast(prods.select("product_id", "product_code")),
-        Seq("product_code"))
+    val fk = prods.groupBy("product_code")
+      .agg(max("product_id").as("product_id")) // last-wins per code
+    val withFk = exploded.join(broadcast(fk), Seq("product_code"))
     zipWithIndexId(withFk.sort("product_code", "product_image_url"),
       "product_image_url_id")
       .select(

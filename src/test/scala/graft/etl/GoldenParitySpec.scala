@@ -80,6 +80,41 @@ class GoldenParitySpec extends SparkSpec {
     }
   }
 
+  /** Code-parity golden for the categorizer: the fixture
+    * `ref_categorizer_golden.csv` is the output of the reference's
+    * *actual* `standardize_category` run over its deduped raw rows
+    * (the staging fixtures predate the current mapping — they were
+    * produced by the deleted NLP experiment, SURVEY §0 — so code
+    * output, not stale fixtures, is the golden). Our implementation
+    * must agree everywhere except the two documented reference bugs we
+    * deliberately fix (SURVEY §7.5):
+    *  1. fused-entry: implicit string concat merges two Cakes variants
+    *     into one garbage entry — we match them exactly;
+    *  2. char-class-regex: bare-string mapping values ('Bingsu',
+    *     'Topping thêm') iterate as characters, so the reference's
+    *     fallback regex is `B|i|n|g|s|u` (matches almost any name) —
+    *     ours matches the whole word. */
+  test("categorizer agrees with the reference code modulo documented bugs") {
+    whenRef {
+      val golden = spark.read.option("header", true)
+        .csv(getClass.getResource("/ref_categorizer_golden.csv").getPath)
+      val out = golden
+        .withColumn("cat", Categorizer.standardize(
+          col("original_category"), col("product_name")))
+      assert(out.count() == 520)
+      val fusedVariants = Seq("bánh flan gato", "gato cắt miếng/cupcake")
+      val disagreements = out.filter(col("cat") =!= col("ref_cat"))
+      val unexplained = disagreements.filter(
+        !lower(trim(col("original_category"))).isin(fusedVariants: _*) &&
+          !col("ref_cat").isin("Bingsu", "Topping thêm"))
+      assert(unexplained.count() == 0,
+        unexplained.collect().take(5).mkString("; "))
+      // and the deviation surface stays small + pinned
+      assert(disagreements.count() == 35)
+      assert(out.filter(col("cat") === col("ref_cat")).count() == 485)
+    }
+  }
+
   test("images: exactly the reference's 1572 (code, url, name) rows") {
     whenRef {
       val codeOf = out.products.select("product_id", "product_code")

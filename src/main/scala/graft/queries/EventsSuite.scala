@@ -168,5 +168,79 @@ object EventsSuite extends QuerySuite {
         AS converted
     FROM events GROUP BY 1"""))
 
-  override val suite: Seq[GraftQuery] = Seq(e01, e02, e03, e04, e05, e06, e07)
+  /** e08 — AS-OF join (an operator Spark lacks; composed per SURVEY
+    * §7.4 preference (a)): for every purchase, the most recent
+    * same-user event at-or-before it from the signup stream. The
+    * composition is the scalable union+carry-forward shape: tag both
+    * streams, union, one window per user ordered by (ts, side) with
+    * `last(_, ignoreNulls)` carrying the right side forward — ONE
+    * shuffle on user_id, no per-row probing, no range explosion.
+    * Oracle: DuckDB's native ASOF LEFT JOIN. */
+  private val e08 = GraftQuery(
+    "e08_asof_join",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val left = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(1).as("is_l"),
+          lit(null).cast("long").as("r_event_id"),
+          lit(null).cast("timestamp").as("r_ts"))
+      val right = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0).as("is_l"),
+          col("event_id").as("r_event_id"), col("ts").as("r_ts"))
+      // right rows sort before left rows at equal ts → inclusive asof
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_l"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      left.unionByName(right)
+        .withColumn("m_event_id",
+          last("r_event_id", ignoreNulls = true).over(w))
+        .withColumn("m_ts", last("r_ts", ignoreNulls = true).over(w))
+        .filter(col("is_l") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("m_event_id"), col("m_ts"))
+    },
+    Some("""SELECT l.user_id, l.event_id, l.ts,
+      r.event_id AS m_event_id, r.ts AS m_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts"""))
+
+  /** e09 — range (interval) join via time-bucketing (the 100 TB shape
+    * for inequality joins): ordered same-user event pairs within 60
+    * seconds. The left side probes its own and the next 60 s bucket, so
+    * the join is equi on (user, bucket) — skew-bounded, no cartesian —
+    * and the exact interval predicate filters after. The oracle is the
+    * naive inequality join, proving the composition exact. */
+  private val e09 = GraftQuery(
+    "e09_range_join",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val bucket = expr("us div 60000000L") // integer division — exact
+      val left = ev
+        .withColumn("probe_bucket",
+          explode(array(bucket, bucket + 1)))
+        .select(col("user_id"), col("event_id").as("a_id"),
+          col("us").as("a_us"), col("probe_bucket"))
+      val right = ev
+        .select(col("user_id"), col("event_id").as("b_id"),
+          col("us").as("b_us"), bucket.as("probe_bucket"))
+      left.join(right, Seq("user_id", "probe_bucket"))
+        .filter(col("b_us") > col("a_us") &&
+          col("b_us") - col("a_us") <= 60000000L)
+        .select("user_id", "a_id", "b_id")
+        .distinct()
+    },
+    Some("""SELECT DISTINCT a.user_id, a.event_id AS a_id,
+      b.event_id AS b_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000"""))
+
+  override val suite: Seq[GraftQuery] =
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
 }

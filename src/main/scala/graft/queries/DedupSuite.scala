@@ -306,5 +306,45 @@ object DedupSuite extends QuerySuite {
       ON x.block = y.block AND x.doc_id < y.doc_id
     WHERE hamming <= 6"""))
 
-  override val suite: Seq[GraftQuery] = Seq(d01, d02, d03, d04, d05, d06)
+  /** d07 — edit-distance verification of LSH candidates (the char-level
+    * near-dup verifier alongside d04's token-level Jaccard): exact
+    * Levenshtein + normalized similarity, candidates only. */
+  private val d07 = GraftQuery(
+    "d07_edit_distance",
+    (s, dir) => {
+      val texts = Tables(s, dir, "documents").select("doc_id", "text")
+      val b = bandsCached(s, dir)
+      val l = b.select(col("band").as("l_band"), col("bkey").as("l_bkey"),
+        col("doc_id").as("a_id"))
+      val r = b.select(col("band").as("r_band"), col("bkey").as("r_bkey"),
+        col("doc_id").as("b_id"))
+      val cand = l.join(r, col("l_band") === col("r_band") &&
+          col("l_bkey") === col("r_bkey") && col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      cand
+        .join(texts.select(col("doc_id").as("a_id"), col("text").as("ta")),
+          "a_id")
+        .join(texts.select(col("doc_id").as("b_id"), col("text").as("tb")),
+          "b_id")
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+          (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb"))).cast("double"))
+            .as("sim"))
+    },
+    Some(s"""WITH $sigSql, $bandsSql,
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+    SELECT c.a_id, c.b_id,
+      CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+      1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+        CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) AS sim
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.a_id
+    JOIN documents db ON db.doc_id = c.b_id"""))
+
+  override val suite: Seq[GraftQuery] =
+    Seq(d01, d02, d03, d04, d05, d06, d07)
 }

@@ -309,7 +309,39 @@ object FunctionsSuite extends QuerySuite {
       COUNT(*) AS cnt
     FROM part GROUP BY 1"""))
 
+  /** f16 — collection algebra (array union/intersect/except over token
+    * halves) + map construction. Results sorted in both engines since
+    * DuckDB's list_intersect has no order guarantee. */
+  private val f16 = GraftQuery(
+    "f16_collections",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val half = floor(size(toks) / 2).cast("int")
+      val a = array_distinct(slice(toks, lit(1), half))
+      val b = array_distinct(slice(toks, half + 1, size(toks)))
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          array_sort(array_union(a, b)).as("union_toks"),
+          array_sort(array_intersect(a, b)).as("common_toks"),
+          array_sort(array_except(a, b)).as("first_half_only"),
+          map_keys(map(lit("lang"), col("lang"), lit("source"),
+            col("source"))).as("meta_keys"))
+    },
+    Some("""SELECT doc_id,
+      list_sort(list_distinct(list_concat(a, b))) AS union_toks,
+      list_sort(list_intersect(a, b)) AS common_toks,
+      list_sort(list_filter(a, x -> NOT list_contains(b, x)))
+        AS first_half_only,
+      map_keys(map{'lang': lang, 'source': source}) AS meta_keys
+    FROM (SELECT doc_id, lang, source,
+        list_distinct(list_slice(string_split(text,' '), 1, half)) AS a,
+        list_distinct(list_slice(string_split(text,' '), half+1,
+          len(string_split(text,' ')))) AS b
+      FROM (SELECT *, CAST(len(string_split(text,' ')) // 2 AS INTEGER)
+              AS half FROM documents))"""))
+
   override val suite: Seq[GraftQuery] = Seq(
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13, f14,
-    f15)
+    f15, f16)
 }

@@ -159,5 +159,33 @@ object JoinsSuite extends QuerySuite {
         AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
     GROUP BY 1"""))
 
-  override val suite: Seq[GraftQuery] = Seq(j01, j02, j03, j04, j05, j06)
+  /** j07 — explicit GROUPING SETS over region/nation (completes the
+    * rollup family of r16; SQL surface in both engines — the DataFrame
+    * rollup path trips Spark's ambiguous-self-join check, see r16). */
+  private val j07 = GraftQuery(
+    "j07_grouping_sets",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .createOrReplaceTempView("graft_j07_src")
+      s.sql("""SELECT COALESCE(r_name, 'ALL') AS r_name,
+          COALESCE(n_name, 'ALL') AS n_name, COUNT(*) AS cnt,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        FROM graft_j07_src
+        GROUP BY GROUPING SETS ((r_name), (n_name), (r_name, n_name), ())""")
+    },
+    Some("""SELECT COALESCE(r_name, 'ALL') AS r_name,
+      COALESCE(n_name, 'ALL') AS n_name, COUNT(*) AS cnt,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), (r_name, n_name), ())"""))
+
+  override val suite: Seq[GraftQuery] =
+    Seq(j01, j02, j03, j04, j05, j06, j07)
 }

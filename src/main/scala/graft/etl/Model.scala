@@ -59,4 +59,5 @@ final case class ProductDoc(
     product_overall_stars: Double,
     product_total_ratings: Int,
     product_total_orders: Int,
-    product_stock_quantity: Int)
+    product_stock_quantity: Int,
+    product_currency: String = "")

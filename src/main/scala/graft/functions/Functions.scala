@@ -25,10 +25,15 @@ object TextOps {
   def md5Long32(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
-  /** n-word shingles from a token array: positions 1..size-n+1. */
+  /** n-word shingles from a token array: positions 1..size-n+1. Docs
+    * shorter than n tokens yield an empty array — without the guard,
+    * sequence(1, size-n+1) would descend ([1,0]) and slice would throw
+    * on its 0 start (DuckDB's range(1,0) is empty instead). */
   def shingles(toks: Column, n: Int): Column =
-    transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
 
   /** The i-th MinHash "hash function" applied to one shingle: the base
     * 60-bit hash XOR a salt derived from i (both < 2^60, so the XOR

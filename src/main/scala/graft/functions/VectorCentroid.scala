@@ -31,12 +31,17 @@ object VectorCentroid
 
   override def merge(a: (Array[Double], Long), b: (Array[Double], Long))
       : (Array[Double], Long) = {
-    if (a._1.isEmpty) b
-    else if (b._1.isEmpty) a
+    // counts carry through empty-sum buffers (a partition of only empty
+    // vectors still counted them); ragged inputs fold over the shared
+    // prefix, mirroring reduce's math.min tolerance
+    if (a._1.isEmpty) (b._1, a._2 + b._2)
+    else if (b._1.isEmpty) (a._1, a._2 + b._2)
     else {
+      val (longer, shorter) =
+        if (a._1.length >= b._1.length) (a._1, b._1) else (b._1, a._1)
       var i = 0
-      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
-      (a._1, a._2 + b._2)
+      while (i < shorter.length) { longer(i) += shorter(i); i += 1 }
+      (longer, a._2 + b._2)
     }
   }
 

@@ -54,6 +54,12 @@ object NearDedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"NearDedup.components did not converge in $maxIter rounds — " +
+          "labels are partial; raise maxIter (pointer doubling makes " +
+          "20 rounds cover graphs of diameter ~2^20, so this likely " +
+          "signals a data problem)")
     labels
   }
 

@@ -43,7 +43,7 @@ object EventsSuite extends QuerySuite {
           when(col("prev_ts").isNull ||
             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
             .otherwise(0))
-        .withColumn("session_seq", sum("new_sess").over(w))
+        .withColumn("session_seq", sum("new_sess").over(w).cast("long"))
         .groupBy("user_id", "session_seq")
         .agg(count(lit(1)).as("n_events"),
           min("ts").as("sess_start"),
@@ -58,8 +58,8 @@ object EventsSuite extends QuerySuite {
     SELECT user_id, session_seq, COUNT(*) AS n_events,
       min(ts) AS sess_start, max(ts) AS sess_end
     FROM (SELECT user_id, ts,
-            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-              AS session_seq
+            CAST(sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS BIGINT) AS session_seq
           FROM flagged)
     GROUP BY 1, 2"""))
 

@@ -222,20 +222,25 @@ object FunctionsSuite extends QuerySuite {
 
   /** f11 — array construction + lambdas (F22 size-ladder; ref
     * `generate_mock_data.py:67-79`): price ladder base + i*step via
-    * sequence/transform, exact integer arithmetic. */
+    * sequence/transform, exact integer arithmetic. The ladder is
+    * serialized to a pipe-joined string (the reference's own list
+    * encoding) so the driver's pandas compare can sort/hash the column —
+    * raw array cells are unhashable there. */
   private val f11 = GraftQuery(
     "f11_array_lambda",
     (s, dir) =>
       Tables(s, dir, "part")
         .select(
           col("p_partkey"),
-          transform(sequence(lit(0), lit(2)),
-            i => col("p_size").cast("long") * 1000 + i * 500)
+          array_join(transform(sequence(lit(0), lit(2)),
+            i => (col("p_size").cast("long") * 1000 + i * 500)
+              .cast("string")), "|")
             .as("price_ladder"),
           aggregate(sequence(lit(1), col("p_size").cast("int")),
             lit(0L), (acc, x) => acc + x).as("size_triangle")),
     Some("""SELECT p_partkey,
-      list_transform(range(0,3), i -> CAST(p_size AS BIGINT)*1000 + i*500)
+      array_to_string(list_transform(range(0,3),
+        i -> CAST(CAST(p_size AS BIGINT)*1000 + i*500 AS VARCHAR)), '|')
         AS price_ladder,
       list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, p_size+1)),
         (a, x) -> a + x) AS size_triangle
@@ -310,8 +315,9 @@ object FunctionsSuite extends QuerySuite {
     FROM part GROUP BY 1"""))
 
   /** f16 — collection algebra (array union/intersect/except over token
-    * halves) + map construction. Results sorted in both engines since
-    * DuckDB's list_intersect has no order guarantee. */
+    * halves) + map construction. Results sorted in both engines (DuckDB's
+    * list_intersect has no order guarantee) and serialized to pipe-joined
+    * strings so the driver's pandas compare can sort/hash them. */
   private val f16 = GraftQuery(
     "f16_collections",
     (s, dir) => {
@@ -322,18 +328,22 @@ object FunctionsSuite extends QuerySuite {
       Tables(s, dir, "documents")
         .select(
           col("doc_id"),
-          array_sort(array_union(a, b)).as("union_toks"),
-          array_sort(array_intersect(a, b)).as("common_toks"),
-          array_sort(array_except(a, b)).as("first_half_only"),
-          map_keys(map(lit("lang"), col("lang"), lit("source"),
-            col("source"))).as("meta_keys"))
+          array_join(array_sort(array_union(a, b)), "|").as("union_toks"),
+          array_join(array_sort(array_intersect(a, b)), "|")
+            .as("common_toks"),
+          array_join(array_sort(array_except(a, b)), "|")
+            .as("first_half_only"),
+          array_join(map_keys(map(lit("lang"), col("lang"), lit("source"),
+            col("source"))), "|").as("meta_keys"))
     },
     Some("""SELECT doc_id,
-      list_sort(list_distinct(list_concat(a, b))) AS union_toks,
-      list_sort(list_intersect(a, b)) AS common_toks,
-      list_sort(list_filter(a, x -> NOT list_contains(b, x)))
-        AS first_half_only,
-      map_keys(map{'lang': lang, 'source': source}) AS meta_keys
+      array_to_string(list_sort(list_distinct(list_concat(a, b))), '|')
+        AS union_toks,
+      array_to_string(list_sort(list_intersect(a, b)), '|') AS common_toks,
+      array_to_string(list_sort(list_filter(a,
+        x -> NOT list_contains(b, x))), '|') AS first_half_only,
+      array_to_string(map_keys(map{'lang': lang, 'source': source}), '|')
+        AS meta_keys
     FROM (SELECT doc_id, lang, source,
         list_distinct(list_slice(string_split(text,' '), 1, half)) AS a,
         list_distinct(list_slice(string_split(text,' '), half+1,

@@ -99,7 +99,11 @@ object EventStreams {
               val t = e.ts.getTime
               cur = cur match {
                 case Some(st) if t - st.lastMs <= gapMs =>
-                  Some(st.copy(lastMs = math.max(st.lastMs, t), n = st.n + 1))
+                  // out-of-order in-watermark events may precede the
+                  // session's recorded start — fold the min too, so the
+                  // emitted window matches the batch twin (e02)
+                  Some(st.copy(startMs = math.min(st.startMs, t),
+                    lastMs = math.max(st.lastMs, t), n = st.n + 1))
                 case Some(st) =>
                   closed += flush(userId, st)
                   Some(SessionState(st.sessionSeq + 1, t, t, 1))

@@ -74,6 +74,42 @@ object Pipeline {
       MockData(df, seed, orderKey = "product_name")
     })
 
+  /** Resolve a config-ordered transform list (SURVEY.md §2.1 S5, ref
+    * `pipeline.py:55-85`) against the named standard transforms. The
+    * reference's if/elif dispatch silently skips unknown names; here they
+    * are surfaced as `skipped` stage results instead — per-name, in
+    * config order. `seperate_tables` is recognized but deferred: it is
+    * the normalization fan-out (`Normalize`), which runs after the
+    * row-level chain (see [[endToEndConfig]]). */
+  def chainFromConfig(names: Seq[String], seed: Long)
+      : (Seq[(String, DataFrame => DataFrame)], Seq[StageResult]) = {
+    val registry = standardChain(seed).toMap
+    val resolved = names.flatMap { n =>
+      registry.get(n).map(fn => n -> fn)
+    }
+    val reports = names.collect {
+      case n if !registry.contains(n) && n != "seperate_tables" =>
+        StageResult(n, "skipped", "unknown transform")
+    }
+    (resolved, reports)
+  }
+
+  /** Config-driven end-to-end: YAML transform order drives the chain;
+    * the `seperate_tables` stage (if configured) triggers the normalize
+    * fan-out on the staged result. */
+  def endToEndConfig(spark: SparkSession, cfg: PipelineConfig,
+      rawGlob: String, seed: Long, now: Column)
+      : (DataFrame, Option[Normalize.Outputs], Seq[StageResult]) = {
+    val raw = readRawCsv(spark, rawGlob)
+    val (chain, unknown) = chainFromConfig(cfg.transforms, seed)
+    val (staged, results) = run(raw, chain)
+    val outputs =
+      if (cfg.transforms.contains("seperate_tables"))
+        Some(Normalize(staged, now))
+      else None
+    (staged, outputs, unknown ++ results)
+  }
+
   /** Run the chain with per-stage isolation; failed stages are skipped
     * (their input passes through) and reported, mirroring
     * `pipeline.py:94-110`. */

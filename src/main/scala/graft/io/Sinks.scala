@@ -11,10 +11,10 @@ import org.apache.spark.sql.types.StructType
   * fields, UTF-8); internal stages prefer Parquet (multiLine CSV is not
   * splittable — SURVEY.md §7.5). The JDBC writer reproduces the
   * reference's batched-insert contract (`generate_embeddings.py:277`,
-  * batch 50; `psql_load.sql` bulk load) as configuration — it is
-  * exercised against a live database in deployment, not in this
-  * container (no DB available), so tests cover the CSV/Parquet paths
-  * and the JDBC option-building only.
+  * batch 50; `psql_load.sql` bulk load); SinksSpec exercises it live
+  * against an embedded Derby database (in the Spark classpath) —
+  * write, append, read-back join. Production swaps the url for
+  * Postgres; the writer configuration is identical.
   */
 object Sinks {
 
@@ -70,4 +70,9 @@ object Sinks {
     p.setProperty("fetchsize", batchSize.toString)
     p
   }
+
+  /** S10 — JDBC scan (read-back join source). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      batchSize: Int = 50): DataFrame =
+    spark.read.jdbc(url, table, jdbcProps(batchSize))
 }

@@ -337,11 +337,13 @@ object FunctionsSuite extends QuerySuite {
             col("source"))), "|").as("meta_keys"))
     },
     Some("""SELECT doc_id,
-      array_to_string(list_sort(list_distinct(list_concat(a, b))), '|')
+      COALESCE(array_to_string(
+        list_sort(list_distinct(list_concat(a, b))), '|'), '')
         AS union_toks,
-      array_to_string(list_sort(list_intersect(a, b)), '|') AS common_toks,
-      array_to_string(list_sort(list_filter(a,
-        x -> NOT list_contains(b, x))), '|') AS first_half_only,
+      COALESCE(array_to_string(list_sort(list_intersect(a, b)), '|'), '')
+        AS common_toks,
+      COALESCE(array_to_string(list_sort(list_filter(a,
+        x -> NOT list_contains(b, x))), '|'), '') AS first_half_only,
       array_to_string(map_keys(map{'lang': lang, 'source': source}), '|')
         AS meta_keys
     FROM (SELECT doc_id, lang, source,

@@ -63,6 +63,64 @@ class PipelineSpec extends SparkSpec {
       .contains(""""product_sizes":"Standard""""))
   }
 
+  /** S5: the transform chain comes from a YAML config fixture, in config
+    * order, with unknown names surfaced (ref `utils/etl_config.yml:6-10`
+    * + `pipeline.py:25-37,55-85`). */
+  test("config-driven chain: YAML order drives transforms, unknowns reported") {
+    val dir = Files.createTempDirectory("graft_cfg").toFile
+    val yml =
+      """input_directory: "data/raw"
+        |output_directory: "data/staging"
+        |final_output_directory: "data/processed"
+        |file_pattern: "*.csv"
+        |transforms:
+        |  - standardize_categories
+        |  - frobnicate
+        |  - remove_duplicates
+        |  - generate_mock_data
+        |  - seperate_tables
+        |""".stripMargin
+    val cfgPath = new java.io.File(dir, "etl_config.yml").toPath
+    Files.writeString(cfgPath, yml)
+
+    val cfg = PipelineConfig.load(cfgPath.toString)
+    assert(cfg.filePattern == "*.csv")
+    assert(cfg.transforms == Seq("standardize_categories", "frobnicate",
+      "remove_duplicates", "generate_mock_data", "seperate_tables"))
+
+    val csv =
+      """product_name,product_brand,original_category,product_url,product_image_url,product_image_name,product_description,product_unit_price,product_stock_quantity
+        |Bánh kem dâu,brA,cakes,u1,http://a/1.jpg,front,desc,50000,40
+        |Bánh kem dâu,brA,cakes,u1,http://a/1.jpg,front,dup,50000,40
+        |Trà sữa,brB,tra-sua,u2,http://b/1.jpg,,mô tả,0,10
+        |""".stripMargin
+    Files.writeString(new java.io.File(dir, "p_products.csv").toPath, csv)
+
+    val now = lit("2024-01-01 00:00:00").cast("timestamp")
+    val (staged, outputs, results) = Pipeline.endToEndConfig(
+      spark, cfg, dir.getAbsolutePath + "/*_products.csv", seed = 42,
+      now = now)
+
+    // unknown transform surfaced, known ones ran in config order
+    assert(results.head == Pipeline.StageResult(
+      "frobnicate", "skipped", "unknown transform"))
+    assert(results.filter(_.status == "success").map(_.name) ==
+      Seq("standardize_categories", "remove_duplicates",
+        "generate_mock_data"))
+    // seperate_tables in the config triggered the normalize fan-out
+    assert(outputs.isDefined)
+    assert(staged.count() == 2) // dedup ran
+    assert(outputs.get.products.count() == 2)
+
+    // transforms key absent -> empty chain (pipeline.py:24 dict.get)
+    val bare = PipelineConfig.parse("input_directory: x")
+    assert(bare.transforms.isEmpty)
+    // missing file -> reference defaults (pipeline.py:31-37)
+    val dflt = PipelineConfig.load("/nonexistent/etl_config.yml")
+    assert(dflt.transforms == Seq("standardize_categories",
+      "remove_duplicates", "generate_mock_data"))
+  }
+
   test("stage isolation: a failing stage is reported and skipped") {
     val df = Seq(("a", "b")).toDF("x", "y")
     val chain = Seq[(String, org.apache.spark.sql.DataFrame =>

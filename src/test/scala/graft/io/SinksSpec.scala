@@ -77,4 +77,30 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.jdbcProps().getProperty("fetchsize") == "50")
     assert(w != null)
   }
+
+  /** S8/S9/S10 live: embedded Derby (ships with Spark) stands in for the
+    * reference's Postgres (`psql_load.sql:3-7`) — batched write (120
+    * rows > 2 batches at 50), append accumulation, then the S10
+    * read-back join (`generate_embeddings.py:283-305` idiom). */
+  test("JDBC round-trip: batched write, append, read-back join (Derby)") {
+    val url = "jdbc:derby:memory:graft_sinks;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val df = (1 to 120).map(i => (i, s"name_$i")).toDF("id", "v")
+    Sinks.jdbcWriter(df, "products_t", batchSize = 50)
+      .option("url", url).option("driver", driver).save()
+    Sinks.jdbcWriter(Seq((121, "name_121")).toDF("id", "v"), "products_t")
+      .option("url", url).option("driver", driver).save()
+
+    val back = Sinks.readJdbc(spark, url, "products_t")
+    assert(back.count() == 121)
+    // read-back join against the in-engine frame (S10)
+    val joined = back.join(df, "id")
+      .filter(back("v") === df("v"))
+    assert(joined.count() == 120)
+    // overwrite truncates and replaces
+    Sinks.jdbcWriter(Seq((1, "only")).toDF("id", "v"), "products_t",
+      mode = SaveMode.Overwrite)
+      .option("url", url).option("driver", driver).save()
+    assert(Sinks.readJdbc(spark, url, "products_t").count() == 1)
+  }
 }

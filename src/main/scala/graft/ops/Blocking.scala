@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucket-size guards for blocking-based candidate generation (LSH band
+  * buckets, SimHash blocks — SURVEY.md north-star dedup family).
+  *
+  * Within-bucket pair output is quadratic in bucket size: one degenerate
+  * key (all-empty docs, a boilerplate header shared by millions of pages)
+  * turns a candidates join into an effective cross join at 100 TB — AQE
+  * fixes shuffle skew but not join OUTPUT size. Production blockers
+  * therefore cap bucket membership; buckets over the cap are dropped from
+  * candidate generation and surfaced in a report (never silently).
+  *
+  * The count-filter is one extra aggregation on the same key the
+  * candidates join shuffles on (no new shuffle shape), and the hot-key
+  * set is tiny by construction (at most total/cap buckets exceed the
+  * cap), so the anti-join broadcasts.
+  */
+object Blocking {
+
+  /** Split `blocks` by bucket population: rows in buckets with more than
+    * `maxBucket` members are removed; the second frame reports each
+    * dropped bucket and its size (the caller logs/monitors it). */
+  def capBuckets(blocks: DataFrame, bucketCols: Seq[String], maxBucket: Int)
+      : (DataFrame, DataFrame) = {
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    val keys = bucketCols.map(col)
+    val hot = blocks.groupBy(keys: _*)
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+    val kept = blocks.join(broadcast(hot.select(keys: _*)),
+      bucketCols, "left_anti")
+    (kept, hot)
+  }
+
+  /** Candidate pairs (a_id < b_id, distinct) from a blocks frame of
+    * (idCol, bucketCols...), with the bucket cap applied first. Returns
+    * the pairs and the dropped-bucket report. */
+  def candidatePairs(blocks: DataFrame, idCol: String,
+      bucketCols: Seq[String], maxBucket: Int,
+      carryCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val (kept, hot) = capBuckets(blocks, bucketCols, maxBucket)
+    def side(prefix: String, id: String) =
+      kept.select((bucketCols.map(c => col(c).as(s"$prefix$c")) :+
+        col(idCol).as(id)) ++
+        carryCols.map(c => col(c).as(s"$prefix$c")): _*)
+    val l = side("l_", "a_id")
+    val r = side("r_", "b_id")
+    val cond = bucketCols.map(c => col(s"l_$c") === col(s"r_$c"))
+      .reduce(_ && _) && col("a_id") < col("b_id")
+    val pairs = l.join(r, cond)
+    (pairs, hot)
+  }
+}

@@ -101,6 +101,20 @@ object DedupSuite extends QuerySuite {
   private def bandsCached(s: SparkSession, dir: String): DataFrame =
     bandsDf(s, dir)
 
+  /** Candidate-generation bucket cap (see [[graft.ops.Blocking]]): a
+    * degenerate band/block key must not produce quadratic join output.
+    * 1000 members/bucket bounds a bucket's pair fan-out at ~500k while
+    * staying far above any real near-dup cluster at test SFs (so the
+    * oracle comparison, which has no cap, is unaffected). */
+  private val MaxBucket = 1000
+
+  /** LSH candidate pairs (a_id < b_id, distinct) with the bucket cap —
+    * the single generator behind d03/d04/d07. */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Blocking.candidatePairs(bandsCached(s, dir), "doc_id",
+      Seq("band", "bkey"), MaxBucket)._1
+      .select("a_id", "b_id").distinct()
+
   private def wordsCached(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "words")(
       Tables(s, dir, "documents")
@@ -134,19 +148,11 @@ object DedupSuite extends QuerySuite {
     (s, dir) => sigDf(s, dir),
     Some(s"""WITH $sigSql SELECT doc_id, hash_id, mh FROM sig"""))
 
-  /** d03 — LSH candidate pairs: docs agreeing on any band. */
+  /** d03 — LSH candidate pairs: docs agreeing on any band (bucket-capped
+    * via [[graft.ops.Blocking]]). */
   private val d03 = GraftQuery(
     "d03_lsh_candidates",
-    (s, dir) => {
-      val b = bandsCached(s, dir)
-      val l = b.select(col("band").as("l_band"), col("bkey").as("l_bkey"),
-        col("doc_id").as("a_id"))
-      val r = b.select(col("band").as("r_band"), col("bkey").as("r_bkey"),
-        col("doc_id").as("b_id"))
-      l.join(r, col("l_band") === col("r_band") &&
-          col("l_bkey") === col("r_bkey") && col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-    },
+    (s, dir) => lshCandidates(s, dir),
     Some(s"""WITH $sigSql, $bandsSql
     SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
     FROM bands x JOIN bands y
@@ -160,16 +166,7 @@ object DedupSuite extends QuerySuite {
     (s, dir) => {
       val words = wordsCached(s, dir)
       val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val cand = {
-        val b = bandsCached(s, dir)
-        val l = b.select(col("band").as("l_band"), col("bkey").as("l_bkey"),
-          col("doc_id").as("a_id"))
-        val r = b.select(col("band").as("r_band"), col("bkey").as("r_bkey"),
-          col("doc_id").as("b_id"))
-        l.join(r, col("l_band") === col("r_band") &&
-            col("l_bkey") === col("r_bkey") && col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-      }
+      val cand = lshCandidates(s, dir)
       val wa = words.select(col("doc_id").as("a_id"), col("w"))
       val wb = words.select(col("doc_id").as("b_id"), col("w"))
       val inter = cand.join(wa, "a_id").join(wb, Seq("b_id", "w"))
@@ -265,14 +262,13 @@ object DedupSuite extends QuerySuite {
         explode(array(
           concat(lit("hi:"), expr("simhash div 65536")),
           concat(lit("lo:"), col("simhash") % 65536))).as("block"))
-      val l = blocked.select(col("block").as("l_block"),
-        col("doc_id").as("a_id"), col("simhash").as("a_sh"))
-      val r = blocked.select(col("block").as("r_block"),
-        col("doc_id").as("b_id"), col("simhash").as("b_sh"))
-      l.join(r, col("l_block") === col("r_block") && col("a_id") < col("b_id"))
+      // bucket-capped blocked join (see Blocking): a hot 16-bit block
+      // must not explode into quadratic pair output
+      graft.ops.Blocking.candidatePairs(blocked, "doc_id", Seq("block"),
+          MaxBucket, carryCols = Seq("simhash"))._1
         .select(col("a_id"), col("b_id"),
-          bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long")
-            .as("hamming"))
+          bit_count(col("l_simhash").bitwiseXOR(col("r_simhash")))
+            .cast("long").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 6)
     },
@@ -313,14 +309,7 @@ object DedupSuite extends QuerySuite {
     "d07_edit_distance",
     (s, dir) => {
       val texts = Tables(s, dir, "documents").select("doc_id", "text")
-      val b = bandsCached(s, dir)
-      val l = b.select(col("band").as("l_band"), col("bkey").as("l_bkey"),
-        col("doc_id").as("a_id"))
-      val r = b.select(col("band").as("r_band"), col("bkey").as("r_bkey"),
-        col("doc_id").as("b_id"))
-      val cand = l.join(r, col("l_band") === col("r_band") &&
-          col("l_bkey") === col("r_bkey") && col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
+      val cand = lshCandidates(s, dir)
       cand
         .join(texts.select(col("doc_id").as("a_id"), col("text").as("ta")),
           "a_id")

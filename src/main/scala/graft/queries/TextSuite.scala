@@ -141,16 +141,21 @@ object TextSuite extends QuerySuite {
         ORDER BY cnt DESC, bigram) AS BIGINT) AS rnk
     FROM counted QUALIFY rnk <= 5"""))
 
-  /** t05 — corpus token frequency table with rank (vocabulary stats). */
+  /** t05 — corpus token frequency table with rank (vocabulary stats).
+    * The rank over the full vocabulary is a global total order — a
+    * no-partition window would funnel every row through one partition
+    * at 100 TB, so it goes through the range-sort + zipWithIndex dense
+    * id path instead (per-partition counts → cumulative offsets). */
   private val t05 = GraftQuery(
     "t05_token_freq",
     (s, dir) => {
-      val w = Window.orderBy(col("cnt").desc, col("w").asc)
-      Tables(s, dir, "documents")
+      val counted = Tables(s, dir, "documents")
         .select(explode(tokens(col("text"))).as("w"))
         .groupBy("w")
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
+        .sort(col("cnt").desc, col("w").asc)
+      graft.etl.Normalize.zipWithIndexId(counted, "rnk")
+        .select(col("w"), col("cnt"), col("rnk"))
     },
     Some("""SELECT w, cnt,
       CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rnk

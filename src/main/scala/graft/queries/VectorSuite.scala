@@ -226,6 +226,9 @@ object VectorSuite extends QuerySuite {
         .select(col("vec_id"), col("qv"), col("cent_id").as("cell"))
       val probe = assigned.filter(col("vec_id") === 42)
         .select(col("qv").as("probe_qv"), col("cell").as("probe_cell"))
+      // top-3 via orderBy+limit (TakeOrderedAndProject — distributed
+      // per-partition top-k, no single-partition window over the cell);
+      // the rank window then runs over just the k surviving rows.
       val wq = Window.orderBy(col("d2q"), col("vec_id"))
       assigned
         .join(broadcast(probe), col("cell") === col("probe_cell"))
@@ -233,8 +236,9 @@ object VectorSuite extends QuerySuite {
         .withColumn("d2q",
           aggregate(zip_with(col("qv"), col("probe_qv"),
             (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+        .orderBy(col("d2q"), col("vec_id"))
+        .limit(3)
         .withColumn("rnk", row_number().over(wq).cast("long"))
-        .filter(col("rnk") <= 3)
         .select(col("vec_id").as("neighbor_id"), col("cell"),
           (sqrt(col("d2q").cast("double")) / 1e6).as("dist"), col("rnk"))
     },

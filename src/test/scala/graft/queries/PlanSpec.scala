@@ -52,6 +52,17 @@ class PlanSpec extends SparkSpec {
     assert(fused.findFirstIn(p).isDefined, p)
   }
 
+  test("no single-partition global windows in corpus-scale paths (t05/v07)") {
+    // t05's vocabulary rank goes through range-sort + zipWithIndex —
+    // the plan must carry no Window operator at all
+    assert(!plan("t05_token_freq").contains("Window"),
+      "t05 regressed to a window rank")
+    // v07's final top-3 is TakeOrderedAndProject; the only windows left
+    // are partitioned by vec_id (cell assignment) or bounded by k rows
+    val p = plan("v07_ivf_probe")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("the flagship entry broadcasts its dim and aggregates partially") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)

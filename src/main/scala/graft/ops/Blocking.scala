@@ -14,15 +14,24 @@ import org.apache.spark.sql.functions._
   * candidate generation and surfaced in a report (never silently).
   *
   * The count-filter is one extra aggregation on the same key the
-  * candidates join shuffles on (no new shuffle shape), and the hot-key
-  * set is tiny by construction (at most total/cap buckets exceed the
-  * cap), so the anti-join broadcasts.
+  * candidates join shuffles on (no new shuffle shape). The hot-key set
+  * is usually tiny (at most total/cap buckets exceed the cap) but that
+  * bound is NOT broadcast-safe in the adversarial case (10^12 rows /
+  * cap 1000 still allows 10^9 hot keys), so the anti-join carries no
+  * broadcast hint — Spark/AQE picks broadcast when the measured size
+  * permits and falls back to a shuffle join when it doesn't.
   */
 object Blocking {
 
   /** Split `blocks` by bucket population: rows in buckets with more than
     * `maxBucket` members are removed; the second frame reports each
-    * dropped bucket and its size (the caller logs/monitors it). */
+    * dropped bucket and its size (the caller logs/monitors it).
+    *
+    * The anti-join uses null-safe equality (`<=>`): a degenerate NULL
+    * bucket key (e.g. all-empty documents — exactly the case the cap
+    * exists for) must be dropped like any other hot bucket, not slip
+    * through because `===` never matches NULL. Without this, the report
+    * would list the NULL bucket while its rows stayed in `kept`. */
   def capBuckets(blocks: DataFrame, bucketCols: Seq[String], maxBucket: Int)
       : (DataFrame, DataFrame) = {
     require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
@@ -30,8 +39,9 @@ object Blocking {
     val hot = blocks.groupBy(keys: _*)
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
-    val kept = blocks.join(broadcast(hot.select(keys: _*)),
-      bucketCols, "left_anti")
+    val hotKeys = hot.select(bucketCols.map(c => col(c).as(s"hot_$c")): _*)
+    val cond = bucketCols.map(c => col(c) <=> col(s"hot_$c")).reduce(_ && _)
+    val kept = blocks.join(hotKeys, cond, "left_anti")
     (kept, hot)
   }
 
@@ -48,7 +58,9 @@ object Blocking {
         carryCols.map(c => col(c).as(s"$prefix$c")): _*)
     val l = side("l_", "a_id")
     val r = side("r_", "b_id")
-    val cond = bucketCols.map(c => col(s"l_$c") === col(s"r_$c"))
+    // null-safe on the bucket key to match capBuckets/groupBy semantics:
+    // a NULL key is one (cappable) bucket, not an unmatched void
+    val cond = bucketCols.map(c => col(s"l_$c") <=> col(s"r_$c"))
       .reduce(_ && _) && col("a_id") < col("b_id")
     val pairs = l.join(r, cond)
     (pairs, hot)

@@ -98,15 +98,15 @@ object DedupSuite extends QuerySuite {
   private def wideSigCached(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "wideSig")(wideSig(s, dir))
 
-  private def bandsCached(s: SparkSession, dir: String): DataFrame =
-    bandsDf(s, dir)
+  private[queries] def bandsCached(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "bands")(bandsDf(s, dir))
 
   /** Candidate-generation bucket cap (see [[graft.ops.Blocking]]): a
     * degenerate band/block key must not produce quadratic join output.
     * 1000 members/bucket bounds a bucket's pair fan-out at ~500k while
     * staying far above any real near-dup cluster at test SFs (so the
     * oracle comparison, which has no cap, is unaffected). */
-  private val MaxBucket = 1000
+  private[queries] val MaxBucket = 1000
 
   /** LSH candidate pairs (a_id < b_id, distinct) with the bucket cap —
     * the single generator behind d03/d04/d07. */

@@ -8,12 +8,10 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample implemented as distributed
   * `mapPartitions` passes over a typed Dataset.
   *
-  * The actual codec is STUBBED behind [[MediaDecoder]] (no image/audio
-  * libraries ship in this environment): [[FakeDecoder]] derives
-  * deterministic "pixels" from the bytes, so every piece of Spark-side
-  * plumbing — binaryFile source, schema, per-partition decoder reuse,
-  * batch shape, partitioning — is real and tested, and a production
-  * decoder drops in without touching any plan.
+  * The codec boundary is [[MediaDecoder]]; the default implementation
+  * is the real [[ImageIoDecoder]] (`javax.imageio`, JDK-builtin —
+  * PNG/JPEG/GIF/BMP, multi-frame GIF for frame sampling). Container
+  * video needs an ffmpeg-backed decoder plugged into the same seam.
   *
   * The per-partition construction mirrors the external-model pattern
   * (SURVEY.md §2.10 R7 / §2.11 V1): expensive native resources are
@@ -42,26 +40,6 @@ trait MediaDecoder extends Serializable {
   def decodeFrame(bytes: Array[Byte], idx: Int): DecodedImage
 }
 
-/** Deterministic stand-in codec: dimensions and pixels derive from the
-  * content hash — stable across runs, machines, and partitionings. A
-  * real implementation would wrap javax.imageio / ffmpeg here. */
-object FakeDecoder extends MediaDecoder {
-  private def h(bytes: Array[Byte], salt: Int): Int =
-    java.util.Arrays.hashCode(bytes) * 31 + salt
-
-  override def decodeImage(bytes: Array[Byte]): DecodedImage = {
-    val w = 8 + math.floorMod(h(bytes, 1), 8)
-    val ht = 8 + math.floorMod(h(bytes, 2), 8)
-    val px = Array.tabulate[Byte](w * ht * 3)(i =>
-      (math.floorMod(h(bytes, i), 256) - 128).toByte)
-    DecodedImage("", w, ht, 3, px)
-  }
-  override def frameCount(bytes: Array[Byte]): Int =
-    2 + math.floorMod(h(bytes, 99), 4)
-  override def decodeFrame(bytes: Array[Byte], idx: Int): DecodedImage =
-    decodeImage(bytes :+ idx.toByte)
-}
-
 object Multimodal {
 
   /** Read a directory of media files as binary columns via Spark's
@@ -84,15 +62,43 @@ object Multimodal {
   }
 
   /** Decode stage: one decoder instance per partition (the executor-
-    * side native-resource cache pattern), streaming through rows. */
+    * side native-resource cache pattern), streaming through rows.
+    *
+    * Corrupt-tolerant by design: a 100 TB media corpus always contains
+    * truncated/mislabeled files, and one bad row must not kill the job —
+    * undecodable rows are dropped and counted (see [[decodeImagesSplit]]
+    * when the rejects themselves are wanted as data). */
   def decodeImages(files: Dataset[MediaFile],
-      mkDecoder: () => MediaDecoder = () => FakeDecoder)
+      mkDecoder: () => MediaDecoder = () => ImageIoDecoder)
       : Dataset[DecodedImage] = {
     import files.sparkSession.implicits._
     files.filter(_.kind == "image").mapPartitions { it =>
       val dec = mkDecoder() // per-partition init, reused across rows
-      it.map(f => dec.decodeImage(f.content).copy(path = f.path))
+      it.flatMap { f =>
+        scala.util.Try(dec.decodeImage(f.content).copy(path = f.path))
+          .toOption
+      }
     }
+  }
+
+  /** Decode with the rejects kept: returns (decoded, rejectPaths) so a
+    * pipeline can quarantine/report corrupt inputs instead of silently
+    * shrinking. Both sides stream from one pass shape (the source is
+    * re-read per side — cache `files` upstream if it is expensive). */
+  def decodeImagesSplit(files: Dataset[MediaFile],
+      mkDecoder: () => MediaDecoder = () => ImageIoDecoder)
+      : (Dataset[DecodedImage], Dataset[String]) = {
+    import files.sparkSession.implicits._
+    val images = files.filter(_.kind == "image")
+    val decoded = decodeImages(images, mkDecoder)
+    val rejects = images.mapPartitions { it =>
+      val dec = mkDecoder()
+      it.flatMap(f =>
+        if (scala.util.Try(dec.decodeImage(f.content)).isFailure)
+          Iterator.single(f.path)
+        else Iterator.empty)
+    }
+    (decoded, rejects)
   }
 
   /** Nearest-neighbor resize on the decoded raster — pure Scala, no
@@ -143,13 +149,15 @@ object Multimodal {
   /** Frame sampling for video: every nth frame via flatMap — one input
     * row fans out to its sampled frames, preserving distribution. */
   def sampleFrames(files: Dataset[MediaFile], everyN: Int,
-      mkDecoder: () => MediaDecoder = () => FakeDecoder)
+      mkDecoder: () => MediaDecoder = () => ImageIoDecoder)
       : Dataset[VideoFrame] = {
     import files.sparkSession.implicits._
     files.filter(_.kind == "video").mapPartitions { it =>
       val dec = mkDecoder()
       it.flatMap { f =>
-        val n = dec.frameCount(f.content)
+        // same corrupt-tolerance as decodeImages: a bad container yields
+        // zero frames, not a dead job
+        val n = scala.util.Try(dec.frameCount(f.content)).getOrElse(0)
         (0 until n by everyN).iterator.map(i =>
           VideoFrame(f.path, i, dec.decodeFrame(f.content, i)))
       }

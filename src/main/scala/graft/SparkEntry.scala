@@ -16,7 +16,7 @@ object SparkEntry {
 
   private val suites: Seq[QuerySuite] = Seq(
     RelationalSuite, JoinsSuite, FunctionsSuite, EventsSuite, WindowSuite,
-    VectorSuite, DedupSuite, TextSuite, BenchSuite)
+    VectorSuite, DedupSuite, TextSuite, SketchSuite, BenchSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.suite)
 

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{GraftQuery, QuerySuite, Tables}
+import graft.functions.TextOps.md5Long32
+import graft.functions.HyperLogLog
+
+/** Sketch / approximate aggregates (SURVEY.md §2.5's reserved
+  * "HLL/approx distinct" surface, built out as first-class operators):
+  * KMV distinct-count, HyperLogLog (relational form AND the custom
+  * typed Aggregator — same estimate, oracle-checked against the same
+  * SQL), count-min-sketch frequency, and hash-sampled quantiles.
+  *
+  * Cross-engine determinism: every sketch is integer arithmetic over
+  * md5-derived hashes until a single final double division (or, for
+  * s05, a raw column passthrough), so Spark and DuckDB agree bitwise.
+  * Order-dependence is eliminated structurally — register maxima,
+  * integer sums, and order statistics are all permutation-invariant.
+  *
+  * Scale notes (100 TB): each sketch shuffles O(groups × sketch size),
+  * never O(rows) — KMV keeps k hashes per group (window over the
+  * *deduped* hash set), HLL carries 64 registers with map-side combine,
+  * CMS is a fixed d×w counter grid built by one groupBy, and the
+  * sampled quantile windows over a ~25% hash sample (at real scale the
+  * sample rate drops with n; the plan shape is identical).
+  */
+object SketchSuite extends QuerySuite {
+
+  /** DuckDB twin of [[md5Long32]]: fold the first 8 md5 hex chars. */
+  private def duckH32(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1,9), i ->
+        CAST(strpos('0123456789abcdef', substring(md5($e),i,1)) - 1
+          AS BIGINT))), (a,b) -> a*16+b)"""
+
+  // ---------------------------------------------------------------- s01
+  /** s01 — KMV (k-minimum-values) distinct estimate per language:
+    * est = (k-1) * 2^32 / h_(k), h_(k) the k-th smallest distinct
+    * 32-bit hash. (k-1)*2^32 = 15*4294967296 is the exact double
+    * literal 6.442450944e10; the k-th order statistic is permutation-
+    * invariant, so ties and partitioning cannot change the result. */
+  private val KmvK = 16
+
+  private val s01 = GraftQuery(
+    "s01_kmv_distinct",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val hashed = docs
+        .select(col("lang"), md5Long32(col("text")).as("h32"))
+        .distinct()
+      val w = Window.partitionBy("lang").orderBy("h32")
+      val kth = hashed
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === KmvK)
+      val exact = docs.groupBy("lang")
+        .agg(countDistinct(col("text")).as("n_exact"))
+      exact.join(kth, Seq("lang"))
+        .select(col("lang"), col("n_exact"),
+          (lit(6.442450944e10) / col("h32").cast("double")).as("est_kmv"))
+    },
+    Some(s"""WITH hashed AS (
+        SELECT DISTINCT lang, ${duckH32("text")} AS h32 FROM documents),
+      kth AS (
+        SELECT lang, h32 FROM hashed
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h32) = $KmvK),
+      exact AS (
+        SELECT lang, count(DISTINCT text) AS n_exact
+        FROM documents GROUP BY 1)
+      SELECT e.lang, e.n_exact,
+        6.442450944e10 / CAST(k.h32 AS DOUBLE) AS est_kmv
+      FROM exact e JOIN kth k USING (lang)"""))
+
+  // ---------------------------------------------------------------- s02
+  /** Shared relational-HLL oracle SQL (also the oracle for the UDAF
+    * twin s03 — the whole point: two Spark implementations, one SQL
+    * ground truth, three bit-identical estimates). */
+  private def hllOracle(estCol: String, withExact: Boolean): String = {
+    val exactCte = if (withExact)
+      """, exact AS (
+        SELECT lang, count(DISTINCT text) AS n_exact
+        FROM documents GROUP BY 1)""" else ""
+    val exactSel = if (withExact) "e.n_exact," else ""
+    val exactJoin = if (withExact) "JOIN exact e USING (lang)" else ""
+    s"""WITH hashed AS (
+        SELECT lang, ${duckH32("text")} AS h32 FROM documents),
+      rho AS (
+        SELECT lang, h32 % ${HyperLogLog.M} AS j,
+          CASE WHEN h32 // ${HyperLogLog.M} = 0 THEN ${HyperLogLog.MaxRho}
+               ELSE bit_count(((h32 // ${HyperLogLog.M})
+                 & -(h32 // ${HyperLogLog.M})) - 1) + 1 END AS rho
+        FROM hashed),
+      regs AS (SELECT lang, j, max(rho) AS r FROM rho GROUP BY 1, 2),
+      s AS (
+        SELECT lang, SUM(1::BIGINT << (32 - r)) AS s_present,
+          COUNT(*) AS n_regs
+        FROM regs GROUP BY 1)$exactCte
+      SELECT s.lang, $exactSel
+        ${HyperLogLog.EstConst} / CAST(s_present
+          + (${HyperLogLog.M} - n_regs) * 4294967296 AS DOUBLE) AS $estCol
+      FROM s $exactJoin"""
+  }
+
+  /** s02 — HyperLogLog distinct estimate per language, pure relational
+    * form: register = low-6-bits bucket, rank = trailing zeros of the
+    * remaining 26 bits + 1, estimate = alpha·m²·2^32 / Σ 2^(32-M[j]).
+    * The register sum is an exact integer; one final double division. */
+  private val s02 = GraftQuery(
+    "s02_hll_distinct",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val regs = docs
+        .select(col("lang"), md5Long32(col("text")).as("h32"))
+        .withColumn("j", col("h32") % HyperLogLog.M)
+        .withColumn("wbits", expr(s"h32 div ${HyperLogLog.M}"))
+        .withColumn("rho",
+          when(col("wbits") === 0, lit(HyperLogLog.MaxRho))
+            .otherwise(expr("bit_count((wbits & -wbits) - 1) + 1")))
+        .groupBy("lang", "j").agg(max("rho").as("r"))
+        .groupBy("lang").agg(
+          sum(expr("shiftleft(1L, 32 - r)")).as("s_present"),
+          count(lit(1)).as("n_regs"))
+        .select(col("lang"),
+          (col("s_present") +
+            (lit(HyperLogLog.M) - col("n_regs")) * lit(4294967296L))
+            .as("s_total"))
+      val exact = docs.groupBy("lang")
+        .agg(countDistinct(col("text")).as("n_exact"))
+      exact.join(regs, Seq("lang"))
+        .select(col("lang"), col("n_exact"),
+          (lit(HyperLogLog.EstConst) / col("s_total").cast("double"))
+            .as("est_hll"))
+    },
+    Some(hllOracle("est_hll", withExact = true)))
+
+  // ---------------------------------------------------------------- s03
+  /** s03 — the same HLL through the custom typed Aggregator
+    * ([[HyperLogLog.HllAggregator]], §2.13 surface): mergeable 64-byte
+    * register buffers with map-side combine. Oracle-checked against
+    * the SAME relational SQL as s02 — the aggregator must reproduce the
+    * relational estimate bit-for-bit. */
+  private val s03 = GraftQuery(
+    "s03_hll_udaf",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang"), md5Long32(col("text")).as("h32"))
+        .groupBy("lang")
+        .agg(HyperLogLog.hll(col("h32")).as("est_hll_udaf")),
+    Some(hllOracle("est_hll_udaf", withExact = false)))
+
+  // ---------------------------------------------------------------- s04
+  /** s04 — count-min-sketch frequency estimation: d=4 salted hash rows
+    * × w=32 counter buckets built in ONE groupBy over the event stream;
+    * per-key estimate = min over the d bucket counts. Pure integer
+    * counts — deterministic, and the sketch grid is O(d·w) however many
+    * events flow through it. Estimates over-count on collisions (by
+    * construction 150 users >> 32 buckets here), never under-count. */
+  private val CmsD = 4
+  private val CmsW = 32
+
+  private val s04 = GraftQuery(
+    "s04_cms_freq",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("user_id"))
+      def bucketed(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("row", explode(sequence(lit(0), lit(CmsD - 1))))
+        .withColumn("bucket",
+          md5Long32(concat(col("user_id").cast("string"), lit("#"),
+            col("row").cast("string"))) % CmsW)
+      val cms = bucketed(ev).groupBy("row", "bucket")
+        .agg(count(lit(1)).as("c"))
+      val est = bucketed(ev.distinct())
+        .join(cms, Seq("row", "bucket"))
+        .groupBy("user_id").agg(min("c").as("est_cms"))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      exact.join(est, Seq("user_id"))
+        .select("user_id", "n_exact", "est_cms")
+    },
+    Some(s"""WITH keyed AS (
+        SELECT user_id, r.row,
+          ${duckH32("CAST(user_id AS VARCHAR) || '#' || CAST(r.row AS VARCHAR)")}
+            % $CmsW AS bucket
+        FROM events, (SELECT unnest(range(0, $CmsD)) AS row) r),
+      cms AS (
+        SELECT row, bucket, COUNT(*) AS c
+        FROM keyed GROUP BY 1, 2),
+      est AS (
+        SELECT k.user_id, MIN(c.c) AS est_cms
+        FROM (SELECT DISTINCT user_id, row, bucket FROM keyed) k
+        JOIN cms c USING (row, bucket)
+        GROUP BY 1),
+      exact AS (
+        SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1)
+      SELECT e.user_id, e.n_exact, est.est_cms
+      FROM exact e JOIN est USING (user_id)"""))
+
+  // ---------------------------------------------------------------- s05
+  /** s05 — hash-sampled median per event type: deterministic ~25%
+    * Bernoulli sample by event-id hash (every engine picks the same
+    * rows — no rand()), then the exact lower-median order statistic of
+    * the sample. The output value is a raw column passthrough, so no
+    * float arithmetic crosses engines at all. */
+  private val s05 = GraftQuery(
+    "s05_sampled_quantile",
+    (s, dir) => {
+      val sample = Tables(s, dir, "events")
+        .filter(md5Long32(col("event_id").cast("string")) % 4 === 0)
+        .select("event_type", "value", "event_id")
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      sample
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("cnt").as("n_sample"),
+          col("value").as("median_est"))
+    },
+    Some(s"""WITH sample AS (
+        SELECT event_type, value, event_id FROM events
+        WHERE ${duckH32("CAST(event_id AS VARCHAR)")} % 4 = 0),
+      ranked AS (
+        SELECT event_type, value,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM sample)
+      SELECT event_type, cnt AS n_sample, value AS median_est
+      FROM ranked WHERE rn = (cnt + 1) // 2"""))
+
+  override def suite: Seq[GraftQuery] = Seq(s01, s02, s03, s04, s05)
+}

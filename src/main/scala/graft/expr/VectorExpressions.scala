@@ -211,5 +211,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_l2_normalize"),
       info("graft_l2_normalize", "_FUNC_(a) - L2 normalize"),
       (es: Seq[Expression]) => L2Normalize(es(0))))
+    // whole-operator kNN: ORDER BY <vector distance> LIMIT k →
+    // KnnTopK (eval-once bounded heaps; see graft.plans.KnnTopK)
+    ext.injectOptimizerRule(graft.plans.KnnTopKRewrite)
+    ext.injectPlannerStrategy(graft.plans.KnnTopKStrategy)
   }
 }

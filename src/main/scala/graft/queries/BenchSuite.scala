@@ -63,5 +63,34 @@ object BenchSuite extends QuerySuite {
         k = 10, nprobe = 2)
     })
 
-  override val suite: Seq[GraftQuery] = Seq(x01, x02, x03)
+  /** x04/x05 — the KnnTopK rewrite A/B ([[graft.plans.KnnTopKRewrite]]):
+    * the INLINE pgvector idiom `orderBy(l2_distance(vec, q)).limit(k)`,
+    * where stock Spark's TakeOrderedAndProject re-evaluates the distance
+    * expression inside every heap comparison (O(d·log k) per row) while
+    * the rewrite evaluates it once per row. Same plan text either side;
+    * only the session flag differs. */
+  private def topkInline(s: SparkSession, dir: String,
+      rewrite: Boolean): DataFrame = {
+    // flag read at optimization time, i.e. when Bench materializes the
+    // returned frame — set here so each variant times its own operator
+    s.conf.set("spark.graft.knnTopK.enabled", rewrite.toString)
+    val qvec = Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toIndexedSeq
+    inflated(s, dir)
+      .orderBy(
+        call_function("graft_l2_distance", col("vec"), typedLit(qvec)),
+        col("id"))
+      .limit(500)
+  }
+
+  private val x04 = GraftQuery(
+    "x04_topk_rewrite",
+    (s, dir) => topkInline(s, dir, rewrite = true))
+
+  private val x05 = GraftQuery(
+    "x05_topk_stock",
+    (s, dir) => topkInline(s, dir, rewrite = false))
+
+  override val suite: Seq[GraftQuery] = Seq(x01, x02, x03, x04, x05)
 }

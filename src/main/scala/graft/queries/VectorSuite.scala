@@ -263,5 +263,39 @@ object VectorSuite extends QuerySuite {
     FROM assign a JOIN probe p ON a.cell = p.probe_cell
     WHERE a.vec_id <> 42 QUALIFY rnk <= 3"""))
 
-  override val suite: Seq[GraftQuery] = Seq(v01, v02, v03, v04, v05, v06, v07)
+  /** v08 — the declarative pgvector idiom `ORDER BY l2_distance(v, q)
+    * LIMIT k` (ref `generate_embeddings.py:418-452`), left for the
+    * [[graft.plans.KnnTopKRewrite]] optimizer rule to take over: the
+    * executed plan is a KnnTopKLocal/Global pair (PlanSpec-asserted),
+    * not a Sort — distances evaluated once per row into bounded heaps.
+    * Quantized vectors keep the distance sums exact cross-engine. */
+  private val v08 = GraftQuery(
+    "v08_topk_rewrite",
+    (s, dir) => {
+      // self-contained: the rewrite must drive this query even if a
+      // sibling bench query toggled the session flag off
+      s.conf.set("spark.graft.knnTopK.enabled", "true")
+      val corpus = emb(s, dir)
+        .select(col("vec_id"), col("qv").cast("array<double>").as("qvd"))
+      val qvec: Seq[Double] = corpus.filter(col("vec_id") === 0)
+        .select("qvd").collect().head.getSeq[Double](0).toIndexedSeq
+      corpus.filter(col("vec_id") =!= 0)
+        .withColumn("distq",
+          call_function("graft_l2_distance", col("qvd"), typedLit(qvec)))
+        .orderBy(col("distq"), col("vec_id"))
+        .limit(5)
+        .select(col("vec_id").as("neighbor_id"),
+          (col("distq") / 1e6).as("dist"))
+    },
+    Some(s"""WITH q AS ($qvSql),
+    probe AS (SELECT qv AS pqv FROM q WHERE vec_id = 0)
+    SELECT c.vec_id AS neighbor_id,
+      sqrt(CAST(list_sum(list_transform(range(1, 1+len(c.qv)),
+        i -> (c.qv[i]-p.pqv[i])*(c.qv[i]-p.pqv[i]))) AS BIGINT)::DOUBLE)
+        / 1e6 AS dist
+    FROM q c, probe p WHERE c.vec_id <> 0
+    ORDER BY dist, neighbor_id LIMIT 5"""))
+
+  override val suite: Seq[GraftQuery] =
+    Seq(v01, v02, v03, v04, v05, v06, v07, v08)
 }

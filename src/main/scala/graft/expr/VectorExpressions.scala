@@ -214,6 +214,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator kNN: ORDER BY <vector distance> LIMIT k →
     // KnnTopK (eval-once bounded heaps; see graft.plans.KnnTopK)
     ext.injectOptimizerRule(graft.plans.KnnTopKRewrite)
+    // registered-index cell pruning on top of the KnnTopK rewrite
+    ext.injectOptimizerRule(graft.plans.IvfPruneRule)
     ext.injectPlannerStrategy(graft.plans.KnnTopKStrategy)
   }
 }

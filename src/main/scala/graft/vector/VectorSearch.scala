@@ -83,6 +83,27 @@ object VectorSearch {
     index.copy(assigned = assigned)
   }
 
+  /** Persist the IVF-assigned corpus `partitionBy(cell)` — the layout
+    * the optimizer-level prune ([[graft.plans.IvfPruneRule]]) turns
+    * into real partition pruning. The cell column name doubles as the
+    * registry key, so pick a distinctive one. */
+  def writeIvfIndexed(index: IvfIndex, path: String,
+      cellCol: String = "ivf_cell"): Unit =
+    index.assigned.withColumnRenamed("cell", cellCol)
+      .write.partitionBy(cellCol).mode("overwrite").parquet(path)
+
+  /** Read an IVF-partitioned corpus back AND register its centroids
+    * for optimizer-level cell pruning: any subsequent
+    * `orderBy(l2_distance(vec, q)).limit(k)` over the frame is
+    * rewritten to scan only the query's `nprobe` nearest cells.
+    * Registering is the explicit opt-in to IVF-recall semantics. */
+  def readIvfIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Long, Seq[Double])], nprobe: Int,
+      cellCol: String = "ivf_cell"): DataFrame = {
+    graft.plans.KnnIvfCatalog.register(cellCol, centroids, nprobe)
+    spark.read.parquet(path)
+  }
+
   /** Probe the IVF index: rank the query's `nprobe` nearest cells
     * map-side, then kNN only within those cells. Approximate (standard
     * IVF recall trade-off), exact within the probed cells. */

@@ -241,6 +241,46 @@ object EventsSuite extends QuerySuite {
      AND epoch_us(b.ts) > epoch_us(a.ts)
      AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000"""))
 
+  /** e10 — sketch × event-time integration: HLL distinct users per
+    * tumbling day ([[graft.functions.HyperLogLog.hll]] inside a
+    * windowed aggregation — the shape a streaming
+    * `groupBy(window(ts)).agg(hll)` runs with a watermark; batch form
+    * keeps it oracle-checkable). The shuffle carries 64-byte register
+    * buffers per day, not user ids. */
+  private val e10 = GraftQuery(
+    "e10_windowed_hll",
+    (s, dir) => {
+      import graft.functions.TextOps.md5Long32
+      Tables(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          graft.functions.HyperLogLog.hll(md5Long32(col("user_id")))
+            .as("est_users"))
+    },
+    Some(s"""WITH hashed AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+          ${SketchSuite.duckH32("CAST(user_id AS VARCHAR)")} AS h32
+        FROM events),
+      rho AS (
+        SELECT day, h32 % 64 AS j,
+          CASE WHEN h32 // 64 = 0 THEN 27
+               ELSE bit_count(((h32 // 64) & -(h32 // 64)) - 1) + 1
+          END AS rho
+        FROM hashed),
+      regs AS (SELECT day, j, max(rho) AS r FROM rho GROUP BY 1, 2),
+      s AS (
+        SELECT day, SUM(1::BIGINT << (32 - r)) AS sp, COUNT(*) AS nr
+        FROM regs GROUP BY 1),
+      exact AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+          count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1)
+      SELECT e.day, e.n_exact,
+        ${graft.functions.HyperLogLog.EstConst}
+          / CAST(sp + (64 - nr) * 4294967296 AS DOUBLE) AS est_users
+      FROM exact e JOIN s USING (day)"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
 }

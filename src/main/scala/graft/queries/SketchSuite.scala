@@ -29,7 +29,7 @@ import graft.functions.HyperLogLog
 object SketchSuite extends QuerySuite {
 
   /** DuckDB twin of [[md5Long32]]: fold the first 8 md5 hex chars. */
-  private def duckH32(e: String): String =
+  private[queries] def duckH32(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
       list_transform(range(1,9), i ->
         CAST(strpos('0123456789abcdef', substring(md5($e),i,1)) - 1

@@ -163,5 +163,35 @@ object TextSuite extends QuerySuite {
           FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
           GROUP BY 1)"""))
 
-  override val suite: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05)
+  /** t06 — BPE-ish regex token counting (north-star token metrics):
+    * GPT-2-style pre-tokenization classes — letter runs, digit runs,
+    * symbol runs — via regexp_extract_all. The pattern sticks to ASCII
+    * classes and explicit alternation (no lookahead, no \w) so Java
+    * regex and DuckDB's RE2 produce identical matches on the same
+    * UTF-8 text; counts are pure longs. */
+  private val t06 = {
+    val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+    GraftQuery(
+      "t06_bpe_tokens",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+              .cast("long").as("n_tok"),
+            size(regexp_extract_all(col("text"), lit("[a-zA-Z]+"), lit(0)))
+              .cast("long").as("n_word"),
+            size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+              .cast("long").as("n_num"))
+          .withColumn("n_sym", col("n_tok") - col("n_word") - col("n_num")),
+      Some(s"""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_tok,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_word,
+        CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)
+          - CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT)
+          - CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_sym
+      FROM documents"""))
+  }
+
+  override val suite: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06)
 }

@@ -77,14 +77,26 @@ case class KnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def eligible(k: Int, order: Seq[SortOrder],
+      sortChild: LogicalPlan): Boolean =
+    k > 0 && k <= maxK && order.nonEmpty &&
+      order.head.child.dataType == DoubleType &&
+      isVectorKey(resolveHead(order.head.child, sortChild))
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown {
-      case Limit(IntegerLiteral(k), s @ Sort(order, true, child, _))
-          if k > 0 && k <= maxK && order.nonEmpty &&
-            order.head.child.dataType == DoubleType &&
-            isVectorKey(resolveHead(order.head.child, child)) =>
+      case Limit(IntegerLiteral(k), Sort(order, true, child, _))
+          if eligible(k, order, child) =>
         KnnTopK(k, order, child)
+      // the common `sort.limit.select` shape: Catalyst pushes the final
+      // projection below the limit, landing it between Limit and Sort.
+      // Deterministic row-wise projection commutes with top-k, so hoist
+      // it above KnnTopK.
+      case Limit(IntegerLiteral(k),
+          p @ Project(projectList, Sort(order, true, child, _)))
+          if eligible(k, order, child) && projectList.forall(_.deterministic) =>
+        p.copy(child = KnnTopK(k, order, child))
     }
   }
 }

@@ -48,6 +48,21 @@ object EventStreams {
         col("window.end").as("win_end"), col("event_type"),
         col("cnt"), col("total"))
 
+  /** Watermarked windowed HLL distinct-user estimate (streaming twin of
+    * the oracle-checked e10): the mergeable register sketch works
+    * unchanged under incremental execution — partial buffers merge
+    * across micro-batches exactly as they merge across partitions, so
+    * the streamed estimate is bit-identical to the batch one for every
+    * completed window. State per window is one 64-byte buffer. */
+  def windowedDistinctUsers(events: DataFrame, windowLen: String = "1 day",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.HyperLogLog.hll(
+        graft.functions.TextOps.md5Long32(col("user_id"))).as("est_users"))
+      .select(col("window.start").as("win_start"), col("est_users"))
+
   /** Streaming dedup by key within the watermark horizon (D2 as a
     * stream; state is bounded by the watermark). */
   def dedupStream(events: DataFrame, watermark: String = "2 hours")

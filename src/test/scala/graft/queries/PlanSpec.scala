@@ -68,4 +68,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("HLL UDAF aggregates map-side: partial registers cross the shuffle") {
+    val p = plan("s03_hll_udaf")
+    // the typed Aggregator must split into partial + final stages so
+    // the shuffle carries 64-byte register buffers, not hashed rows
+    assert(p.contains("partial_hllaggregator") ||
+      p.contains("partial_hll"), p)
+    assert("(?i)objecthashaggregate|sortaggregate|hashaggregate".r
+      .findFirstIn(p.toLowerCase).isDefined, p)
+  }
+
+  test("v08 executes through the KnnTopK pair, not a global sort") {
+    val p = plan("v08_topk_rewrite")
+    assert(p.contains("KnnTopKGlobal") && p.contains("KnnTopKLocal"), p)
+    assert(!p.contains("TakeOrderedAndProject"), p)
+  }
 }

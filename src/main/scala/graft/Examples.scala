@@ -39,19 +39,45 @@ object Examples {
       s"sessions=${spark.table("ex_sessions").count()}")
     spark.table("ex_windows").orderBy("win_start", "event_type").show(5)
 
-    // --- multimodal ---
+    // --- multimodal (real javax.imageio decode + corrupt quarantine) ---
     val mediaDir = Files.createTempDirectory("graft_ex_media").toFile
-    Seq("x.jpg" -> 64, "y.png" -> 128, "z.mp4" -> 256).foreach {
-      case (name, n) =>
-        Files.write(new java.io.File(mediaDir, name).toPath,
-          Array.tabulate[Byte](n)(i => (i * 11).toByte))
+    def png(name: String, w: Int, h: Int): Unit = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 37 + y * 91) & 0xffffff)
+      javax.imageio.ImageIO.write(img, "png",
+        new java.io.File(mediaDir, name))
     }
+    png("x.png", 12, 8); png("y.png", 9, 9)
+    Files.write(new java.io.File(mediaDir, "broken.png").toPath,
+      Array.tabulate[Byte](64)(i => (i * 11).toByte)) // corrupt on purpose
     val media = Multimodal.readMediaDir(spark, mediaDir.getAbsolutePath)
-    val feats = Multimodal.featurize(Multimodal.decodeImages(media))
+    val (decoded, rejects) = Multimodal.decodeImagesSplit(media)
+    val feats = Multimodal.featurize(decoded)
     println(s"multimodal: images=${feats.count()} " +
-      s"frames=${Multimodal.sampleFrames(media, 2).count()}")
+      s"quarantined=${rejects.count()}")
     feats.select(col("path"), col("width"), col("height"),
       slice(col("embedding"), 1, 4).as("emb_head")).show(false)
+
+    // --- sketches + declarative kNN ---
+    import graft.functions.{HyperLogLog, TextOps}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.groupBy(col("lang"))
+      .agg(countDistinct(col("text")).as("exact"),
+        HyperLogLog.hll(TextOps.md5Long32(col("text"))).as("hll_est"))
+      .orderBy("lang").show()
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select("vec").collect().head.getSeq[Double](0).toIndexedSeq
+    val knn = emb.filter(col("vec_id") =!= 0)
+      .orderBy(call_function("graft_l2_distance", col("vec"), typedLit(q)),
+        col("vec_id"))
+      .limit(3)
+    knn.select("vec_id").show()
+    println("knn plan: " + (if (knn.queryExecution.executedPlan.toString
+      .contains("KnnTopKGlobal")) "KnnTopK rewrite" else "stock"))
 
     spark.stop()
   }

@@ -124,6 +124,10 @@ case class KnnTopKStrategy(spark: SparkSession) extends SparkStrategy {
 case class KnnTopKExec(limit: Int, order: Seq[SortOrder], global: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
+  override lazy val metrics =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override def output: Seq[Attribute] = child.output
   override def outputOrdering: Seq[SortOrder] = order
   override def outputPartitioning: Partitioning =
@@ -137,6 +141,7 @@ case class KnnTopKExec(limit: Int, order: Seq[SortOrder], global: Boolean,
     val k = limit
     val ord = order
     val childOutput = child.output
+    val numOutputRows = longMetric("numOutputRows")
     child.execute().mapPartitions { iter =>
       val head = ord.head
       val boundHead = BindReferences.bindReference(head.child, childOutput)
@@ -202,6 +207,7 @@ case class KnnTopKExec(limit: Int, order: Seq[SortOrder], global: Boolean,
       var i = 0
       while (heap.size > 0) { out(i) = heap.poll(); i += 1 }
       // heap drains worst-first; reverse for ascending output order
+      numOutputRows += out.length
       out.reverseIterator.map(_.row)
     }
   }

@@ -92,5 +92,21 @@ object BenchSuite extends QuerySuite {
     "x05_topk_stock",
     (s, dir) => topkInline(s, dir, rewrite = false))
 
-  override val suite: Seq[GraftQuery] = Seq(x01, x02, x03, x04, x05)
+  /** x06 — Spark's own sketch builtins (SURVEY §2.5 "free if we expose
+    * them"), rows-only checked: HLL++ approx_count_distinct and
+    * t-digest-ish approx_percentile per event type. Engine-internal
+    * sketches are NOT cross-engine deterministic (unlike the graft
+    * s-family), hence bench-tier rather than oracle-paired. */
+  private val x06 = GraftQuery(
+    "x06_spark_approx",
+    (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000))
+            .as("approx_median"),
+          count(lit(1)).as("n")))
+
+  override val suite: Seq[GraftQuery] = Seq(x01, x02, x03, x04, x05, x06)
 }

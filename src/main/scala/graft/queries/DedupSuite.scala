@@ -334,6 +334,52 @@ object DedupSuite extends QuerySuite {
     JOIN documents da ON da.doc_id = c.a_id
     JOIN documents db ON db.doc_id = c.b_id"""))
 
+  /** d08 — near-dup clustering (the [[graft.ops.NearDedup]] final
+    * stage, now oracle-checked, not just spec'd): connected components
+    * of the verified d04 pair graph via iterative min-label propagation
+    * with pointer doubling. The DuckDB oracle computes the same
+    * components declaratively — recursive-CTE transitive closure, then
+    * min reachable id — so the distributed fixpoint is verified against
+    * an independent exact formulation. */
+  private val d08 = GraftQuery(
+    "d08_neardup_clusters",
+    (s, dir) => {
+      val pairs = d04.run(s, dir).select("a_id", "b_id")
+      graft.ops.NearDedup.components(pairs)
+        .select(col("id").cast("long").as("doc_id"),
+          col("component").cast("long").as("component"))
+    },
+    Some(s"""WITH RECURSIVE $sigSql, $bandsSql,
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+    words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY 1),
+    inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS ni
+      FROM cand c
+      JOIN words wa ON wa.doc_id = c.a_id
+      JOIN words wb ON wb.doc_id = c.b_id AND wb.w = wa.w
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i.a_id, i.b_id
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a_id
+      JOIN sizes sb ON sb.doc_id = i.b_id
+      WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.8),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+    FROM reach GROUP BY src"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(d01, d02, d03, d04, d05, d06, d07)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 }

@@ -16,6 +16,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // conf hygiene: builders may pin graft session flags (x04/x05
+      // A/B, v08) — reset so one query's flag never leaks into the next
+      finally spark.conf.unset("spark.graft.knnTopK.enabled")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -58,11 +58,20 @@ object HyperLogLog {
     EstConst / s.toDouble
   }
 
-  /** Typed Aggregator over md5Long32-hashed values. */
-  class HllAggregator extends Aggregator[Long, Array[Byte], Double] {
+  /** Typed Aggregator over md5Long32-hashed values. Input is boxed so
+    * a null hash (null source value) is SKIPPED — the standard
+    * aggregate null contract, and the same contract the relational
+    * form and the DuckDB oracle apply via their explicit
+    * `h32 IS NOT NULL` filters; all three stay bit-identical on
+    * null-bearing data. */
+  class HllAggregator
+      extends Aggregator[java.lang.Long, Array[Byte], Double] {
     override def zero: Array[Byte] = new Array[Byte](M)
 
-    override def reduce(b: Array[Byte], h: Long): Array[Byte] = {
+    override def reduce(b: Array[Byte], boxed: java.lang.Long)
+        : Array[Byte] = {
+      if (boxed == null) return b
+      val h = boxed.longValue()
       val j = (h & (M - 1)).toInt
       val r = rho(h >>> P)
       if (r > b(j)) b(j) = r.toByte
@@ -86,7 +95,7 @@ object HyperLogLog {
 
   /** Column-API entry point: `df.groupBy(..).agg(hll(md5Long32(col)))`. */
   def hll: Column => Column = {
-    val f = udaf(new HllAggregator, Encoders.scalaLong)
+    val f = udaf(new HllAggregator, Encoders.LONG)
     c => f(c)
   }
 }

@@ -62,6 +62,14 @@ object ImageIoDecoder extends MediaDecoder {
   override def frameCount(bytes: Array[Byte]): Int =
     withReader(bytes)(_.getNumImages(true))
 
+  /** KNOWN RESTRICTION: frames are returned as stored. Animated GIFs
+    * using inter-frame optimization (delta rectangles + disposal
+    * methods — common encoder output) need composition over the
+    * logical screen per the disposal metadata, which this decoder does
+    * not perform; such frames come back as raw sub-rectangles.
+    * Full-replacement GIFs decode exactly. A production video path
+    * sits behind an ffmpeg-backed [[MediaDecoder]] anyway (see class
+    * doc), which composes frames natively. */
   override def decodeFrame(bytes: Array[Byte], idx: Int): DecodedImage =
     withReader(bytes)(r => toDecoded(r.read(idx)))
 }

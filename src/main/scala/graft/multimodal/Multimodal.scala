@@ -83,22 +83,24 @@ object Multimodal {
 
   /** Decode with the rejects kept: returns (decoded, rejectPaths) so a
     * pipeline can quarantine/report corrupt inputs instead of silently
-    * shrinking. Both sides stream from one pass shape (the source is
-    * re-read per side — cache `files` upstream if it is expensive). */
+    * shrinking. ONE decode pass: each image is decoded exactly once
+    * into a tagged attempt row (the codec is the dominant cost — a
+    * second rejects pass would double it), cached, then filtered to
+    * the two sides. */
   def decodeImagesSplit(files: Dataset[MediaFile],
       mkDecoder: () => MediaDecoder = () => ImageIoDecoder)
       : (Dataset[DecodedImage], Dataset[String]) = {
     import files.sparkSession.implicits._
-    val images = files.filter(_.kind == "image")
-    val decoded = decodeImages(images, mkDecoder)
-    val rejects = images.mapPartitions { it =>
+    val attempts = files.filter(_.kind == "image").mapPartitions { it =>
       val dec = mkDecoder()
-      it.flatMap(f =>
-        if (scala.util.Try(dec.decodeImage(f.content)).isFailure)
-          Iterator.single(f.path)
-        else Iterator.empty)
-    }
-    (decoded, rejects)
+      it.map { f =>
+        scala.util.Try(dec.decodeImage(f.content).copy(path = f.path)) match {
+          case scala.util.Success(img) => (f.path, Option(img))
+          case scala.util.Failure(_) => (f.path, Option.empty[DecodedImage])
+        }
+      }
+    }.cache()
+    (attempts.flatMap(_._2), attempts.filter(_._2.isEmpty).map(_._1))
   }
 
   /** Nearest-neighbor resize on the decoded raster — pure Scala, no
@@ -155,11 +157,14 @@ object Multimodal {
     files.filter(_.kind == "video").mapPartitions { it =>
       val dec = mkDecoder()
       it.flatMap { f =>
-        // same corrupt-tolerance as decodeImages: a bad container yields
-        // zero frames, not a dead job
+        // same corrupt-tolerance as decodeImages, at BOTH levels: a bad
+        // container yields zero frames, and a container whose structure
+        // scans cleanly but whose frame data is corrupt drops just the
+        // bad frames — neither kills the job
         val n = scala.util.Try(dec.frameCount(f.content)).getOrElse(0)
-        (0 until n by everyN).iterator.map(i =>
-          VideoFrame(f.path, i, dec.decodeFrame(f.content, i)))
+        (0 until n by everyN).iterator.flatMap(i =>
+          scala.util.Try(
+            VideoFrame(f.path, i, dec.decodeFrame(f.content, i))).toOption)
       }
     }
   }

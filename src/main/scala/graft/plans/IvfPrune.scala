@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, EqualTo, Expression, In, InSet, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
@@ -20,7 +20,10 @@ import graft.expr.L2Distance
   * ([[KnnIvfCatalog.register]]) is the user's declaration that
   * IVF-recall semantics are acceptable for queries over that cell
   * column (the standard pgvector/FAISS IVF trade-off). Nothing is
-  * rewritten for unregistered plans.
+  * rewritten for unregistered plans, and only NEAREST-neighbor shapes
+  * (ascending L2 distance) are pruned — a descending (farthest-point)
+  * sort is left exact, since nearest-cell probes would be the wrong
+  * cells entirely.
   *
   * Mechanics: the probe cells are computed DRIVER-side from the sort
   * key's literal query vector against the registered centroids (tiny,
@@ -32,8 +35,11 @@ import graft.expr.L2Distance
   */
 object KnnIvfCatalog {
   /** One registered index: centroid set + probe width, keyed by the
-    * cell column NAME (choose a distinctive one — it is the opt-in
-    * marker the optimizer matches on). */
+    * cell column NAME. The name IS the opt-in marker the optimizer
+    * matches on, and the registry is process-global — so use a
+    * distinctive name per corpus (the `ivf_cell` default suits a
+    * single-index session; two live indexes need two column names, or
+    * the later registration replaces the earlier one). */
   final case class IvfMeta(centroids: Seq[(Long, Seq[Double])], nprobe: Int)
 
   private val registry = TrieMap.empty[String, IvfMeta]
@@ -45,14 +51,19 @@ object KnnIvfCatalog {
   def unregister(cellCol: String): Unit = registry.remove(cellCol)
   def lookup(cellCol: String): Option[IvfMeta] = registry.get(cellCol)
 
-  /** The query's nprobe nearest cells, computed driver-side. */
+  /** The query's nprobe nearest cells, computed driver-side. A
+    * dimension mismatch between query and centroids means the plan is
+    * being pruned with the WRONG index — fail loudly rather than
+    * truncate the distance loop and return silently wrong cells. */
   def probeCells(meta: IvfMeta, q: Seq[Double]): Seq[Long] =
     meta.centroids
       .map { case (cell, c) =>
+        require(c.length == q.length,
+          s"IVF centroid dim ${c.length} != query dim ${q.length} — " +
+            "the registered index does not match this corpus/query")
         var ss = 0.0
         var i = 0
-        val n = math.min(c.length, q.length)
-        while (i < n) { val d = c(i) - q(i); ss += d * d; i += 1 }
+        while (i < c.length) { val d = c(i) - q(i); ss += d * d; i += 1 }
         (ss, cell)
       }
       .sortBy(identity)
@@ -90,18 +101,29 @@ case class IvfPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Has a cell restriction already been injected? Downstream optimizer
+    * rules rewrite the injected `In`: OptimizeIn turns a 1-element list
+    * into EqualTo and a long list into InSet — all three shapes must
+    * count, or the fixpoint batch re-injects every iteration. */
   private def alreadyPruned(plan: LogicalPlan, attr: Attribute): Boolean =
     plan.exists {
       case Filter(cond, _) =>
         cond.exists {
           case In(a: Attribute, _) => a.exprId == attr.exprId
+          case EqualTo(a: Attribute, _: Literal) => a.exprId == attr.exprId
+          case EqualTo(_: Literal, a: Attribute) => a.exprId == attr.exprId
+          case InSet(a: Attribute, _) => a.exprId == attr.exprId
           case _ => false
         }
       case _ => false
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case k @ KnnTopK(_, order, child) =>
+    // nearest-neighbor shapes only: ascending distance. A descending
+    // sort (farthest points) must stay exact — nearest-cell probes
+    // would return categorically wrong rows.
+    case k @ KnnTopK(_, order, child)
+        if order.head.direction == Ascending =>
       val pruned = for {
         cellAttr <- child.output.find(a => lookup(a.name).isDefined)
         if !alreadyPruned(child, cellAttr)

@@ -261,7 +261,7 @@ object EventsSuite extends QuerySuite {
     Some(s"""WITH hashed AS (
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
           ${SketchSuite.duckH32("CAST(user_id AS VARCHAR)")} AS h32
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
       rho AS (
         SELECT day, h32 % 64 AS j,
           CASE WHEN h32 // 64 = 0 THEN 27

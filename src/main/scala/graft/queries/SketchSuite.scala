@@ -84,7 +84,8 @@ object SketchSuite extends QuerySuite {
     val exactSel = if (withExact) "e.n_exact," else ""
     val exactJoin = if (withExact) "JOIN exact e USING (lang)" else ""
     s"""WITH hashed AS (
-        SELECT lang, ${duckH32("text")} AS h32 FROM documents),
+        SELECT lang, ${duckH32("text")} AS h32 FROM documents
+        WHERE text IS NOT NULL),
       rho AS (
         SELECT lang, h32 % ${HyperLogLog.M} AS j,
           CASE WHEN h32 // ${HyperLogLog.M} = 0 THEN ${HyperLogLog.MaxRho}
@@ -112,6 +113,7 @@ object SketchSuite extends QuerySuite {
       val docs = Tables(s, dir, "documents")
       val regs = docs
         .select(col("lang"), md5Long32(col("text")).as("h32"))
+        .filter(col("h32").isNotNull)
         .withColumn("j", col("h32") % HyperLogLog.M)
         .withColumn("wbits", expr(s"h32 div ${HyperLogLog.M}"))
         .withColumn("rho",
@@ -154,8 +156,8 @@ object SketchSuite extends QuerySuite {
     * × w=32 counter buckets built in ONE groupBy over the event stream;
     * per-key estimate = min over the d bucket counts. Pure integer
     * counts — deterministic, and the sketch grid is O(d·w) however many
-    * events flow through it. Estimates over-count on collisions (by
-    * construction 150 users >> 32 buckets here), never under-count. */
+    * events flow through it. Estimates over-count on collisions (at the
+    * sf0.01 oracle gate, 150 users >> 32 buckets), never under-count. */
   private val CmsD = 4
   private val CmsW = 32
 

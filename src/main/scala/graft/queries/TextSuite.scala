@@ -166,11 +166,12 @@ object TextSuite extends QuerySuite {
   /** t06 — BPE-ish regex token counting (north-star token metrics):
     * GPT-2-style pre-tokenization classes — letter runs, digit runs,
     * symbol runs — via regexp_extract_all. The pattern sticks to ASCII
-    * classes and explicit alternation (no lookahead, no \w) so Java
-    * regex and DuckDB's RE2 produce identical matches on the same
-    * UTF-8 text; counts are pure longs. */
+    * classes and explicit alternation (no lookahead, no \w, and no \s —
+    * Java's \s includes vertical tab U+000B while RE2's does not, so the
+    * whitespace class is spelled out) to make Java regex and DuckDB's
+    * RE2 produce identical matches on the same UTF-8 text. */
   private val t06 = {
-    val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+    val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]+"
     GraftQuery(
       "t06_bpe_tokens",
       (s, dir) =>

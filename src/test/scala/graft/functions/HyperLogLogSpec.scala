@@ -58,4 +58,14 @@ class HyperLogLogSpec extends SparkSpec {
   test("EstConst literal equals alpha_64 * m^2 * 2^32") {
     assert(EstConst == 0.709 * 4096.0 * 4294967296.0)
   }
+
+  test("null hashes are skipped: estimate equals the null-free one") {
+    import spark.implicits._
+    val clean = (1 to 500).map(i => s"v$i")
+    def est(vals: Seq[Option[String]]) = vals.toDF("v")
+      .agg(hll(md5Long32(col("v")))).collect().head.getDouble(0)
+    val withNulls =
+      clean.map(Option(_)) ++ Seq.fill(37)(Option.empty[String])
+    assert(est(withNulls) == est(clean.map(Option(_))))
+  }
 }

@@ -72,6 +72,23 @@ class IvfPruneSpec extends SparkSpec {
     assert("""PartitionFilters: \[[^\]]*ivf_cell#\d+ (IN|=)""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("descending (farthest-point) sort is never pruned") {
+    val indexed = VectorSearch.readIvfIndexed(spark, path, centroids,
+      nprobe = 1)
+    val df = l2(indexed).orderBy(col("dist").desc, col("id")).limit(10)
+    val rows = df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("KnnTopKGlobal"), p) // top-k rewrite still applies
+    assert(!"""PartitionFilters: \[[^\]]*ivf_cell#\d+ (IN|=)""".r
+      .findFirstIn(p).isDefined,
+      "farthest-point query was pruned to NEAREST cells: " + p)
+    // exactness: must equal brute force over the full corpus
+    val exact = l2(spark.read.parquet(path))
+      .orderBy(col("dist").desc, col("id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.map(_.getLong(0)).toSeq == exact)
+  }
+
   test("unregistered corpus is never pruned (exact semantics preserved)") {
     KnnIvfCatalog.unregister("ivf_cell")
     val plain = spark.read.parquet(path)

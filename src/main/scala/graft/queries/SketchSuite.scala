@@ -231,5 +231,66 @@ object SketchSuite extends QuerySuite {
       SELECT event_type, cnt AS n_sample, value AS median_est
       FROM ranked WHERE rn = (cnt + 1) // 2"""))
 
-  override def suite: Seq[GraftQuery] = Seq(s01, s02, s03, s04, s05)
+  // ---------------------------------------------------------------- s06
+  /** s06 — deterministic stratified sampling (training-data curation:
+    * rebalance a skewed corpus): per-language Bernoulli rates applied
+    * by content hash, so the SAME rows are kept on every engine, every
+    * run, every partitioning — no rand(), no seeds to ship. Rates pick
+    * ~40% of the dominant language and keep the rest whole. */
+  private val s06 = {
+    val rates: Seq[(String, Int)] = // percent kept, by lang
+      Seq("en" -> 40, "es" -> 100, "de" -> 100, "fr" -> 100, "zh" -> 100)
+    GraftQuery(
+      "s06_stratified_sample",
+      (s, dir) => {
+        val rateCol = rates.tail.foldLeft(
+          when(col("lang") === rates.head._1, lit(rates.head._2))) {
+          case (acc, (l, r)) => acc.when(col("lang") === l, lit(r))
+        }.otherwise(lit(100))
+        Tables(s, dir, "documents")
+          .withColumn("bucket", md5Long32(col("text")) % 100)
+          .filter(col("bucket") < rateCol)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            min("doc_id").as("first_kept"))
+      },
+      Some(s"""WITH b AS (
+          SELECT lang, doc_id, ${duckH32("text")} % 100 AS bucket
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_kept
+        FROM b
+        WHERE bucket < CASE ${rates.map { case (l, r) =>
+          s"WHEN lang = '$l' THEN $r" }.mkString(" ")} ELSE 100 END
+        GROUP BY 1"""))
+  }
+
+  // ---------------------------------------------------------------- s07
+  /** s07 — deterministic train/val/test split assignment (80/10/10 by
+    * content hash): the split is a pure function of the row, so it is
+    * stable under re-partitioning, re-runs, and incremental appends —
+    * the property leakage-free splits at 100 TB actually require
+    * (a random split resampled per run leaks val into train). */
+  private val s07 = GraftQuery(
+    "s07_split_assign",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("bucket", md5Long32(col("text")) % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("first_doc")),
+    Some(s"""WITH b AS (
+        SELECT lang, doc_id, ${duckH32("text")} % 100 AS bucket
+        FROM documents)
+      SELECT lang,
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        COUNT(*) AS n, MIN(doc_id) AS first_doc
+      FROM b GROUP BY 1, 2"""))
+
+  override def suite: Seq[GraftQuery] =
+    Seq(s01, s02, s03, s04, s05, s06, s07)
 }

@@ -180,26 +180,25 @@ case class KnnTopKExec(limit: Int, order: Seq[SortOrder], global: Boolean,
       while (iter.hasNext) {
         val row = iter.next()
         val v = boundHead.eval(row)
-        val e = new Entry(v == null, if (v == null) 0.0
-          else v.asInstanceOf[Double], null)
+        val isNull = v == null
+        val key = if (isNull) 0.0 else v.asInstanceOf[Double]
         if (heap.size < k) {
-          heap.add(new Entry(e.isNull, e.key, row.copy()))
+          heap.add(new Entry(isNull, key, row.copy()))
         } else {
+          // primitive compare BEFORE any allocation or row copy — the
+          // common case (candidate worse than the kept worst) touches
+          // nothing on the heap path
           val worst = heap.peek()
-          // compare BEFORE copying the row; ties need the real row, so
-          // resolve them pessimistically via a keyed-entry comparison
           val keyCmp =
-            if (e.isNull && worst.isNull) 0
-            else if (e.isNull) nullCmp
+            if (isNull && worst.isNull) 0
+            else if (isNull) nullCmp
             else if (worst.isNull) -nullCmp
-            else dir * java.lang.Double.compare(e.key, worst.key)
-          val better = keyCmp < 0 || (keyCmp == 0 && tieOrd != null && {
-            val full = new Entry(e.isNull, e.key, row)
-            cmp(full, worst) < 0
-          })
+            else dir * java.lang.Double.compare(key, worst.key)
+          val better = keyCmp < 0 || (keyCmp == 0 && tieOrd != null &&
+            tieOrd.compare(row, worst.row) < 0)
           if (better) {
             heap.poll()
-            heap.add(new Entry(e.isNull, e.key, row.copy()))
+            heap.add(new Entry(isNull, key, row.copy()))
           }
         }
       }

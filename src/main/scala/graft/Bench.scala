@@ -1,20 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark entry point: one JSON line with per-query timings.
+/** Benchmark entry point.
   *
   * Methodology (round 3, per VERDICT.md item 3 — the round-2 n=1 cold
   * numbers swung 2x on unchanged code):
   *  - each query runs `iters` times (default 3): iteration 0 is the cold
   *    pass, the rest are warm reruns in the same JVM;
-  *  - the headline per-query number ("queries") is the MIN across all
-  *    iterations (steady-state); "queries_cold" keeps the cold pass so
-  *    both are recorded;
+  *  - the headline per-query number is the MIN across the iterations
+  *    that succeeded (steady-state); -1.0 only when every iteration
+  *    failed;
   *  - results are materialized through the noop sink, not `.count()` —
   *    count() lets Catalyst prune the projected expressions, so
   *    expression-heavy queries would be under-measured.
+  *
+  * Output contract (round 5 — rounds 1-4 each produced `parsed: null`):
+  * the harness keeps only the LAST ~2000 chars of stdout, and the full
+  * 90-query steady+cold maps are ~5 KB, so the JSON line start was
+  * always truncated away. stdout now gets ONE compact line (< 1 KB):
+  * the engine total, the total including the two deliberately-stock A/B
+  * baselines (x01 lambda-fold, x05 stock top-k), and a headline subset
+  * of per-query steady times. The complete per-query steady/cold maps
+  * at full precision go to BENCH_FULL.json in the working directory.
   */
 object Bench {
+
+  /** One representative per family for the compact stdout line; the
+    * full map is in BENCH_FULL.json. Kept short enough that the whole
+    * JSON line plus sbt's `[success]` trailer fits in a 2000-char tail. */
+  private val Headline = Seq(
+    "r01_pricing_summary", "r08_join_agg", "j01_shipping_priority",
+    "w01_lead_lag", "f01_string_chain", "f11_array_lambda",
+    "d01_exact_dedup", "d03_lsh_candidates", "d06_simhash_pairs",
+    "e01_tumbling_agg", "e02_sessionize", "t01_quality_metrics",
+    "t04_top_bigrams", "v03_knn_bruteforce", "v08_topk_rewrite",
+    "s02_hll_distinct", "s04_cms_freq", "x02_knn_codegen", "x03_knn_ivf")
+
+  /** Deliberately-unoptimized comparison arms of the A/B pairs
+    * (x01 vs x02, x05 vs x04). They exist to show the win, and belong
+    * in the artifact, but not in the engine's headline total. */
+  private val AbBaselines = Set("x01_knn_lambda", "x05_topk_stock")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,9 +63,6 @@ object Bench {
       val times = (0 until iters).map(_ => runOnce(fn))
       name -> times
     }
-    def fmt(sel: Seq[Double] => Double) = results
-      .map { case (k, ts) => s"\"" + k + "\":" + sel(ts) }
-      .mkString("{", ",", "}")
     // steady-state = min over the iterations that SUCCEEDED; -1.0 only
     // when every iteration failed (one flaky run must not poison the
     // number when the retries were fine).
@@ -47,14 +70,30 @@ object Bench {
       val ok = ts.filter(_ >= 0)
       if (ok.nonEmpty) ok.min else -1.0
     }
-    val steady = fmt(steadyOf)
-    val cold = fmt(_.head)
-    val total = results.values.map(ts => steadyOf(ts).max(0.0)).sum
-    // "queries" (the steady-state headline map) is printed LAST: the
-    // driver keeps the tail of captured output, so the headline numbers
-    // must be the ones that survive truncation (round-3 artifact lost
-    // them by printing steady before cold).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"sf":"$sfDir","queries_cold":$cold,"queries":$steady}""")
+    val steady = results.map { case (k, ts) => k -> steadyOf(ts) }
+    def jmap(m: Iterable[(String, Double)], fmt: Double => String) =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+
+    // full-precision detail file (every query, steady + cold)
+    val full =
+      s"""{"iters":$iters,"sf_dir":"$sfDir","cpus":$cpus,
+         |"steady":${jmap(steady, _.toString)},
+         |"cold":${jmap(results.map { case (k, ts) => k -> ts.head },
+                        _.toString)}}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      full.getBytes("UTF-8"))
+
+    def r3(d: Double) = f"$d%.3f"
+    def totalOf(m: Map[String, Double]) =
+      m.values.map(_.max(0.0)).sum
+    val engineTotal = totalOf(steady.filterNot(kv => AbBaselines(kv._1)))
+    val allTotal = totalOf(steady)
+    val sfNum = raw".*sf([0-9.]+)/?$$".r
+      .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0.1")
+    val head = Headline.flatMap(h => steady.get(h).map(h -> _))
+    // ONE compact line, printed last so it survives tail truncation
+    println(s"""{"metric":"engine_total_steady_sec","value":${r3(engineTotal)},"unit":"sec","sf":$sfNum,"iters":$iters,"nq":${steady.size},"total_with_ab_baselines":${r3(allTotal)},"detail":"BENCH_FULL.json","queries":${jmap(head, r3)}}""")
     spark.stop()
   }
 }

@@ -77,11 +77,16 @@ object BenchSuite extends QuerySuite {
     val qvec = Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .collect().head.getSeq[Double](0).toIndexedSeq
+    // project the vec column away AFTER the limit: the driver's
+    // rows-only check loads the result into pandas, which cannot sort
+    // array cells (round-4 x04/x05 errored on exactly that); the
+    // rewrite matches the sort.limit.select shape either way
     inflated(s, dir)
       .orderBy(
         call_function("graft_l2_distance", col("vec"), typedLit(qvec)),
         col("id"))
       .limit(500)
+      .select(col("id"))
   }
 
   private val x04 = GraftQuery(

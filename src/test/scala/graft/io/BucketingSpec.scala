@@ -7,8 +7,34 @@ import graft.SparkSpec
 /** Co-located join via bucketing: same key, same bucket count → the
   * join plans with NO Exchange on either side (each task reads the
   * matching bucket files directly). The negative control shows the
-  * same join over plain parquet DOES shuffle. */
+  * same join over plain parquet DOES shuffle.
+  *
+  * Plan-shape assertions need three confs pinned for the duration:
+  * AQE off (its executedPlan string appends an `== Initial Plan ==`
+  * dump, so "no Exchange below the join" would match the copy),
+  * auto-broadcast off (at spec scale both tables fit the threshold and
+  * a broadcast join hides whether bucketing removed the shuffle), and
+  * autoBucketedScan off (the planner silently falls back to a
+  * non-bucketed scan — "Bucketed: false (disabled by query planner)" —
+  * for plans where it sees no join/agg benefit, which defeats the
+  * bucket-pruning assertion).
+  */
 class BucketingSpec extends SparkSpec {
+
+  private val pinned = Seq(
+    "spark.sql.adaptive.enabled" -> "false",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
+
+  private def withPlanConfs[A](body: => A): A = {
+    val prev = pinned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 
   private lazy val ready: Unit = {
     import spark.implicits._
@@ -27,9 +53,6 @@ class BucketingSpec extends SparkSpec {
         rm(loc)
       }
     }
-    // AQE-applied plans hide exchange elimination details; bucketing
-    // benefits show in the final plan either way, but assert on the
-    // non-adaptive string for stability
     val orders = (0L until 5000L)
       .map(i => (i, s"cust_${i % 97}", (i * 13 % 1000).toDouble))
       .toDF("order_id", "cust", "amount")
@@ -41,39 +64,45 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("same-bucket join is shuffle-free on both sides") {
-    ready
-    val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_items",
-      "order_id")
-      .groupBy("cust").agg(sum(col("amount") * col("qty")).as("rev"))
-    joined.collect()
-    val p = joined.queryExecution.executedPlan.toString
-    // the JOIN itself must see bucketed children: the only exchange
-    // allowed in the plan is the one ABOVE the join for the groupBy
-    val joinSection = p.substring(p.indexOf("Join"))
-    assert(!joinSection.contains("Exchange hashpartitioning"),
-      "bucketed join still shuffled its inputs: " + p)
-    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
-      "scan does not report bucketed read: " + p)
+    withPlanConfs {
+      ready
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_items",
+        "order_id")
+        .groupBy("cust").agg(sum(col("amount") * col("qty")).as("rev"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      // the JOIN itself must see bucketed children: the only exchange
+      // allowed in the plan is the one ABOVE the join for the groupBy
+      val joinSection = p.substring(p.indexOf("Join"))
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        "bucketed join still shuffled its inputs: " + p)
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        "scan does not report bucketed read: " + p)
+    }
   }
 
   test("negative control: the plain-parquet join shuffles") {
-    ready
-    val plain = spark.table("b_orders").repartition(5)
-      .join(spark.table("b_items").repartition(5), "order_id")
-    plain.collect()
-    val p = plain.queryExecution.executedPlan.toString
-    assert(p.contains("Exchange hashpartitioning"),
-      "expected the unbucketed layout to shuffle: " + p)
+    withPlanConfs {
+      ready
+      val plain = spark.table("b_orders").repartition(5)
+        .join(spark.table("b_items").repartition(5), "order_id")
+      plain.collect()
+      val p = plain.queryExecution.executedPlan.toString
+      assert(p.contains("Exchange hashpartitioning"),
+        "expected the unbucketed layout to shuffle: " + p)
+    }
   }
 
   test("bucket pruning: equality filter reads one bucket") {
-    ready
-    val one = spark.table("b_orders").filter(col("order_id") === 42L)
-    assert(one.count() == 1)
-    val p = one.queryExecution.executedPlan.toString
-    val sel = """SelectedBucketsCount: (\d+) out of 8""".r
-      .findFirstMatchIn(p)
-    assert(sel.exists(_.group(1).toInt == 1),
-      "equality on the bucket key did not prune to one bucket: " + p)
+    withPlanConfs {
+      ready
+      val one = spark.table("b_orders").filter(col("order_id") === 42L)
+      assert(one.count() == 1)
+      val p = one.queryExecution.executedPlan.toString
+      val sel = """SelectedBucketsCount: (\d+) out of 8""".r
+        .findFirstMatchIn(p)
+      assert(sel.exists(_.group(1).toInt == 1),
+        "equality on the bucket key did not prune to one bucket: " + p)
+    }
   }
 }

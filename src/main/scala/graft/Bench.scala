@@ -59,10 +59,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (0 until iters).map(_ => runOnce(fn))
-      name -> times
-    }
+    // optional comma-separated name filter for targeted iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val times = (0 until iters).map(_ => runOnce(fn))
+        name -> times
+      }
     // steady-state = min over the iterations that SUCCEEDED; -1.0 only
     // when every iteration failed (one flaky run must not poison the
     // number when the retries were fine).

@@ -201,24 +201,35 @@ object DedupSuite extends QuerySuite {
     JOIN sizes sb ON sb.doc_id = i.b_id
     WHERE jaccard >= 0.8"""))
 
+  /** Per-doc 32-bit SimHash, computed like [[wideSig]] computes MinHash:
+    * the 32 per-bit majority votes are 32 aggregate columns of ONE
+    * groupBy over the token hashes (sum of ±1 per bit), so only
+    * |tokens| rows cross the shuffle — not 32× as in the naive
+    * explode-per-bit plan (which was the top-3 bench cost at sf0.1) —
+    * and partial aggregation folds map-side. The final signature is a
+    * pure projection over the 32 votes. */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+    val votes = (0 until 32).map(b =>
+      sum(when(expr(s"(h32 div ${1L << b}) % 2") === 1, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), md5Long32(col("w")).as("h32"))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"v$b") >= 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+  private def simhashCached(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "simhash")(simhashDf(s, dir))
+
   /** d05 — 32-bit SimHash signature per document (north-star SimHash):
     * per-bit majority vote over token hashes, relational form. */
   private val d05 = GraftQuery(
     "d05_simhash",
-    (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .withColumn("h32", md5Long32(col("w")))
-        .select(col("doc_id"), col("h32"),
-          explode(sequence(lit(0), lit(31))).as("bit"))
-        .withColumn("sign",
-          when(expr("(h32 div shiftleft(1L, bit)) % 2") === 1, 1L)
-            .otherwise(-1L))
-        .groupBy("doc_id", "bit")
-        .agg(sum(col("sign")).as("vote"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("vote") >= 0,
-          expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash")),
+    (s, dir) => simhashCached(s, dir),
     Some("""WITH words AS (
       SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
     hashed AS (
@@ -245,19 +256,7 @@ object DedupSuite extends QuerySuite {
   private val d06 = GraftQuery(
     "d06_simhash_pairs",
     (s, dir) => {
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .withColumn("h32", md5Long32(col("w")))
-        .select(col("doc_id"), col("h32"),
-          explode(sequence(lit(0), lit(31))).as("bit"))
-        .withColumn("sign",
-          when(expr("(h32 div shiftleft(1L, bit)) % 2") === 1, 1L)
-            .otherwise(-1L))
-        .groupBy("doc_id", "bit")
-        .agg(sum(col("sign")).as("vote"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("vote") >= 0,
-          expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+      val sh = simhashCached(s, dir)
       val blocked = sh.select(col("doc_id"), col("simhash"),
         explode(array(
           concat(lit("hi:"), expr("simhash div 65536")),
@@ -380,6 +379,56 @@ object DedupSuite extends QuerySuite {
     SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
     FROM reach GROUP BY src"""))
 
+  /** d09 — benchmark decontamination (north-star training-data op):
+    * flag corpus documents sharing 5-gram content with a held-out
+    * benchmark set (here: doc_id ≡ 0 mod 23 — eval sets are external
+    * in production, but the join shape is identical). Distinct n-gram
+    * hashes per doc on both sides, equi-join on the hash, count shared
+    * grams per (corpus doc, eval doc). The eval side is broadcast —
+    * benchmark suites are tiny next to a 100 TB corpus, so the scan
+    * stays shuffle-free on the corpus side. */
+  private val d09 = {
+    val N = 5
+    val Mod = 23
+    // DuckDB twin of md5Long60 (first 15 md5 hex chars as a long)
+    def duckH60(e: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1,16), i ->
+          CAST(strpos('0123456789abcdef', substring(md5($e),i,1)) - 1
+            AS BIGINT))), (a,b) -> a*16+b)"""
+    GraftQuery(
+      "d09_contamination",
+      (s, dir) => {
+        val grams = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(shingles(tokens(col("text")), N)).as("g"))
+          .select(col("doc_id"), md5Long60(col("g")).as("h"))
+          .distinct()
+        val eval = grams.filter(col("doc_id") % Mod === 0)
+          .select(col("doc_id").as("eval_id"), col("h"))
+        val corpus = grams.filter(col("doc_id") % Mod =!= 0)
+        corpus.join(broadcast(eval), Seq("h"))
+          .groupBy("doc_id", "eval_id")
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) - ${N - 2}),
+            i -> array_to_string(list_slice(tk, i, i + ${N - 1}), ' ')))
+            AS g
+          FROM toks),
+        grams AS (
+          SELECT DISTINCT doc_id, ${duckH60("g")} AS h FROM g),
+        eval AS (
+          SELECT doc_id AS eval_id, h FROM grams WHERE doc_id % $Mod = 0),
+        corp AS (
+          SELECT doc_id, h FROM grams WHERE doc_id % $Mod <> 0)
+        SELECT c.doc_id, e.eval_id, COUNT(*) AS n_shared
+        FROM corp c JOIN eval e USING (h)
+        GROUP BY 1, 2"""))
+  }
+
   override val suite: Seq[GraftQuery] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 }

@@ -194,5 +194,129 @@ object TextSuite extends QuerySuite {
       FROM documents"""))
   }
 
-  override val suite: Seq[GraftQuery] = Seq(t01, t02, t03, t04, t05, t06)
+  /** t07 — PII redaction (north-star data-cleaning): count and mask
+    * email / phone shapes with regexp_extract_all + regexp_replace.
+    * The synthetic corpus contains no PII, so the query first grafts a
+    * deterministic contact line onto each document (same expression in
+    * both engines) — the operator under test is the redaction pass.
+    * Regexes stay ASCII-class + explicit alternation (t06 rationale);
+    * DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    * replace-all semantics. */
+  private val t07 = {
+    val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    GraftQuery(
+      "t07_pii_redact",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@mail.example.com tel 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+              .as("pii_text"))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("pii_text"), lit(emailRe), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("pii_text"), lit(phoneRe), lit(0)))
+              .cast("long").as("n_phones"),
+            regexp_replace(
+              regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").as("redacted")),
+      Some(s"""WITH p AS (
+          SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com tel 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(pii_text, '$emailRe')) AS BIGINT)
+            AS n_emails,
+          CAST(len(regexp_extract_all(pii_text, '$phoneRe')) AS BIGINT)
+            AS n_phones,
+          regexp_replace(regexp_replace(pii_text, '$emailRe', '<EMAIL>', 'g'),
+            '$phoneRe', '<PHONE>', 'g') AS redacted
+        FROM p"""))
+  }
+
+  /** t08 — fixed-size chunking with overlap (north-star long-document
+    * prep): 64-token windows every 48 tokens (16-token overlap), one
+    * output row per chunk. Pure map-side explode — token positions come
+    * from sequence/range, the chunk text from an array slice; no
+    * shuffle at any scale. */
+  private val t08 = {
+    val C = 64; val S = 48 // chunk size / stride (overlap = C - S)
+    GraftQuery(
+      "t08_chunk_overlap",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("n", size(col("toks")))
+          .select(col("doc_id"), col("toks"), col("n"),
+            explode(sequence(lit(0), col("n") - 1, lit(S))).as("start"))
+          .select(
+            col("doc_id"),
+            (col("start") / S).cast("long").as("chunk_id"),
+            col("start").cast("long").as("tok_start"),
+            least(lit(C), col("n") - col("start")).cast("long")
+              .as("chunk_len"),
+            array_join(slice(col("toks"), col("start") + 1, lit(C)), " ")
+              .as("chunk_text")),
+      Some(s"""WITH t AS (
+          SELECT doc_id, string_split(text,' ') AS toks,
+            len(string_split(text,' ')) AS n
+          FROM documents),
+        st AS (
+          SELECT doc_id, toks, n, unnest(range(0, n, $S)) AS start FROM t)
+        SELECT doc_id,
+          CAST(start // $S AS BIGINT) AS chunk_id,
+          CAST(start AS BIGINT) AS tok_start,
+          CAST(least($C, n - start) AS BIGINT) AS chunk_len,
+          array_to_string(list_slice(toks, start + 1,
+            least(start + $C, n)), ' ') AS chunk_text
+        FROM st"""))
+  }
+
+  /** t09 — intra-document repetition metrics (the MassiveText /
+    * Gopher-style duplicate-n-gram filters): fraction of repeated
+    * 2-grams and 3-grams per document plus the keep/drop verdict at
+    * the published-style thresholds. Entirely projection-level array
+    * math — zero shuffle, embarrassingly parallel at any scale. */
+  private val t09 = {
+    val Thresh2 = 0.20; val Thresh3 = 0.18
+    def dupFrac(k: Int) = {
+      val g = shingles(col("toks"), k)
+      when(size(g) > 0,
+        (size(g) - size(array_distinct(g))).cast("double") / size(g))
+        .otherwise(0.0)
+    }
+    def duckDupFrac(k: Int) = {
+      val g = s"""list_transform(range(1, len(toks) - ${k - 2}),
+        i -> array_to_string(list_slice(toks, i, i + ${k - 1}), ' '))"""
+      s"""CASE WHEN len(toks) >= $k THEN
+        CAST(len($g) - len(list_distinct($g)) AS DOUBLE) / len($g)
+        ELSE 0.0 END"""
+    }
+    GraftQuery(
+      "t09_repetition",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            dupFrac(2).as("dup2_frac"),
+            dupFrac(3).as("dup3_frac"))
+          .withColumn("keep",
+            col("dup2_frac") <= Thresh2 && col("dup3_frac") <= Thresh3),
+      Some(s"""WITH t AS (
+          SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+        SELECT doc_id,
+          ${duckDupFrac(2)} AS dup2_frac,
+          ${duckDupFrac(3)} AS dup3_frac,
+          (${duckDupFrac(2)}) <= $Thresh2
+            AND (${duckDupFrac(3)}) <= $Thresh3 AS keep
+        FROM t"""))
+  }
+
+  override val suite: Seq[GraftQuery] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }

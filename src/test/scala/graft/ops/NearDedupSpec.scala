@@ -24,6 +24,30 @@ class NearDedupSpec extends SparkSpec {
     assert(comp.forall(_._2 == 1L))
   }
 
+  test("distributed path (forced) agrees with driver union-find") {
+    // same graphs as above but with the small-graph threshold at 0 so
+    // the iterative min-label loop is the code under test
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("a_id", "b_id")
+    val dist = NearDedup.components(pairs, smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    val local = NearDedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(dist == local)
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val distChain = NearDedup.components(chain, smallGraphEdges = 0L)
+      .as[(Long, Long)].collect()
+    assert(distChain.forall(_._2 == 1L))
+  }
+
+  test("string ids resolve under string ordering in the local path") {
+    val pairs = Seq(("b", "c"), ("c", "a"), ("x", "y"))
+      .toDF("a_id", "b_id")
+    val comp = NearDedup.components(pairs)
+      .as[(String, String)].collect().toMap
+    assert(Seq("a", "b", "c").forall(comp(_) == "a"))
+    assert(Seq("x", "y").forall(comp(_) == "x"))
+  }
+
   test("dedup keeps component minima and untouched rows") {
     val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((2L, 5L), (5L, 7L), (3L, 4L)).toDF("a_id", "b_id")

@@ -93,8 +93,7 @@ object VectorSuite extends QuerySuite {
       corpus.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("d2",
-          aggregate(zip_with(col("qv"), col("query_qv"),
-            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+          call_function("graft_sqdist_long", col("qv"), col("query_qv")))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -126,8 +125,7 @@ object VectorSuite extends QuerySuite {
       corpus.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("d2",
-          aggregate(zip_with(col("qv"), col("query_qv"),
-            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+          call_function("graft_sqdist_long", col("qv"), col("query_qv")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),

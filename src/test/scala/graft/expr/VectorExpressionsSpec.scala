@@ -34,6 +34,27 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("sqdist_long: exact integer parity with the lambda fold") {
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, Array.tabulate(16)(j => (i * 1000003L + j * 777L) % 2000000 - 1000000),
+        Array.tabulate(16)(j => (i * 999983L - j * 333L) % 2000000 - 1000000)))
+      .toDF("id", "a", "b")
+    val both = df.select(
+      call_function("graft_sqdist_long", col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+        .as("lambda"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // int arrays implicitly widen; null input yields null
+    assert(spark.sql(
+      "SELECT graft_sqdist_long(array(1, 2), array(3, 5)) d")
+      .as[Long].head() == 13L)
+    assert(spark.sql(
+      "SELECT graft_sqdist_long(CAST(NULL AS ARRAY<BIGINT>), array(1L)) d")
+      .collect().head.isNullAt(0))
+  }
+
   test("float arrays implicitly cast (embeddings table path)") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet").limit(5)

@@ -118,15 +118,16 @@ object TextSuite extends QuerySuite {
   private val t04 = GraftQuery(
     "t04_top_bigrams",
     (s, dir) => {
-      val w = Window.partitionBy("lang")
-        .orderBy(col("cnt").desc, col("bigram").asc)
-      Tables(s, dir, "documents")
+      val counted = Tables(s, dir, "documents")
         .select(col("lang"),
           explode(shingles(tokens(col("text")), 2)).as("bigram"))
         .groupBy("lang", "bigram")
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
+      // two-level top-k: |langs| is tiny, so a single per-lang window
+      // would bound parallelism by the language count at any scale
+      graft.ops.Ops.topKPerGroupScalable(counted, Seq("lang"),
+          Seq(col("cnt").desc, col("bigram").asc), 5, "rnk")
+        .withColumn("rnk", col("rnk").cast("long"))
     },
     Some("""WITH bg AS (
       SELECT lang, unnest(list_transform(

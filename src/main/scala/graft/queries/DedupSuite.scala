@@ -399,11 +399,14 @@ object DedupSuite extends QuerySuite {
     GraftQuery(
       "d09_contamination",
       (s, dir) => {
+        // per-doc distinct ≡ global distinct on (doc_id, h), but
+        // array_distinct runs map-side — no shuffle crosses here; the
+        // only exchange in the plan is the final pair-count groupBy
         val grams = Tables(s, dir, "documents")
           .select(col("doc_id"),
-            explode(shingles(tokens(col("text")), N)).as("g"))
-          .select(col("doc_id"), md5Long60(col("g")).as("h"))
-          .distinct()
+            explode(array_distinct(
+              transform(shingles(tokens(col("text")), N),
+                g => md5Long60(g)))).as("h"))
         val eval = grams.filter(col("doc_id") % Mod === 0)
           .select(col("doc_id").as("eval_id"), col("h"))
         val corpus = grams.filter(col("doc_id") % Mod =!= 0)

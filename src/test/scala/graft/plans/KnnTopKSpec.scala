@@ -46,6 +46,16 @@ class KnnTopKSpec extends SparkSpec {
     assert(!p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("projection AFTER the limit (the x04 bench shape) still rewrites") {
+    // .limit(k).select(c): Catalyst pushes the Project below the Limit,
+    // landing the Limit(Project(Sort)) shape the rule matches
+    val df = l2q(corpus).orderBy(col("dist"), col("id")).limit(10)
+      .select("id")
+    val p = executed(df)
+    assert(p.contains("KnnTopKGlobal"), p)
+    assert(df.columns.toSeq == Seq("id"))
+  }
+
   test("rewrite off => stock TakeOrderedAndProject; same rows either way") {
     val build = () => l2q(corpus).orderBy(col("dist"), col("id")).limit(25)
     val (fast, stock) = (

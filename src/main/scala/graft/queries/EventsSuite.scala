@@ -241,6 +241,33 @@ object EventsSuite extends QuerySuite {
      AND epoch_us(b.ts) > epoch_us(a.ts)
      AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000"""))
 
+  /** e11 — attribution interval join, batch twin of
+    * [[graft.streaming.EventStreams.intervalJoin]] (SAME code path —
+    * watermarks no-op on static frames): view events joined to the
+    * same user's purchases within the following 60 minutes. Equi on
+    * user_id with the interval as a post-filter — per-user event
+    * counts bound the fan-out, so no cartesian at any scale; the
+    * streaming form bounds its buffered state the same way. */
+  private val e11 = GraftQuery(
+    "e11_attribution_join",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      graft.streaming.EventStreams.intervalJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"),
+          lookbackMinutes = 60)
+        .select(col("user_id"), col("conv_id"), col("cand_id"),
+          unix_micros(col("cand_ts")).as("cand_us"),
+          unix_micros(col("conv_ts")).as("conv_us"))
+    },
+    Some("""SELECT c.user_id, p.event_id AS conv_id, c.event_id AS cand_id,
+      epoch_us(c.ts) AS cand_us, epoch_us(p.ts) AS conv_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000"""))
+
   /** e10 — sketch × event-time integration: HLL distinct users per
     * tumbling day ([[graft.functions.HyperLogLog.hll]] inside a
     * windowed aggregation — the shape a streaming
@@ -282,5 +309,5 @@ object EventsSuite extends QuerySuite {
       FROM exact e JOIN s USING (day)"""))
 
   override val suite: Seq[GraftQuery] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11)
 }

@@ -70,6 +70,34 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (attribution: each conversion event
+    * joins the same user's candidate events in the preceding
+    * `lookbackMinutes`). Both sides carry watermarks and the join
+    * condition bounds event time on BOTH ends — exactly what Spark
+    * needs to age out buffered state, so state size is O(events in the
+    * lookback + watermark horizon), not the whole stream. The batch
+    * twin (same join on static frames) is the correctness oracle in
+    * the spec. */
+  def intervalJoin(candidates: DataFrame, conversions: DataFrame,
+      lookbackMinutes: Long = 60, watermark: String = "2 hours")
+      : DataFrame = {
+    val l = candidates
+      .select(col("user_id"), col("event_id").as("cand_id"),
+        col("event_type").as("cand_type"), col("ts").as("cand_ts"))
+      .withWatermark("cand_ts", watermark)
+    val r = conversions
+      .select(col("user_id").as("conv_user"),
+        col("event_id").as("conv_id"), col("ts").as("conv_ts"))
+      .withWatermark("conv_ts", watermark)
+    l.join(r,
+      col("user_id") === col("conv_user") &&
+        col("cand_ts") <= col("conv_ts") &&
+        col("cand_ts") >= col("conv_ts") -
+          expr(s"INTERVAL $lookbackMinutes MINUTES"))
+      .select(col("user_id"), col("conv_id"), col("cand_id"),
+        col("cand_type"), col("cand_ts"), col("conv_ts"))
+  }
+
   final case class SessionEvent(
       user_id: Long, ts: Timestamp, event_id: Long)
   final case class SessionState(

@@ -84,4 +84,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("KnnTopKGlobal") && p.contains("KnnTopKLocal"), p)
     assert(!p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("t08/t09 chunking + repetition metrics are pure map-side") {
+    // fixed-size chunking and duplicate-n-gram fractions are per-row
+    // array math: any Exchange here would shuffle the whole corpus
+    assert(!plan("t08_chunk_overlap").contains("Exchange"),
+      "t08 shuffles — chunking must stay map-side")
+    assert(!plan("t09_repetition").contains("Exchange"),
+      "t09 shuffles — repetition metrics must stay map-side")
+  }
+
+  test("d09 decontamination broadcasts the benchmark side") {
+    val p = plan("d09_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side shuffled for the benchmark join")
+  }
+
+  test("s08 sequence packing carries no Window operator") {
+    // the prefix sum is the two-phase scan, never SUM() OVER (ORDER BY)
+    assert(!plan("s08_pack_bins").contains("Window"),
+      "s08 regressed to a single-partition running-sum window")
+  }
+
+  test("simhash signatures aggregate 32 votes in one exchange (d05)") {
+    val p = plan("d05_simhash")
+    // one shuffle for the per-doc groupBy; the old per-bit explode
+    // carried a second aggregation round
+    // count in the final-plan section only (AQE's plan string appends
+    // an "== Initial Plan ==" copy that would double-count)
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(finalSection).length
+    assert(exchanges <= 1,
+      s"d05 shuffles $exchanges times — expected a single groupBy:\n$p")
+  }
 }

@@ -118,6 +118,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.count() >= closedBatch.count())
   }
 
+  test("stream-stream interval join matches the batch twin") {
+    val clicks = EventStreams.fromFiles(spark, srcDir)
+      .filter(col("event_type") === "view")
+    val buys = EventStreams.fromFiles(spark, srcDir)
+      .filter(col("event_type") === "purchase")
+    runToMemory(EventStreams.intervalJoin(clicks, buys, 60),
+      "attrib", "append")
+    val streamed = spark.table("attrib")
+    val ev = spark.read.parquet(srcDir)
+    val batch = EventStreams.intervalJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"), 60)
+    // streamed output may lag the watermark on the tail; every emitted
+    // pair must exist in the batch join, and coverage must be material
+    val extra = streamed.join(batch,
+      Seq("user_id", "conv_id", "cand_id"), "left_anti").count()
+    assert(extra == 0, "streamed join emitted pairs the batch twin lacks")
+    val total = batch.count()
+    assert(total > 0, "fixture yields no view->purchase attribution pairs")
+    assert(streamed.count() * 10 >= total * 9,
+      s"streamed join emitted ${streamed.count()} of $total batch pairs")
+  }
+
   test("foreachBatch transform sink appends transformed micro-batches") {
     val out = Files.createTempDirectory("graft_stream_out").toString + "/o"
     val cp = Files.createTempDirectory("graft_stream_cp").toString

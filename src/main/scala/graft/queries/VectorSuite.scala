@@ -294,6 +294,42 @@ object VectorSuite extends QuerySuite {
     FROM q c, probe p WHERE c.vec_id <> 0
     ORDER BY dist, neighbor_id LIMIT 5"""))
 
+  /** v09 — embedding-cosine near-dup DEDUP end-to-end (the north-star
+    * "embedding-cosine near-dup" family closed the same way d08 closes
+    * MinHash): v05's verified cosine pairs → connected components →
+    * (vec_id, component) survivor labels. Same NearDedup engine path
+    * (driver union-find at this edge count, distributed min-label above
+    * the threshold); the oracle recomputes components independently as
+    * a recursive-CTE transitive closure over the identical pair SQL. */
+  private val v09 = GraftQuery(
+    "v09_embed_dedup",
+    (s, dir) => {
+      val pairs = v05.run(s, dir).select("a_id", "b_id")
+      graft.ops.NearDedup.components(pairs)
+        .select(col("id").cast("long").as("vec_id"),
+          col("component").cast("long").as("component"))
+    },
+    Some(s"""WITH RECURSIVE q AS ($qvSql),
+    sampled AS (SELECT * FROM q WHERE vec_id % 7 = 0),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM sampled a JOIN sampled b
+        ON a.vec_id < b.vec_id AND a.label = b.label
+      WHERE CAST(list_sum(list_transform(range(1, 1+len(a.qv)),
+          i -> a.qv[i]*b.qv[i])) AS BIGINT)::DOUBLE /
+        (sqrt(CAST(list_sum(list_transform(a.qv, x -> x*x)) AS BIGINT)::DOUBLE)
+       * sqrt(CAST(list_sum(list_transform(b.qv, x -> x*x)) AS BIGINT)::DOUBLE))
+          > 0.3),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+    FROM reach GROUP BY src"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v08)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09)
 }

@@ -335,6 +335,57 @@ object SketchSuite extends QuerySuite {
         FROM c"""))
   }
 
+  // ---------------------------------------------------------------- s09
+  /** s09 — winsorization bounds (numeric outlier clipping for feature
+    * prep): exact p01/p99 order statistics per event type (0-based rank
+    * `(n-1)·q div 100` under a total order — raw value passthrough, so
+    * no float arithmetic crosses engines) plus how many rows each
+    * bound would clip. Exact ranks need a per-group sort — affordable
+    * because event-type cardinality is tiny and the rank window is the
+    * oracle-exact form; the sampled sketch (s05) is the scale path
+    * when groups are huge and approximation is acceptable. */
+  private val s09 = GraftQuery(
+    "s09_winsorize",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      val ranked = ev
+        .withColumn("rn", row_number().over(w).cast("long") - 1)
+        .join(broadcast(n), Seq("event_type"))
+      val bounds = ranked.groupBy("event_type").agg(
+        min(when(col("rn") === expr("(n-1) div 100"), col("value")))
+          .as("p01"),
+        min(when(col("rn") === expr("((n-1) * 99) div 100"), col("value")))
+          .as("p99"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(min("p01").as("p01"), min("p99").as("p99"),
+          count(lit(1)).as("n"),
+          count(when(col("value") < col("p01"), lit(1))).as("n_below"),
+          count(when(col("value") > col("p99"), lit(1))).as("n_above"))
+    },
+    Some("""WITH r AS (
+        SELECT event_type, value,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY value, event_id) - 1 AS rn
+        FROM events),
+      cnt AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+      b AS (
+        SELECT r.event_type,
+          MIN(CASE WHEN rn = (cnt.n - 1) // 100 THEN value END) AS p01,
+          MIN(CASE WHEN rn = ((cnt.n - 1) * 99) // 100 THEN value END)
+            AS p99
+        FROM r JOIN cnt USING (event_type) GROUP BY 1)
+      SELECT e.event_type, MIN(b.p01) AS p01, MIN(b.p99) AS p99,
+        COUNT(*) AS n,
+        COUNT(CASE WHEN e.value < b.p01 THEN 1 END) AS n_below,
+        COUNT(CASE WHEN e.value > b.p99 THEN 1 END) AS n_above
+      FROM events e JOIN b USING (event_type)
+      GROUP BY 1"""))
+
   override def suite: Seq[GraftQuery] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

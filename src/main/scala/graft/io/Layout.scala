@@ -1,0 +1,51 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout utilities for the 100 TB posture — the concerns that
+  * dominate real lake maintenance and that no single query shows:
+  *
+  *  - **Partition pruning**: facts written `partitionBy(<date>)` let a
+  *    time-bounded query read only its days — the scan carries
+  *    `PartitionFilters` instead of touching the whole corpus
+  *    (LayoutSpec asserts the executed plan does exactly that).
+  *  - **Small-file compaction**: streaming/incremental ingest leaves
+  *    thousands of KB-sized files per partition; each parquet file
+  *    costs a task + footer read, so scan parallelism degenerates into
+  *    scheduler overhead. Compaction rewrites to a bounded file count
+  *    with rows co-sorted for locality.
+  */
+object Layout {
+
+  /** Write `df` day-partitioned on `tsCol` (a `p_day=YYYY-MM-DD`
+    * directory per day). The partition column is derived, so the
+    * original timestamp column survives intact. */
+  def writeDayPartitioned(df: DataFrame, tsCol: String, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("p_day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.partitionBy("p_day").mode(mode).parquet(path)
+
+  /** Read a day-partitioned table back; day-range filters on `p_day`
+    * prune at the driver before any file is opened. */
+  def readDayPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Compact a directory in place-adjacent fashion: read, re-sort for
+    * locality, rewrite with at most `maxRecordsPerFile` rows per file
+    * into `outPath`. `sortCols` should lead with the columns queries
+    * filter/join on most (range-partitioned + sorted data keeps
+    * min/max row-group stats tight, so predicate pushdown skips whole
+    * row groups). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      sortCols: Seq[String], maxRecordsPerFile: Long = 1000000L): Unit = {
+    val df = spark.read.parquet(inPath)
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.repartitionByRange(sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    sorted.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.Overwrite).parquet(outPath)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+
+  private lazy val events = graft.Tables(spark,
+    "/root/testdata/sf0.001", "events")
+
+  test("day-partitioned write prunes partitions on day filters") {
+    val dir = Files.createTempDirectory("graft_layout").toString + "/ev"
+    Layout.writeDayPartitioned(events, "ts", dir)
+    val back = Layout.readDayPartitioned(spark, dir)
+    // partition-column type inference may read p_day back as DATE
+    val day = back.select(min("p_day")).head().get(0).toString
+    val q = back.filter(col("p_day") === day)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p)
+    // the filter must reach the partition level, not just the data scan
+    assert("""PartitionFilters: \[[^\]]*p_day""".r.findFirstIn(p).isDefined,
+      "day filter did not become a partition filter: " + p)
+    // row parity: partition column adds, rows do not change
+    assert(back.count() == events.count())
+    assert(q.count() ==
+      events.filter(date_format(col("ts"), "yyyy-MM-dd") === day).count())
+  }
+
+  test("compaction bounds file count and preserves rows") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    val frag = base + "/frag"
+    val compacted = base + "/compact"
+    // simulate incremental ingest: 40 tiny appends
+    val ev = events.limit(2000).cache()
+    (0 until 40).foreach { i =>
+      ev.filter(col("event_id") % 40 === i)
+        .coalesce(1).write.mode("append").parquet(frag)
+    }
+    val fragFiles = new java.io.File(frag).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles >= 40, s"expected fragmented input, got $fragFiles")
+    Layout.compact(spark, frag, compacted, Seq("user_id", "ts"))
+    val outFiles = new java.io.File(compacted).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles < fragFiles / 4,
+      s"compaction left $outFiles files (from $fragFiles)")
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(compacted)
+    assert(a.count() == b.count())
+    assert(a.join(b, a.columns.toSeq, "left_anti").count() == 0)
+  }
+}

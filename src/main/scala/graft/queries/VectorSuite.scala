@@ -330,6 +330,35 @@ object VectorSuite extends QuerySuite {
     SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
     FROM reach GROUP BY src"""))
 
+  /** v10 — distributed centroid update (the Lloyd/k-means step that
+    * pairs with v06's assignment, and the relational twin of the
+    * [[graft.functions.VectorCentroid]] typed Aggregator): element-wise
+    * mean of each label's quantized vectors. posexplode → one
+    * sum-aggregate on (label, pos) — partial sums combine map-side, the
+    * shuffle carries d rows per label, never vectors — then the
+    * shuffle carries d rows per label, never vectors. Output is one
+    * row per (label, element) — scalar columns only, since the
+    * driver's row comparator cannot sort array cells (the assembled-
+    * vector form is [[graft.functions.VectorCentroid]], spec'd).
+    * Integer sums are exact cross-engine; the mean divides once. */
+  private val v10 = GraftQuery(
+    "v10_label_centroid",
+    (s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("n_vecs"),
+          (col("sx").cast("double") / col("n_vecs")).as("c")),
+    Some(s"""WITH q AS ($qvSql),
+      px AS (
+        SELECT label, p.pos - 1 AS pos, qv[p.pos] AS x
+        FROM q, LATERAL (SELECT unnest(range(1, 1 + len(qv))) AS pos) p)
+      SELECT label, pos, COUNT(*) AS n_vecs,
+        CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / COUNT(*) AS c
+      FROM px GROUP BY 1, 2"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10)
 }

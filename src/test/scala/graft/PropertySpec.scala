@@ -89,4 +89,41 @@ class PropertySpec extends SparkSpec {
       assert(ids == (1L to n))
     }
   }
+
+  test("components: local union-find and distributed loop agree on " +
+      "random graphs") {
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    forAll(edgeGen, n = 5) { raw =>
+      val edges = raw.filter { case (a, b) => a != b }
+      whenever(edges.nonEmpty) {
+        val pairs = edges.toDF("a_id", "b_id")
+        val local = graft.ops.NearDedup.components(pairs)
+          .as[(Long, Long)].collect().toMap
+        val dist = graft.ops.NearDedup
+          .components(pairs, smallGraphEdges = 0L)
+          .as[(Long, Long)].collect().toMap
+        assert(local == dist)
+        // component labels are fixpoints: the label's own label is itself
+        local.foreach { case (_, c) => assert(local(c) == c) }
+      }
+    }
+  }
+
+  test("two-phase prefix sum equals the window form on random weights") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.zip(
+      Gen.listOfN(80, Gen.choose(0L, 50L)), Gen.choose(1, 9))
+    forAll(gen, n = 5) { case (ws, parts) =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("k", "w").repartition(parts)
+      val got = graft.ops.Packing.withPrefixSum(df, "k", "w", "cum")
+        .select("k", "cum").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("cum",
+        coalesce(sum("w").over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("k", "cum").as[(Long, Long)].collect().toMap
+      assert(got == want)
+    }
+  }
 }

@@ -239,6 +239,45 @@ case class SqDistLong(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Exact dot product over QUANTIZED (long) vectors — companion of
+  * [[SqDistLong]], used for sign-bucket LSH where the HASH must be
+  * bit-identical across engines (a double dot product's sign can flip
+  * on summation order at the decision boundary; integer sums cannot). */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (va, vb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(va.numElements(), vb.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += va.getLong(i) * vb.getLong(i); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $acc = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += $a.getLong($i) * $b.getLong($i);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Session extension registering the graft SQL functions — enabled via
   * `spark.sql.extensions=graft.expr.GraftExtensions` (see
   * `graft.GraftSession`). */
@@ -262,6 +301,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_sqdist_long",
         "_FUNC_(a, b) - exact squared L2 over quantized long vectors"),
       (es: Seq[Expression]) => SqDistLong(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_dot_long"),
+      info("graft_dot_long",
+        "_FUNC_(a, b) - exact dot product over quantized long vectors"),
+      (es: Seq[Expression]) => DotLong(es(0), es(1))))
     // whole-operator kNN: ORDER BY <vector distance> LIMIT k →
     // KnnTopK (eval-once bounded heaps; see graft.plans.KnnTopK)
     ext.injectOptimizerRule(graft.plans.KnnTopKRewrite)

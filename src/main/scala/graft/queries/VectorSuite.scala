@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -359,6 +359,78 @@ object VectorSuite extends QuerySuite {
         CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / COUNT(*) AS c
       FROM px GROUP BY 1, 2"""))
 
+  /** v11 — sign-bucket LSH ANN (the second ANN scale path beside IVF,
+    * SURVEY north-star "LSH-bucketed variant"): 8 fixed integer
+    * hyperplanes, bucket = packed sign bits of exact integer dot
+    * products (the codegen `graft_dot_long` — at a decision boundary a
+    * double dot's sign could flip on summation order; integer sums
+    * cannot, so the HASH is bit-identical cross-engine). Queries probe
+    * their own bucket plus every 1-bit flip (multiprobe), exact
+    * distances within the probed union. Corpus bucketing is map-side
+    * literal math; at scale bucket is the partition key. */
+  private val v11 = {
+    val B = 8
+    val planes: Seq[Seq[Long]] = Seq.tabulate(B)(b =>
+      Seq.tabulate(16)(i => ((b * 31 + i * 17) % 19 - 9).toLong))
+    def duckList(h: Seq[Long]) = h.mkString("[", ",", "]")
+    GraftQuery(
+      "v11_lsh_ann",
+      (s, dir) => {
+        def bucket(vec: Column): Column =
+          planes.zipWithIndex.map { case (h, b) =>
+            when(call_function("graft_dot_long", vec, typedLit(h)) > 0L,
+              lit(1L << b)).otherwise(0L)
+          }.reduce(_ + _)
+        val corpus = emb(s, dir)
+          .select(col("vec_id"), col("qv"), bucket(col("qv")).as("bucket"))
+        val probes = emb(s, dir).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("qv").as("query_qv"),
+            bucket(col("qv")).as("own"))
+          .select(col("query_id"), col("query_qv"),
+            explode(array(col("own") +: (0 until B).map(b =>
+              col("own").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("dist"), col("vec_id"))
+        corpus.join(broadcast(probes), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("dist",
+            sqrt(call_function("graft_sqdist_long",
+              col("qv"), col("query_qv")).cast("double")) / 1e6)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select("query_id", "vec_id", "dist", "rnk")
+      },
+      Some(s"""WITH q AS ($qvSql),
+      hp AS (SELECT * FROM (VALUES
+        ${planes.zipWithIndex.map { case (h, b) =>
+          s"($b, ${duckList(h)})" }.mkString(",\n        ")})
+        AS t(b, h)),
+      bucketed AS (
+        SELECT vec_id, qv,
+          CAST(SUM(CASE WHEN
+              CAST(list_sum(list_transform(range(1, 1 + len(qv)),
+                i -> qv[i] * h[i])) AS BIGINT) > 0
+            THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+        FROM q, hp GROUP BY vec_id, qv),
+      probes AS (
+        SELECT vec_id AS query_id, qv AS query_qv,
+          unnest(list_concat([bucket],
+            list_transform(range(0, $B),
+              b -> xor(bucket, 1::BIGINT << b)))) AS bucket
+        FROM bucketed WHERE vec_id < 8),
+      cand AS (
+        SELECT p.query_id, c.vec_id,
+          sqrt(CAST(CAST(list_sum(list_transform(range(1, 1 + len(c.qv)),
+            i -> (c.qv[i] - p.query_qv[i]) * (c.qv[i] - p.query_qv[i])))
+            AS BIGINT) AS DOUBLE)) / 1e6 AS dist
+        FROM bucketed c JOIN probes p USING (bucket)
+        WHERE c.vec_id <> p.query_id)
+      SELECT query_id, vec_id, dist,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY dist, vec_id) AS BIGINT) AS rnk
+      FROM cand QUALIFY rnk <= 5"""))
+  }
+
   override val suite: Seq[GraftQuery] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11)
 }

@@ -119,4 +119,53 @@ object VectorSearch {
       .filter(col("rank") <= k)
       .select("query_id", "id", "cell", "dist", "rank")
   }
+
+  // ------------------------------------------------------------- LSH ANN
+
+  /** Random-hyperplane LSH — the second ANN scale path next to IVF
+    * (indyk-motwani style sign buckets): bucket(v) = the B sign bits of
+    * v against B fixed hyperplanes, packed into a long. Like the IVF
+    * centroids, the (tiny) hyperplane set embeds in the plan as
+    * literals, so bucketing is pure map-side expression math — at scale
+    * the bucket is a partition/cluster key and probes read only the
+    * query's bucket(s). Multiprobe widens recall by also visiting every
+    * 1-bit-flip neighbor bucket (B+1 buckets) — still O(1) of the
+    * corpus. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (h, b) =>
+      when(call_function("graft_dot", vec, typedLit(h)) > 0d,
+        lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** The query's probe buckets: its own, plus each 1-bit flip when
+    * `multiprobe` is on. */
+  def lshProbes(vec: Column, planes: Seq[Seq[Double]],
+      multiprobe: Boolean): Column = {
+    val own = lshBucket(vec, planes)
+    if (!multiprobe) array(own)
+    else array(own +: planes.indices.map(b =>
+      own.bitwiseXOR(lit(1L << b))): _*)
+  }
+
+  /** ANN search through sign-bucket LSH: corpus tagged map-side,
+    * queries (broadcast) probe their bucket set, exact top-k within
+    * the union of probed buckets. */
+  def searchLsh(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      planes: Seq[Seq[Double]], k: Int, multiprobe: Boolean = true)
+      : DataFrame = {
+    val tagged = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), planes))
+    val q = queries.select(col(qidCol).as("query_id"),
+      col(qvecCol).cast("array<double>").as("qvec"))
+      .withColumn("bucket",
+        explode(lshProbes(col("qvec"), planes, multiprobe)))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+    tagged.join(broadcast(q), Seq("bucket"))
+      .withColumn("dist", l2(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "dist", "rank")
+  }
 }

@@ -49,4 +49,31 @@ class VectorSearchSpec extends SparkSpec {
       k = 5, nprobe = 1).collect()
     assert(out.nonEmpty && out.map(_.getAs[Long]("cell")).distinct.length == 1)
   }
+
+  test("lsh search: self is always found (same bucket), ranks ascend") {
+    val planes = Seq.tabulate(8)(b =>
+      Seq.tabulate(16)(i => ((b * 31 + i * 17) % 19 - 9).toDouble))
+    val queries = emb.filter(col("vec_id").isin(7L, 42L, 99L))
+    val out = VectorSearch.searchLsh(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", planes, k = 5).collect()
+    // a vector shares its own bucket, so rank 1 is self at dist 0
+    val self = out.filter(_.getAs[Int]("rank") == 1)
+    assert(self.length == 3 && self.forall(r =>
+      r.getAs[Long]("query_id") == r.getAs[Long]("id") &&
+        r.getAs[Double]("dist") == 0.0))
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("dist"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("multiprobe visits strictly more candidates than single-bucket") {
+    val planes = Seq.tabulate(8)(b =>
+      Seq.tabulate(16)(i => ((b * 13 + i * 7) % 11 - 5).toDouble))
+    val queries = emb.filter(col("vec_id") < 5)
+    def hits(mp: Boolean) = VectorSearch.searchLsh(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", planes,
+      k = 1000000, multiprobe = mp).count()
+    assert(hits(true) >= hits(false))
+  }
 }

@@ -305,6 +305,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_dot_long",
         "_FUNC_(a, b) - exact dot product over quantized long vectors"),
       (es: Seq[Expression]) => DotLong(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "_FUNC_(s) - Unicode NFC normalization"),
+      (es: Seq[Expression]) => NfcNormalize(es(0))))
     // whole-operator kNN: ORDER BY <vector distance> LIMIT k →
     // KnnTopK (eval-once bounded heaps; see graft.plans.KnnTopK)
     ext.injectOptimizerRule(graft.plans.KnnTopKRewrite)

@@ -318,6 +318,42 @@ object TextSuite extends QuerySuite {
         FROM t"""))
   }
 
+  /** t10 — Unicode NFC canonicalization ([[graft.expr.NfcNormalize]],
+    * the custom string expression): a corpus mixing NFC and NFD spells
+    * the SAME visible text two ways, so hashes/dedup/joins silently
+    * miss. The synthetic corpus is ASCII, so the query grafts a
+    * deterministic DECOMPOSED suffix (e + U+0301 combining acute, ô as
+    * o + U+0302) onto each doc; normalization must compose both into
+    * single code points. Checked via post-NFC md5 + length — DuckDB's
+    * nfc_normalize implements the identical Unicode algorithm. */
+  private val t10 = GraftQuery(
+    "t10_nfc_normalize",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          // explicit escapes: the suffix must be DECOMPOSED (e +
+          // U+0301, o + U+0302) - a composed literal in the source
+          // file would silently defeat the test
+          concat(col("text"), lit(" caf"), lit("e\u0301"),
+            lit(" o\u0302n")).as("raw"))
+        .select(
+          col("doc_id"),
+          length(col("raw")).cast("long").as("raw_chars"),
+          length(call_function("graft_nfc", col("raw"))).cast("long")
+            .as("nfc_chars"),
+          md5(call_function("graft_nfc", col("raw")).cast("binary"))
+            .as("nfc_md5")),
+    Some(s"""WITH r AS (
+        SELECT doc_id,
+          text || ' caf' || 'e' || chr(769) || ' o' || chr(770) || 'n'
+            AS raw
+        FROM documents)
+      SELECT doc_id,
+        CAST(length(raw) AS BIGINT) AS raw_chars,
+        CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_chars,
+        md5(nfc_normalize(raw)) AS nfc_md5
+      FROM r"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }

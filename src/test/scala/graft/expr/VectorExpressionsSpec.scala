@@ -55,6 +55,24 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().head.isNullAt(0))
   }
 
+  test("graft_nfc composes decomposed sequences; idempotent; null-safe") {
+    val decomposed = "cafe\u0301" // e + U+0301 combining acute
+    val composed = "caf\u00e9"
+    assert(decomposed != composed && decomposed.length == 5)
+    val r = Seq(decomposed).toDF("s")
+      .select(call_function("graft_nfc", col("s")).as("n"))
+      .select(col("n"), length(col("n")).as("len"),
+        call_function("graft_nfc", col("n")).as("again"))
+      .head()
+    assert(r.getString(0) == composed && r.getInt(1) == 4)
+    assert(r.getString(2) == composed, "NFC must be idempotent")
+    assert(spark.sql("SELECT graft_nfc(CAST(NULL AS STRING)) s")
+      .head().isNullAt(0))
+    // dot_long while we're here: exact integer dot
+    assert(spark.sql("SELECT graft_dot_long(array(2L,3L), array(5L,7L)) d")
+      .as[Long].head() == 31L)
+  }
+
   test("float arrays implicitly cast (embeddings table path)") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet").limit(5)

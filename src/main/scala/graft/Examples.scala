@@ -79,6 +79,30 @@ object Examples {
     println("knn plan: " + (if (knn.queryExecution.executedPlan.toString
       .contains("KnnTopKGlobal")) "KnnTopK rewrite" else "stock"))
 
+    // --- training-data prep (round 5): pack, dedupe, decontaminate ---
+    val withTok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val packed = graft.ops.Packing.packBins(withTok, "doc_id", "n_tokens",
+      maxLen = 512L)
+    println(s"packing: ${packed.agg(max("bin")).head().getLong(0) + 1} " +
+      s"bins of 512 tokens for ${withTok.count()} docs")
+    val pairs = SparkEntry.queries("d04_jaccard_verify")(
+      spark, "/root/testdata/sf0.001").select("a_id", "b_id")
+    val deduped = graft.ops.NearDedup.dedup(docs, "doc_id", pairs)
+    println(s"near-dedup: ${docs.count()} docs -> ${deduped.count()} " +
+      "after collapsing verified near-dup clusters")
+
+    // --- LSH ANN (second index type beside IVF) ---
+    val planes = Seq.tabulate(8)(b =>
+      Seq.tabulate(16)(i => ((b * 31 + i * 17) % 19 - 9).toDouble))
+    val lsh = graft.vector.VectorSearch.searchLsh(emb, "vec_id", "vec",
+      emb.filter(col("vec_id") < 2), "vec_id", "vec", planes, k = 3)
+    println(s"lsh ann: ${lsh.count()} results across 2 queries")
+
+    // --- audio modality (real WAV decode path) ---
+    println("audio: see graft.multimodal.Audio — WAV/PCM16 decode, " +
+      "quarantine, frame RMS/ZCR (AudioSpec drives it end-to-end)")
+
     spark.stop()
   }
 }

@@ -16,7 +16,8 @@ object SparkEntry {
 
   private val suites: Seq[QuerySuite] = Seq(
     RelationalSuite, JoinsSuite, FunctionsSuite, EventsSuite, WindowSuite,
-    VectorSuite, DedupSuite, TextSuite, SketchSuite, BenchSuite)
+    VectorSuite, DedupSuite, TextSuite, SketchSuite, ProfileSuite,
+    BenchSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.suite)
 

@@ -268,6 +268,38 @@ object EventsSuite extends QuerySuite {
      AND epoch_us(c.ts) <= epoch_us(p.ts)
      AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000"""))
 
+  /** e12 — sessionization through Spark's NATIVE session_window
+    * operator (the built-in merging-session-window; e02 is the
+    * relational form, EventStreams.sessionize the stateful-streaming
+    * form — three routes to one semantic). Boundary semantics differ
+    * from e02 by design: session_window opens [ts, ts+gap) per event
+    * and merges overlaps, so a gap of EXACTLY 30 min starts a new
+    * session (>=), while e02's lag test splits only on > — the oracle
+    * here states the >= islands, proving the built-in's exact
+    * semantics rather than approximating them. */
+  private val e12 = GraftQuery(
+    "e12_session_window",
+    (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("sess_start"), max("ts").as("sess_end"))
+        .select("user_id", "n_events", "sess_start", "sess_end"),
+    Some("""WITH flagged AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, COUNT(*) AS n_events,
+      min(ts) AS sess_start, max(ts) AS sess_end
+    FROM (SELECT user_id, ts,
+            CAST(sum(new_sess) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS BIGINT) AS session_seq
+          FROM flagged)
+    GROUP BY user_id, session_seq"""))
+
   /** e10 — sketch × event-time integration: HLL distinct users per
     * tumbling day ([[graft.functions.HyperLogLog.hll]] inside a
     * windowed aggregation — the shape a streaming
@@ -309,5 +341,5 @@ object EventsSuite extends QuerySuite {
       FROM exact e JOIN s USING (day)"""))
 
   override val suite: Seq[GraftQuery] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12)
 }

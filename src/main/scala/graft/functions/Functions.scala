@@ -58,6 +58,24 @@ object TextOps {
   def fingerprint(toks: Column): Column =
     aggregate(toks, lit(0L),
       (acc, w) => (acc * 31L + md5Long32(w)) % 1000000007L)
+
+  /** Per-ROW 32-bit SimHash of a text column — the same signature the
+    * relational d05 plan computes with a groupBy, folded entirely into
+    * within-row array lambdas (one md5 per token, then 32 vote folds).
+    * Being a pure projection, it composes into STREAMING plans where a
+    * second stateful aggregation would be disallowed (one stateful op
+    * per query) — see EventStreams.nearDupStream. DedupSuiteSpec pins
+    * it equal to the batch d05 output. */
+  def simhash32(text: Column): Column = {
+    val hs = transform(tokens(text), w => md5Long32(w))
+    val votes = (0 until 32).map { b =>
+      aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L))
+    }
+    votes.zipWithIndex.map { case (v, b) =>
+      when(v >= 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
 }
 
 /** Dense-vector combinators over ArrayType columns (SURVEY.md §2.11

@@ -98,6 +98,72 @@ object EventStreams {
         col("cand_type"), col("cand_ts"), col("conv_ts"))
   }
 
+  final case class BlockDoc(
+      block: String, doc_id: Long, ts: Timestamp, simhash: Long)
+  final case class BlockState(seen: List[(Long, Long)])
+  final case class NearDupHit(a_id: Long, b_id: Long, hamming: Long)
+
+  /** STREAMING near-duplicate detection — the incremental form of the
+    * batch SimHash pipeline (d05/d06): each arriving document's
+    * per-row [[graft.functions.TextOps.simhash32]] signature (a pure
+    * projection, so it composes before the one-stateful-op limit) is
+    * blocked on its two 16-bit halves; per-block state keeps the
+    * signatures seen inside the watermark horizon and every arrival
+    * emits its Hamming-verified pairs against them. State per block is
+    * capped (the [[graft.ops.Blocking]] hot-bucket stance: a
+    * degenerate block must not grow state without bound) and expires
+    * on event-time timeout. The spec pins the emitted pair set equal
+    * to the batch d06 pairs on the same corpus. */
+  def nearDupStream(docs: DataFrame, hammingMax: Int = 6,
+      watermark: String = "2 hours", horizonMs: Long = 7200000L,
+      maxPerBlock: Int = 1000): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tagged = docs
+      .withColumn("simhash",
+        graft.functions.TextOps.simhash32(col("text")))
+      .select(col("doc_id"), col("ts"), col("simhash"),
+        explode(array(
+          concat(lit("hi:"), expr("simhash div 65536")),
+          concat(lit("lo:"), expr("simhash % 65536")))).as("block"))
+      .withWatermark("ts", watermark)
+      .select("block", "doc_id", "ts", "simhash").as[BlockDoc]
+    tagged.groupByKey(_.block)
+      .flatMapGroupsWithState[BlockState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[BlockDoc],
+            state: GroupState[BlockState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.seen).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            var lastMs = 0L
+            rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              seen.foreach { case (sh, id) =>
+                if (id != d.doc_id) {
+                  val ham = java.lang.Long.bitCount(sh ^ d.simhash).toLong
+                  if (ham <= hammingMax)
+                    out += NearDupHit(math.min(id, d.doc_id),
+                      math.max(id, d.doc_id), ham)
+                }
+              }
+              if (seen.length < maxPerBlock)
+                seen = (d.simhash, d.doc_id) :: seen
+              lastMs = math.max(lastMs, d.ts.getTime)
+            }
+            state.update(BlockState(seen))
+            // a late block (all events behind the watermark) must still
+            // get a VALID timeout — Spark rejects timestamps at or
+            // below the current watermark
+            state.setTimeoutTimestamp(math.max(lastMs + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   final case class SessionEvent(
       user_id: Long, ts: Timestamp, event_id: Long)
   final case class SessionState(

@@ -42,4 +42,18 @@ class FixtureInvariantSpec extends SparkSpec {
         s"MaxBucket (${DedupSuite.MaxBucket}); d06's capped Spark side " +
         "and its uncapped oracle are about to diverge")
   }
+
+  test("per-row simhash32 expression equals the d05 relational plan") {
+    // the streaming near-dup path signs documents with the pure
+    // expression form; it must produce the identical signature the
+    // oracle-checked groupBy plan computes
+    val dir = "/root/testdata/sf0.001"
+    val viaExpr = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextOps.simhash32(col("text")).as("simhash"))
+    val viaPlan = graft.SparkEntry.queries("d05_simhash")(spark, dir)
+    assert(viaExpr.exceptAll(viaPlan).isEmpty &&
+      viaPlan.exceptAll(viaExpr).isEmpty,
+      "expression and relational SimHash diverge")
+  }
 }

@@ -141,6 +141,40 @@ class EventStreamsSpec extends SparkSpec {
       s"streamed join emitted ${streamed.count()} of $total batch pairs")
   }
 
+  test("streaming near-dup detection matches the batch SimHash pairs") {
+    import spark.implicits._
+    val docDir = Files.createTempDirectory("graft_stream_docs").toString
+    // deterministic event times derived from doc_id, split in two
+    // chunks so pairs must form ACROSS micro-batches through state
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      // +1: epoch-0 would sit exactly AT the initial watermark and be
+      // dropped as late before reaching the stateful operator
+      .withColumn("ts", expr("timestamp_micros((doc_id + 1) * 60000000)"))
+      .select("doc_id", "ts", "text")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(docDir)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(docDir)
+    val stream = spark.readStream
+      .schema(docs.schema).parquet(docDir)
+    // horizon covers the fixture's whole 8.3 h time span, so no block
+    // state expires and the stream must find EVERY batch pair; shorter
+    // horizons legitimately drop cross-horizon pairs (bounded state)
+    runToMemory(EventStreams.nearDupStream(stream,
+        watermark = "24 hours", horizonMs = 86400000L).toDF(),
+      "neardup", "append")
+    val streamed = spark.table("neardup")
+      .select("a_id", "b_id", "hamming").distinct()
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.SparkEntry.queries("d06_simhash_pairs")(
+      spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture should contain near-dup pairs")
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}: " +
+        s"missing=${(batch -- streamed).take(3)} " +
+        s"extra=${(streamed -- batch).take(3)}")
+  }
+
   test("foreachBatch transform sink appends transformed micro-batches") {
     val out = Files.createTempDirectory("graft_stream_out").toString + "/o"
     val cp = Files.createTempDirectory("graft_stream_cp").toString

@@ -95,5 +95,82 @@ object ProfileSuite extends QuerySuite {
         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
       FROM lineitem"""))
 
-  override val suite: Seq[GraftQuery] = Seq(p01, p02)
+  /** p03 — the curation FUNNEL end-to-end (capstone: the whole
+    * training-data cleaning pipeline as ONE declarative plan): total →
+    * quality gate (t01's metrics) → repetition gate (t09's duplicate
+    * 2-grams) → exact dedup (keep-first by content hash, min_by /
+    * arg_min — deterministic under unique doc ids). One row per stage
+    * with surviving doc and token counts — the numbers a pipeline
+    * owner actually watches. Metrics are within-row array math; each
+    * stage aggregate is a partial-agg scan; the dedup stage's only
+    * shuffle is the md5 groupBy. */
+  private val p03 = {
+    import graft.functions.TextOps.{shingles, tokens}
+    GraftQuery(
+      "p03_curation_funnel",
+      (s, dir) => {
+        val base = Tables(s, dir, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("uniq_ratio",
+            size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks")))
+          .withColumn("g2", shingles(col("toks"), 2))
+          .withColumn("dup2_frac",
+            when(size(col("g2")) > 0,
+              (size(col("g2")) - size(array_distinct(col("g2"))))
+                .cast("double") / size(col("g2"))).otherwise(0.0))
+          .withColumn("h", md5(col("text").cast("binary")))
+        val q = base.filter(col("n_tokens") >= 5 &&
+          col("uniq_ratio") >= 0.3)
+        val r = q.filter(col("dup2_frac") <= 0.2)
+        val d = r.groupBy("h")
+          .agg(min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+        def stage(n: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tokens_total"))
+            .select(lit(n).cast("long").as("stage"),
+              lit(name).as("gate"), col("n_docs"), col("n_tokens_total"))
+        stage(0, "total", base)
+          .unionByName(stage(1, "quality", q))
+          .unionByName(stage(2, "repetition", r))
+          .unionByName(stage(3, "exact_dedup", d))
+      },
+      Some("""WITH base AS (
+        SELECT doc_id, md5(text) AS h,
+          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+            / len(string_split(text,' ')) AS uniq_ratio,
+          CASE WHEN len(string_split(text,' ')) >= 2 THEN
+            CAST(len(list_transform(range(1, len(string_split(text,' '))),
+                i -> array_to_string(list_slice(string_split(text,' '),
+                  i, i+1), ' ')))
+              - len(list_distinct(list_transform(
+                  range(1, len(string_split(text,' '))),
+                  i -> array_to_string(list_slice(string_split(text,' '),
+                    i, i+1), ' ')))) AS DOUBLE)
+              / len(list_transform(range(1, len(string_split(text,' '))),
+                  i -> array_to_string(list_slice(string_split(text,' '),
+                    i, i+1), ' ')))
+            ELSE 0.0 END AS dup2_frac
+        FROM documents),
+      q AS (SELECT * FROM base
+            WHERE n_tokens >= 5 AND uniq_ratio >= 0.3),
+      r AS (SELECT * FROM q WHERE dup2_frac <= 0.2),
+      d AS (SELECT h, arg_min(n_tokens, doc_id) AS n_tokens
+            FROM r GROUP BY h)
+      SELECT 0 AS stage, 'total' AS gate, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total FROM base
+      UNION ALL
+      SELECT 1, 'quality', COUNT(*),
+        CAST(SUM(n_tokens) AS BIGINT) FROM q
+      UNION ALL
+      SELECT 2, 'repetition', COUNT(*),
+        CAST(SUM(n_tokens) AS BIGINT) FROM r
+      UNION ALL
+      SELECT 3, 'exact_dedup', COUNT(*),
+        CAST(SUM(n_tokens) AS BIGINT) FROM d"""))
+  }
+
+  override val suite: Seq[GraftQuery] = Seq(p01, p02, p03)
 }

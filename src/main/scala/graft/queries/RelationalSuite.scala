@@ -316,7 +316,30 @@ object RelationalSuite extends QuerySuite {
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)"""))
 
+  /** r17 — full CUBE (completes the grouping-analytics family next to
+    * r16 ROLLUP and j07 GROUPING SETS): all four aggregation levels of
+    * (returnflag, linestatus) with exact-decimal money sums. Same SQL
+    * surface both engines; null markers coalesced for the hash. */
+  private val r17 = GraftQuery(
+    "r17_cube",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .createOrReplaceTempView("graft_r17_src")
+      s.sql(s"""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+          COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+          COUNT(*) AS cnt,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_qty
+        FROM graft_r17_src GROUP BY CUBE (l_returnflag, l_linestatus)""")
+    },
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+      COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      COUNT(*) AS cnt,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
   override val suite: Seq[GraftQuery] = Seq(
     r01, r02, r03, r04, r05, r06, r07, r08,
-    r09, r10, r11, r12, r13, r14, r15, r16)
+    r09, r10, r11, r12, r13, r14, r15, r16, r17)
 }

@@ -124,6 +124,32 @@ object WindowSuite extends QuerySuite {
           OVER (PARTITION BY o_custkey) AS DOUBLE) AS share
     FROM orders"""))
 
+  /** w07 — nth_value / offset family completion: the 3rd order price
+    * in each customer's date order (full-frame nth_value) plus lead
+    * with an explicit default — the two window shapes w01/w05 leave
+    * uncovered. Tie-broken by orderkey so the order is total. */
+  private val w07 = GraftQuery(
+    "w07_nth_value",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          nth_value(dec2(col("o_totalprice")).cast("double"), 3)
+            .over(full).as("third_price"),
+          lead(col("o_orderkey"), 2, -1L).over(w).as("next2_key"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+      nth_value(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 3)
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS third_price,
+      lead(o_orderkey, 2, -1) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey) AS next2_key
+    FROM orders"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(w01, w02, w03, w04, w05, w06)
+    Seq(w01, w02, w03, w04, w05, w06, w07)
 }

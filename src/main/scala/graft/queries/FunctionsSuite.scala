@@ -353,7 +353,40 @@ object FunctionsSuite extends QuerySuite {
       FROM (SELECT *, CAST(len(string_split(text,' ')) // 2 AS INTEGER)
               AS half FROM documents))"""))
 
+  /** f17 — calendar arithmetic (F19's formatting sibling): extract
+    * parts, add months, diff days, month boundaries. Conventions that
+    * AGREE cross-engine only (no dayofweek — Spark counts Sunday=1,
+    * DuckDB dow Sunday=0). Timestamps truncate to DATE first so no
+    * sub-day component leaks into the arithmetic. */
+  private val f17 = GraftQuery(
+    "f17_date_math",
+    (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"))
+        .select(
+          col("o_orderkey"),
+          year(col("d")).cast("long").as("yr"),
+          quarter(col("d")).cast("long").as("qtr"),
+          month(col("d")).cast("long").as("mo"),
+          dayofmonth(col("d")).cast("long").as("dom"),
+          add_months(col("d"), 2).as("plus2mo"),
+          last_day(col("d")).as("eom"),
+          datediff(lit("1998-12-31").cast("date"), col("d"))
+            .cast("long").as("days_to_end")),
+    Some("""SELECT o_orderkey,
+      CAST(year(d) AS BIGINT) AS yr,
+      CAST(quarter(d) AS BIGINT) AS qtr,
+      CAST(month(d) AS BIGINT) AS mo,
+      CAST(day(d) AS BIGINT) AS dom,
+      CAST(d + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+      last_day(d) AS eom,
+      CAST(date_diff('day', d, DATE '1998-12-31') AS BIGINT)
+        AS days_to_end
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+          FROM orders)"""))
+
   override val suite: Seq[GraftQuery] = Seq(
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13, f14,
-    f15, f16)
+    f15, f16, f17)
 }

@@ -186,6 +186,41 @@ object JoinsSuite extends QuerySuite {
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY GROUPING SETS ((r_name), (n_name), (r_name, n_name), ())"""))
 
+  /** j08 — null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the
+    * join NULL keys silently vanish from under `=`, the bug class the
+    * Blocking module's null-bucket fix guards against. Nullable keys
+    * derived deterministically (every 7th key NULLed), then matched
+    * null-safely — NULL meets NULL exactly like a value. */
+  private val j08 = GraftQuery(
+    "j08_nullsafe_join",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit(null))
+            .otherwise(col("c_custkey") % 100).as("k"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, lit(null))
+            .otherwise(col("o_orderkey") % 100).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("k") <=> o("k"))
+        .groupBy(c("k").as("k"))
+        .agg(count(lit(1)).as("n_cust"), min("n_orders").as("n_orders"))
+    },
+    Some("""WITH c AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 7 = 0 THEN NULL
+               ELSE c_custkey % 100 END AS k
+        FROM customer),
+      o AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderkey % 100 END AS k,
+          COUNT(*) AS n_orders
+        FROM orders GROUP BY 1)
+      SELECT c.k, COUNT(*) AS n_cust, MIN(o.n_orders) AS n_orders
+      FROM c JOIN o ON c.k IS NOT DISTINCT FROM o.k
+      GROUP BY c.k"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(j01, j02, j03, j04, j05, j06, j07)
+    Seq(j01, j02, j03, j04, j05, j06, j07, j08)
 }

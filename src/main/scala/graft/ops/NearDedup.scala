@@ -29,13 +29,16 @@ object NearDedup {
     *    the corpus (like IVF centroids), while every distributed round
     *    costs several scheduled jobs + eager checkpoints — at sf0.1 the
     *    loop spent ~3.4 s labeling a graph union-find solves in
-    *    microseconds;
+    *    microseconds. The default cap keeps the collect bounded:
+    *    1M two-long Rows ≈ 100 MB transient on the driver, safely
+    *    inside a default-sized driver; raise it only with driver
+    *    memory to match;
     *  - above the threshold, iterative min-label propagation with
     *    pointer doubling (O(log diameter) rounds), each round one
     *    shuffle join + aggregate. */
   def components(pairs: DataFrame, aCol: String = "a_id",
       bCol: String = "b_id", maxIter: Int = 20,
-      smallGraphEdges: Long = 4000000L): DataFrame = {
+      smallGraphEdges: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()

@@ -410,7 +410,12 @@ object DedupSuite extends QuerySuite {
         val eval = grams.filter(col("doc_id") % Mod === 0)
           .select(col("doc_id").as("eval_id"), col("h"))
         val corpus = grams.filter(col("doc_id") % Mod =!= 0)
-        corpus.join(broadcast(eval), Seq("h"))
+        // no broadcast HINT: a production eval set is tiny and AQE will
+        // pick broadcast from its measured size, but this demo derives
+        // eval from the corpus (~4% of grams), so forcing it would
+        // bypass the size check at scale — exactly the degenerate-input
+        // risk the Blocking module refuses to take
+        corpus.join(eval, Seq("h"))
           .groupBy("doc_id", "eval_id")
           .agg(count(lit(1)).as("n_shared"))
       },

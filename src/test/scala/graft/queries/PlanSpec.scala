@@ -94,11 +94,12 @@ class PlanSpec extends SparkSpec {
       "t09 shuffles — repetition metrics must stay map-side")
   }
 
-  test("d09 decontamination broadcasts the benchmark side") {
+  test("d09 decontamination: AQE picks broadcast for the small eval side") {
+    // no hint in the plan — the broadcast must come from AQE's measured
+    // size (a forced hint would bypass the size check on degenerate
+    // eval sets); at this SF the eval side is small, so AQE chooses it
     val p = plan("d09_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"),
-      "corpus side shuffled for the benchmark join")
   }
 
   test("s08 sequence packing carries no Window operator") {

@@ -131,7 +131,10 @@ object VectorSuite extends QuerySuite {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (lit(1.0) / (lit(1.0) + sqrt(col("d2").cast("double")) / 1e6))
             .as("score"))
-        .join(broadcast(labels), "neighbor_id")
+        // no hint: `labels` is the CORPUS-sized id→label map (never
+        // broadcastable at scale); the tiny side here is the k-per-query
+        // result, and AQE broadcasts THAT from its measured size
+        .join(labels, "neighbor_id")
         .select("query_id", "neighbor_id", "label", "score")
     },
     Some(s"""WITH q AS ($qvSql),

@@ -147,6 +147,42 @@ object VectorSearch {
       own.bitwiseXOR(lit(1L << b))): _*)
   }
 
+  /** Persist the LSH-bucketed corpus `partitionBy(bucket)` — the same
+    * layout contract as [[writeIvfIndexed]]: probes then become REAL
+    * partition pruning on read (asserted in VectorSearchSpec). */
+  def writeLshIndexed(corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], path: String,
+      bucketCol: String = "lsh_bucket"): Unit =
+    corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn(bucketCol, lshBucket(col("vec"), planes))
+      .write.partitionBy(bucketCol).mode("overwrite").parquet(path)
+
+  /** Probe a persisted LSH index: the query set's probe buckets are
+    * computed driver-side (queries are small by contract) and pushed
+    * as a partition filter, so only the probed bucket directories are
+    * read; exact top-k within them. */
+  def searchLshIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      planes: Seq[Seq[Double]], k: Int, multiprobe: Boolean = true,
+      bucketCol: String = "lsh_bucket"): DataFrame = {
+    val q = queries.select(col(qidCol).as("query_id"),
+      col(qvecCol).cast("array<double>").as("qvec"))
+      .withColumn("bucket",
+        explode(lshProbes(col("qvec"), planes, multiprobe)))
+    val probeBuckets = q.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val corpus = spark.read.parquet(path)
+      .filter(col(bucketCol).isin(probeBuckets: _*))
+      .withColumnRenamed(bucketCol, "bucket")
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+    corpus.join(broadcast(q), Seq("bucket"))
+      .withColumn("dist", l2(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "dist", "rank")
+  }
+
   /** ANN search through sign-bucket LSH: corpus tagged map-side,
     * queries (broadcast) probe their bucket set, exact top-k within
     * the union of probed buckets. */

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class VectorSearchSpec extends SparkSpec {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
   private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -65,6 +66,29 @@ class VectorSearchSpec extends SparkSpec {
       val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("dist"))
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
     }
+  }
+
+  test("persisted LSH index: partition-pruned probes match in-memory") {
+    val planes = Seq.tabulate(8)(b =>
+      Seq.tabulate(16)(i => ((b * 31 + i * 17) % 19 - 9).toDouble))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lsh_idx").toString + "/idx"
+    VectorSearch.writeLshIndexed(emb, "vec_id", "embedding", planes, path)
+    val queries = emb.filter(col("vec_id").isin(7L, 42L))
+    val indexed = VectorSearch.searchLshIndexed(spark, path, queries,
+      "vec_id", "embedding", planes, k = 5)
+    indexed.collect()
+    val p = indexed.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*lsh_bucket""".r
+      .findFirstIn(p).isDefined,
+      "probe buckets did not become partition filters: " + p)
+    val inMem = VectorSearch.searchLsh(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", planes, k = 5)
+    val a = indexed.select("query_id", "id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = inMem.select("query_id", "id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == b, "indexed and in-memory LSH results diverge")
   }
 
   test("multiprobe visits strictly more candidates than single-bucket") {

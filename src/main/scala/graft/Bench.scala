@@ -30,11 +30,13 @@ object Bench {
     * JSON line plus sbt's `[success]` trailer fits in a 2000-char tail. */
   private val Headline = Seq(
     "r01_pricing_summary", "r08_join_agg", "j01_shipping_priority",
-    "w01_lead_lag", "f01_string_chain", "f11_array_lambda",
-    "d01_exact_dedup", "d03_lsh_candidates", "d06_simhash_pairs",
-    "e01_tumbling_agg", "e02_sessionize", "t01_quality_metrics",
-    "t04_top_bigrams", "v03_knn_bruteforce", "v08_topk_rewrite",
-    "s02_hll_distinct", "s04_cms_freq", "x02_knn_codegen", "x03_knn_ivf")
+    "w01_lead_lag", "f01_string_chain", "d01_exact_dedup",
+    "d03_lsh_candidates", "d06_simhash_pairs", "d09_contamination",
+    "e01_tumbling_agg", "e02_sessionize", "e11_attribution_join",
+    "t01_quality_metrics", "t04_top_bigrams", "v03_knn_bruteforce",
+    "v08_topk_rewrite", "v11_lsh_ann", "s02_hll_distinct",
+    "s04_cms_freq", "s08_pack_bins", "p03_curation_funnel",
+    "x02_knn_codegen", "x03_knn_ivf")
 
   /** Deliberately-unoptimized comparison arms of the A/B pairs
     * (x01 vs x02, x05 vs x04). They exist to show the win, and belong

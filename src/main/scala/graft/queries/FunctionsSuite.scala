@@ -386,7 +386,31 @@ object FunctionsSuite extends QuerySuite {
     FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
           FROM orders)"""))
 
+  /** f18 — higher-order predicate lambdas (exists / forall / filter —
+    * the F11 family's boolean siblings): does any token carry a digit,
+    * are all tokens short, how many are long. DuckDB spells exists /
+    * forall as filtered lengths — identical semantics. */
+  private val f18 = GraftQuery(
+    "f18_lambda_predicates",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("toks", graft.functions.TextOps.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          exists(col("toks"), w => w.rlike("[0-9]")).as("any_digit"),
+          forall(col("toks"), w => length(w) <= 12).as("all_short"),
+          size(filter(col("toks"), w => length(w) >= 8)).cast("long")
+            .as("n_long")),
+    Some("""SELECT doc_id,
+      len(list_filter(string_split(text,' '),
+        w -> regexp_matches(w, '[0-9]'))) > 0 AS any_digit,
+      len(list_filter(string_split(text,' '),
+        w -> length(w) > 12)) = 0 AS all_short,
+      CAST(len(list_filter(string_split(text,' '),
+        w -> length(w) >= 8)) AS BIGINT) AS n_long
+    FROM documents"""))
+
   override val suite: Seq[GraftQuery] = Seq(
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13, f14,
-    f15, f16, f17)
+    f15, f16, f17, f18)
 }

@@ -339,7 +339,29 @@ object RelationalSuite extends QuerySuite {
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
 
+  /** r18 — set-collecting aggregation (collect_set / LISTAGG family):
+    * distinct ship modes and the priority list per order status. The
+    * collected sets serialize as SORTED joined strings — a raw array
+    * column would be nondeterministically ordered AND unsortable by
+    * the driver's row comparator; the sorted join makes the value
+    * deterministic and scalar. */
+  private val r18 = GraftQuery(
+    "r18_collect_set",
+    (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          array_join(sort_array(collect_set(col("o_orderpriority"))), "|")
+            .as("priorities"),
+          countDistinct(col("o_orderpriority")).as("n_priorities")),
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+      array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')
+        AS priorities,
+      COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY 1"""))
+
   override val suite: Seq[GraftQuery] = Seq(
     r01, r02, r03, r04, r05, r06, r07, r08,
-    r09, r10, r11, r12, r13, r14, r15, r16, r17)
+    r09, r10, r11, r12, r13, r14, r15, r16, r17, r18)
 }

@@ -410,7 +410,28 @@ object FunctionsSuite extends QuerySuite {
         w -> length(w) >= 8)) AS BIGINT) AS n_long
     FROM documents"""))
 
+  /** f19 — null-preserving explode (explode_outer — f03's sibling for
+    * the rows-must-survive contract): docs whose derived array is NULL
+    * still emit one row with a NULL token. DuckDB's unnest drops NULL
+    * lists, so the oracle substitutes the single-NULL list explicitly —
+    * stating explode_outer's exact semantics. */
+  private val f19 = GraftQuery(
+    "f19_explode_outer",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("arr",
+          when(col("doc_id") % 10 === 0, lit(null))
+            .otherwise(slice(graft.functions.TextOps.tokens(col("text")),
+              1, 3)))
+        .select(col("doc_id"), explode_outer(col("arr")).as("tok")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0 THEN [NULL]
+               ELSE list_slice(string_split(text,' '), 1, 3) END AS arr
+        FROM documents)
+      SELECT doc_id, unnest(arr) AS tok FROM t"""))
+
   override val suite: Seq[GraftQuery] = Seq(
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13, f14,
-    f15, f16, f17, f18)
+    f15, f16, f17, f18, f19)
 }

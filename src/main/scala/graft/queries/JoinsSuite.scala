@@ -221,6 +221,35 @@ object JoinsSuite extends QuerySuite {
       FROM c JOIN o ON c.k IS NOT DISTINCT FROM o.k
       GROUP BY c.k"""))
 
+  /** j09 — bag-semantics set operations (INTERSECT ALL / EXCEPT ALL —
+    * j04/j05's multiset siblings; duplicates COUNT): overlapping order
+    * subsets compared as bags of priorities, aggregated to counted
+    * rows so the multiplicity the ALL variants preserve is what the
+    * oracle hashes. */
+  private val j09 = GraftQuery(
+    "j09_set_all",
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val a = orders.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderpriority")
+      val b = orders.filter(col("o_orderkey") % 5 === 0)
+        .select("o_orderpriority")
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("op", lit(tag))
+      agg(a.intersectAll(b), "intersect_all")
+        .unionByName(agg(a.exceptAll(b), "except_all"))
+    },
+    Some("""WITH a AS (SELECT o_orderpriority FROM orders
+        WHERE o_orderkey % 3 = 0),
+      b AS (SELECT o_orderpriority FROM orders WHERE o_orderkey % 5 = 0)
+      SELECT o_orderpriority, COUNT(*) AS n, 'intersect_all' AS op
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1
+      UNION ALL
+      SELECT o_orderpriority, COUNT(*) AS n, 'except_all' AS op
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(j01, j02, j03, j04, j05, j06, j07, j08)
+    Seq(j01, j02, j03, j04, j05, j06, j07, j08, j09)
 }

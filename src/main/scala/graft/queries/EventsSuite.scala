@@ -268,6 +268,30 @@ object EventsSuite extends QuerySuite {
      AND epoch_us(c.ts) <= epoch_us(p.ts)
      AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000"""))
 
+  /** e13 — UNPIVOT (e05 pivot's inverse, through the native
+    * `Dataset.unpivot` API): lineitem's three rate columns melted to
+    * (key, metric, value) rows. Values are raw column passthrough —
+    * no arithmetic crosses engines. The oracle states unpivot's
+    * definitional UNION ALL expansion. */
+  private val e13 = GraftQuery(
+    "e13_unpivot",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_tax")
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          variableColumnName = "metric",
+          valueColumnName = "value"),
+    Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem"""))
+
   /** e12 — sessionization through Spark's NATIVE session_window
     * operator (the built-in merging-session-window; e02 is the
     * relational form, EventStreams.sessionize the stateful-streaming
@@ -341,5 +365,5 @@ object EventsSuite extends QuerySuite {
       FROM exact e JOIN s USING (day)"""))
 
   override val suite: Seq[GraftQuery] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13)
 }

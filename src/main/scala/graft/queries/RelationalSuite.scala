@@ -361,7 +361,37 @@ object RelationalSuite extends QuerySuite {
       COUNT(DISTINCT o_orderpriority) AS n_priorities
     FROM orders GROUP BY 1"""))
 
+  /** r19 — correlated scalar subquery (the TPC-H Q17 shape): orders
+    * above their own customer's exact-decimal average. Catalyst
+    * DECORRELATES the subquery into an aggregate + join — the plan a
+    * hand-written self-join would produce, but derived by the
+    * optimizer from the declarative form; DuckDB does the same
+    * flattening, so both engines run the identical relational
+    * semantics. Money math through the exact-decimal recipe in BOTH
+    * texts keeps the comparison bit-exact. */
+  private val r19 = GraftQuery(
+    "r19_correlated_subquery",
+    (s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_r19_orders")
+      s.sql("""SELECT o_orderkey, o_custkey,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM graft_r19_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+          SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
+                   / COUNT(*) AS DECIMAL(18,2))
+          FROM graft_r19_orders i
+          WHERE i.o_custkey = o.o_custkey)""")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+      SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
+               / COUNT(*) AS DECIMAL(18,2))
+      FROM orders i
+      WHERE i.o_custkey = o.o_custkey)"""))
+
   override val suite: Seq[GraftQuery] = Seq(
     r01, r02, r03, r04, r05, r06, r07, r08,
-    r09, r10, r11, r12, r13, r14, r15, r16, r17, r18)
+    r09, r10, r11, r12, r13, r14, r15, r16, r17, r18, r19)
 }

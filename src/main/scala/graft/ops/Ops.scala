@@ -50,6 +50,22 @@ object Ops {
     topKPerGroup(pruned, partitionCols, orderBy, k, rankCol)
   }
 
+  /** Key-based upsert — the MERGE INTO semantic on plain storage (the
+    * incremental-ETL op: new extract rows replace same-key rows, the
+    * rest of the base survives). Relationally: updates ∪ (base
+    * anti-join updates' keys). Schemas must match by name. The shuffle
+    * is one anti-join on the key; at scale write the result partitioned
+    * so only touched partitions rewrite (see [[graft.io.Layout]]). */
+  def upsertByKey(base: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(base.columns.sorted.sameElements(updates.columns.sorted),
+      s"schema mismatch: base=${base.columns.sorted.mkString(",")} " +
+        s"updates=${updates.columns.sorted.mkString(",")}")
+    val survivors = base.join(updates.select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+    updates.unionByName(survivors)
+  }
+
   /** Union across drifting schemas (U1; staging headers drift in column
     * order in the reference — positional union is wrong). */
   def unionByNameAll(dfs: Seq[DataFrame]): DataFrame =

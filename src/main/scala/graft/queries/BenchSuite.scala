@@ -113,5 +113,29 @@ object BenchSuite extends QuerySuite {
             .as("approx_median"),
           count(lit(1)).as("n")))
 
-  override val suite: Seq[GraftQuery] = Seq(x01, x02, x03, x04, x05, x06)
+  /** x07/x08 — the two-level top-k A/B on a LOW-cardinality group
+    * (one lang-like key from the full lineitem): direct per-group
+    * window vs [[graft.ops.Ops.topKPerGroupScalable]]. With 3 groups
+    * over 600k counted rows the direct form sorts each group in ONE
+    * task; the two-level form fans the pre-prune across 64 buckets.
+    * Output (top-5 per group) is identical — rows-only checked. */
+  private def grouped(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        (col("l_partkey") * 10000 + col("l_suppkey")).as("item"))
+      .groupBy("g", "item")
+      .agg(count(lit(1)).as("cnt"))
+
+  private val x07 = GraftQuery(
+    "x07_topk_direct",
+    (s, dir) => graft.ops.Ops.topKPerGroup(grouped(s, dir), Seq("g"),
+      Seq(col("cnt").desc, col("item").asc), 5))
+
+  private val x08 = GraftQuery(
+    "x08_topk_twolevel",
+    (s, dir) => graft.ops.Ops.topKPerGroupScalable(grouped(s, dir),
+      Seq("g"), Seq(col("cnt").desc, col("item").asc), 5))
+
+  override val suite: Seq[GraftQuery] =
+    Seq(x01, x02, x03, x04, x05, x06, x07, x08)
 }

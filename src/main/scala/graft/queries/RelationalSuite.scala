@@ -391,7 +391,41 @@ object RelationalSuite extends QuerySuite {
       FROM orders i
       WHERE i.o_custkey = o.o_custkey)"""))
 
+  /** r20 — key-based upsert ([[graft.ops.Ops.upsertByKey]] — the MERGE
+    * INTO semantic on plain storage): a derived "update batch" (every
+    * 9th order, price bumped) merged over the base; same-key rows are
+    * replaced, the rest survive. The oracle states the definitional
+    * form: updates UNION ALL (base anti-join update keys). */
+  private val r20 = GraftQuery(
+    "r20_upsert",
+    (s, dir) => {
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Det.dec2(col("o_totalprice")).cast("double").as("price"),
+          col("o_orderstatus"))
+      val updates = base.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("price",
+          (Det.dec2(col("price")) * 2).cast("double"))
+        .withColumn("o_orderstatus", lit("U"))
+      graft.ops.Ops.upsertByKey(base, updates, Seq("o_orderkey"))
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+          o_orderstatus
+        FROM orders),
+      updates AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(CAST(price AS DECIMAL(18,2)) * 2 AS DOUBLE) AS price,
+          'U' AS o_orderstatus
+        FROM base WHERE o_orderkey % 9 = 0)
+      SELECT * FROM updates
+      UNION ALL
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM updates u
+                        WHERE u.o_orderkey = b.o_orderkey)"""))
+
   override val suite: Seq[GraftQuery] = Seq(
     r01, r02, r03, r04, r05, r06, r07, r08,
-    r09, r10, r11, r12, r13, r14, r15, r16, r17, r18, r19)
+    r09, r10, r11, r12, r13, r14, r15, r16, r17, r18, r19, r20)
 }

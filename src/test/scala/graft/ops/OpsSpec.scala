@@ -39,6 +39,22 @@ class OpsSpec extends SparkSpec {
     assert(scalable == direct)
   }
 
+  test("upsertByKey replaces same-key rows, keeps the rest, rejects drift") {
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "tag", "v")
+    val updates = Seq((2L, "B", 99), (4L, "d", 40)).toDF("k", "tag", "v")
+    val merged = Ops.upsertByKey(base, updates, Seq("k"))
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(merged == Seq((1L, "a", 10), (2L, "B", 99), (3L, "c", 30),
+      (4L, "d", 40)))
+    // idempotent on re-apply
+    assert(Ops.upsertByKey(merged.toDF("k", "tag", "v"), updates, Seq("k"))
+      .count() == 4)
+    intercept[IllegalArgumentException] {
+      Ops.upsertByKey(base, updates.drop("v"), Seq("k"))
+    }
+  }
+
   test("unionByNameAll tolerates column order and missing columns") {
     val a = Seq((1, "x")).toDF("id", "name")
     val b = Seq(("y", 2)).toDF("name", "id")

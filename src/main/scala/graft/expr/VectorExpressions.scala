@@ -308,6 +308,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "_FUNC_(s) - Unicode NFC normalization"),
       (es: Seq[Expression]) => NfcNormalize(es(0))))
+    ext.injectFunction((FunctionIdentifier("graft_md5_long"),
+      info("graft_md5_long",
+        "_FUNC_(s, nHex) - first nHex md5 hex nibbles as a long"),
+      (es: Seq[Expression]) => Md5Long(es(0),
+        es(1).eval().asInstanceOf[Int])))
     // whole-operator kNN: ORDER BY <vector distance> LIMIT k →
     // KnnTopK (eval-once bounded heaps; see graft.plans.KnnTopK)
     ext.injectOptimizerRule(graft.plans.KnnTopKRewrite)

@@ -17,13 +17,16 @@ object TextOps {
   /** Whitespace tokenizer (ref `seperate_tables.py:82` split idiom). */
   def tokens(c: Column): Column = split(c, " ")
 
-  /** Deterministic 60-bit positive hash: first 15 hex chars of md5. */
+  /** Deterministic 60-bit positive hash: first 15 hex chars of md5.
+    * Routed through the codegen [[graft.expr.Md5Long]] (bit-identical
+    * to `conv(substring(md5(x),1,15),16,10)` — parity pinned in spec —
+    * but without the hex-string round-trip per call). */
   def md5Long60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    call_function("graft_md5_long", c.cast("string"), lit(15))
 
   /** Deterministic 32-bit positive hash: first 8 hex chars of md5. */
   def md5Long32(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    call_function("graft_md5_long", c.cast("string"), lit(8))
 
   /** n-word shingles from a token array: positions 1..size-n+1. Docs
     * shorter than n tokens yield an empty array — without the guard,

@@ -73,6 +73,31 @@ class VectorExpressionsSpec extends SparkSpec {
       .as[Long].head() == 31L)
   }
 
+  test("graft_md5_long is bit-identical to the conv/substring/md5 chain") {
+    val df = Seq.tabulate(500)(i => s"tok_${i}_${"x" * (i % 7)}")
+      .toDF("s")
+    val both = df.select(
+      call_function("graft_md5_long", col("s"), lit(8)).as("fast32"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("ref32"),
+      call_function("graft_md5_long", col("s"), lit(15)).as("fast60"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("ref60"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"32-bit mismatch: $r")
+      assert(r.getLong(2) == r.getLong(3), s"60-bit mismatch: $r")
+    }
+    // JVM-side twin must agree too (driver-folded salt constants)
+    import graft.functions.TextOps
+    val one = df.limit(1).select(
+      TextOps.md5Long60(col("s")).as("h"), col("s")).head()
+    assert(one.getLong(0) == TextOps.md5Long60Jvm(one.getString(1)))
+    // non-string input casts like before (e10 hashes user ids)
+    assert(spark.sql("SELECT graft_md5_long(CAST(42 AS STRING), 8) h")
+      .as[Long].head() ==
+      spark.sql("SELECT CAST(conv(substring(md5(CAST(42 AS STRING)),1,8)," +
+        "16,10) AS BIGINT) h").as[Long].head())
+  }
+
   test("float arrays implicitly cast (embeddings table path)") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet").limit(5)

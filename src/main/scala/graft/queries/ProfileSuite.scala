@@ -121,20 +121,33 @@ object ProfileSuite extends QuerySuite {
               (size(col("g2")) - size(array_distinct(col("g2"))))
                 .cast("double") / size(col("g2"))).otherwise(0.0))
           .withColumn("h", md5(col("text").cast("binary")))
-        val q = base.filter(col("n_tokens") >= 5 &&
-          col("uniq_ratio") >= 0.3)
-        val r = q.filter(col("dup2_frac") <= 0.2)
-        val d = r.groupBy("h")
+        // one flags projection, then conditional aggregation: stages
+        // 0-2 come out of a SINGLE pass (the naive per-stage filters
+        // re-ran the shingle math once per stage — 4 corpus scans),
+        // and only the dedup stage needs its own (filtered) pass for
+        // the md5 groupBy
+        val flags = base.select(col("doc_id"), col("n_tokens"), col("h"),
+          (col("n_tokens") >= 5 && col("uniq_ratio") >= 0.3).as("qp"),
+          (col("dup2_frac") <= 0.2).as("rp"))
+        val s012 = flags.agg(
+          count(lit(1)).as("n0"), sum("n_tokens").as("t0"),
+          count(when(col("qp"), lit(1))).as("n1"),
+          sum(when(col("qp"), col("n_tokens"))).as("t1"),
+          count(when(col("qp") && col("rp"), lit(1))).as("n2"),
+          sum(when(col("qp") && col("rp"), col("n_tokens"))).as("t2"))
+          .selectExpr("""stack(3,
+            CAST(0 AS BIGINT), 'total',      n0, t0,
+            CAST(1 AS BIGINT), 'quality',    n1, t1,
+            CAST(2 AS BIGINT), 'repetition', n2, t2)
+            AS (stage, gate, n_docs, n_tokens_total)""")
+        val s3 = flags.filter(col("qp") && col("rp"))
+          .groupBy("h")
           .agg(min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
-        def stage(n: Int, name: String, df: org.apache.spark.sql.DataFrame) =
-          df.agg(count(lit(1)).as("n_docs"),
+          .agg(count(lit(1)).as("n_docs"),
             sum("n_tokens").as("n_tokens_total"))
-            .select(lit(n).cast("long").as("stage"),
-              lit(name).as("gate"), col("n_docs"), col("n_tokens_total"))
-        stage(0, "total", base)
-          .unionByName(stage(1, "quality", q))
-          .unionByName(stage(2, "repetition", r))
-          .unionByName(stage(3, "exact_dedup", d))
+          .select(lit(3L).as("stage"), lit("exact_dedup").as("gate"),
+            col("n_docs"), col("n_tokens_total"))
+        s012.unionByName(s3)
       },
       Some("""WITH base AS (
         SELECT doc_id, md5(text) AS h,

@@ -311,8 +311,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_md5_long"),
       info("graft_md5_long",
         "_FUNC_(s, nHex) - first nHex md5 hex nibbles as a long"),
-      (es: Seq[Expression]) => Md5Long(es(0),
-        es(1).eval().asInstanceOf[Int])))
+      (es: Seq[Expression]) => {
+        // nHex must be a foldable integer literal — Md5Long bakes it
+        // into codegen, so a per-row column argument cannot work
+        val nHex = es(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long if l >= 1 && l <= 15 => l.toInt
+            case other => throw new IllegalArgumentException(
+              "graft_md5_long: nHex must be an integer literal in " +
+                s"[1,15], got ${Option(other).getOrElse("NULL")}")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_md5_long: nHex must be a foldable integer literal " +
+              "in [1,15], not a per-row column")
+        }
+        Md5Long(es(0), nHex)
+      }))
     // whole-operator kNN: ORDER BY <vector distance> LIMIT k →
     // KnnTopK (eval-once bounded heaps; see graft.plans.KnnTopK)
     ext.injectOptimizerRule(graft.plans.KnnTopKRewrite)

@@ -36,13 +36,29 @@ object Layout {
     * into `outPath`. `sortCols` should lead with the columns queries
     * filter/join on most (range-partitioned + sorted data keeps
     * min/max row-group stats tight, so predicate pushdown skips whole
-    * row groups). */
+    * row groups).
+    *
+    * The output file count is bounded from BOTH sides: `targetFiles`
+    * (or, when 0, input-bytes / `targetFileBytes`, so a small
+    * fragmented directory compacts to a handful of files instead of
+    * `spark.sql.shuffle.partitions` shards) sets the range-partition
+    * count, and `maxRecordsPerFile` caps rows per file. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
-      sortCols: Seq[String], maxRecordsPerFile: Long = 1000000L): Unit = {
+      sortCols: Seq[String], maxRecordsPerFile: Long = 1000000L,
+      targetFiles: Int = 0, targetFileBytes: Long = 128L << 20): Unit = {
     val df = spark.read.parquet(inPath)
+    val nFiles =
+      if (targetFiles > 0) targetFiles
+      else {
+        val p = new org.apache.hadoop.fs.Path(inPath)
+        val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+        math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+          .min(Int.MaxValue).toInt
+      }
     val sorted =
-      if (sortCols.isEmpty) df
-      else df.repartitionByRange(sortCols.map(col): _*)
+      if (sortCols.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
     sorted.write
       .option("maxRecordsPerFile", maxRecordsPerFile)

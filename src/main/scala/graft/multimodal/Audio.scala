@@ -45,7 +45,9 @@ object WavDecoder extends AudioDecoder {
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(bytes, off)
       val size = le32(bytes, off + 4)
-      require(size >= 0 && off + 8 + size <= bytes.length,
+      // Long arithmetic: a crafted size near Int.MaxValue must not
+      // int-overflow past the bound and surface later as an AIOOBE
+      require(size >= 0 && off.toLong + 8L + size <= bytes.length,
         s"chunk '$id' overruns the file")
       id match {
         case "fmt " =>

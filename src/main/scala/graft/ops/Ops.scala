@@ -53,14 +53,31 @@ object Ops {
   /** Key-based upsert — the MERGE INTO semantic on plain storage (the
     * incremental-ETL op: new extract rows replace same-key rows, the
     * rest of the base survives). Relationally: updates ∪ (base
-    * anti-join updates' keys). Schemas must match by name. The shuffle
-    * is one anti-join on the key; at scale write the result partitioned
-    * so only touched partitions rewrite (see [[graft.io.Layout]]). */
+    * anti-join updates' keys). Schemas must match by name.
+    *
+    * PRECONDITION: `updates` must be key-unique — SQL MERGE raises a
+    * multiple-match error for a duplicate-key source, and silently
+    * keeping both rows would duplicate keys in the result. With
+    * `requireUniqueKeys` (default) the precondition is asserted with
+    * one aggregation job over `updates` (the small side of an
+    * incremental merge); pass false only when uniqueness is already
+    * guaranteed upstream. The merge shuffle is one anti-join on the
+    * key; at scale write the result partitioned so only touched
+    * partitions rewrite (see [[graft.io.Layout]]). */
   def upsertByKey(base: DataFrame, updates: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String], requireUniqueKeys: Boolean = true): DataFrame = {
     require(base.columns.sorted.sameElements(updates.columns.sorted),
       s"schema mismatch: base=${base.columns.sorted.mkString(",")} " +
         s"updates=${updates.columns.sorted.mkString(",")}")
+    if (requireUniqueKeys) {
+      val dup = updates.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"upsertByKey: updates contain duplicate key " +
+          s"${keys.mkString("(", ",", ")")}=" +
+          s"${dup.headOption.map(_.toSeq.init.mkString(",")).getOrElse("")}" +
+          " (SQL MERGE multiple-match)")
+    }
     val survivors = base.join(updates.select(keys.map(col): _*).distinct(),
       keys, "left_anti")
     updates.unionByName(survivors)

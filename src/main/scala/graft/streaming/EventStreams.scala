@@ -112,8 +112,11 @@ object EventStreams {
     * emits its Hamming-verified pairs against them. State per block is
     * capped (the [[graft.ops.Blocking]] hot-bucket stance: a
     * degenerate block must not grow state without bound) and expires
-    * on event-time timeout. The spec pins the emitted pair set equal
-    * to the batch d06 pairs on the same corpus. */
+    * on event-time timeout. Each pair is emitted EXACTLY once: a pair
+    * whose hi halves are equal comes from the hi block alone, and the
+    * lo block skips hi-equal pairs — no consumer-side distinct needed.
+    * The spec pins the emitted rows duplicate-free and the pair set
+    * equal to the batch d06 pairs on the same corpus. */
   def nearDupStream(docs: DataFrame, hammingMax: Int = 6,
       watermark: String = "2 hours", horizonMs: Long = 7200000L,
       maxPerBlock: Int = 1000): Dataset[NearDupHit] = {
@@ -131,8 +134,13 @@ object EventStreams {
     tagged.groupByKey(_.block)
       .flatMapGroupsWithState[BlockState, NearDupHit](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: String, rows: Iterator[BlockDoc],
+        (block: String, rows: Iterator[BlockDoc],
             state: GroupState[BlockState]) =>
+          // a pair whose hi halves are equal is emitted by the hi
+          // block alone; the lo block emits only hi-differing pairs,
+          // so the union across blocks is duplicate-free (each pair
+          // matches in >=1 block, never emitted twice)
+          val loBlock = block.startsWith("lo:")
           if (rows.isEmpty && state.hasTimedOut) {
             state.remove()
             Iterator.empty
@@ -142,7 +150,8 @@ object EventStreams {
             var lastMs = 0L
             rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
               seen.foreach { case (sh, id) =>
-                if (id != d.doc_id) {
+                if (id != d.doc_id &&
+                    !(loBlock && (sh >>> 16) == (d.simhash >>> 16))) {
                   val ham = java.lang.Long.bitCount(sh ^ d.simhash).toLong
                   if (ham <= hammingMax)
                     out += NearDupHit(math.min(id, d.doc_id),

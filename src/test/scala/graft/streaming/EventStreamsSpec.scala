@@ -162,9 +162,15 @@ class EventStreamsSpec extends SparkSpec {
     runToMemory(EventStreams.nearDupStream(stream,
         watermark = "24 hours", horizonMs = 86400000L).toDF(),
       "neardup", "append")
-    val streamed = spark.table("neardup")
-      .select("a_id", "b_id", "hamming").distinct()
-      .as[(Long, Long, Long)].collect().toSet
+    val rows = spark.table("neardup")
+      .select("a_id", "b_id", "hamming")
+      .as[(Long, Long, Long)].collect().toSeq
+    // duplicate-free by construction: the lo block skips hi-equal
+    // pairs, which the hi block already emits
+    assert(rows.size == rows.toSet.size,
+      s"stream emitted duplicate pairs: ${rows.size} rows, " +
+        s"${rows.toSet.size} distinct")
+    val streamed = rows.toSet
     val batch = graft.SparkEntry.queries("d06_simhash_pairs")(
       spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long)].collect().toSet

@@ -48,7 +48,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val spark = GraftSession.builder(cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benign-but-noisy warnings (e.g. WindowExec's
+    // single-partition notice on provably-tiny dim frames) would flood
+    // the stdout tail the harness keeps and crowd out the JSON line
+    spark.sparkContext.setLogLevel("ERROR")
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {

@@ -316,7 +316,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // into codegen, so a per-row column argument cannot work
         val nHex = es(1) match {
           case e if e.foldable => e.eval() match {
-            case i: Int => i
+            case i: Int if i >= 1 && i <= 15 => i
             case l: Long if l >= 1 && l <= 15 => l.toInt
             case other => throw new IllegalArgumentException(
               "graft_md5_long: nHex must be an integer literal in " +

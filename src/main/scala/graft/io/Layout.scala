@@ -50,9 +50,19 @@ object Layout {
     val nFiles =
       if (targetFiles > 0) targetFiles
       else {
+        // globStatus, not getContentSummary: the latter throws on glob
+        // input paths (which spark.read.parquet accepts) and counts
+        // non-data files like _SUCCESS; sum matched data files instead
         val p = new org.apache.hadoop.fs.Path(inPath)
-        val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getContentSummary(p).getLength
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def dataBytes(st: org.apache.hadoop.fs.FileStatus): Long =
+          if (st.isDirectory)
+            fs.listStatus(st.getPath).map(dataBytes).sum
+          else if (st.getPath.getName.startsWith("_") ||
+                   st.getPath.getName.startsWith(".")) 0L
+          else st.getLen
+        val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+        val bytes = matched.map(dataBytes).sum
         math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
           .min(Int.MaxValue).toInt
       }

@@ -116,7 +116,17 @@ object EventStreams {
     * whose hi halves are equal comes from the hi block alone, and the
     * lo block skips hi-equal pairs — no consumer-side distinct needed.
     * The spec pins the emitted rows duplicate-free and the pair set
-    * equal to the batch d06 pairs on the same corpus. */
+    * equal to the batch d06 pairs on the same corpus.
+    *
+    * Cap interaction (documented degradation stance): when a hi block's
+    * `seen` list is saturated at `maxPerBlock`, a hi-equal pair that the
+    * saturated hi block can no longer emit is ALSO skipped by the lo
+    * block (the skip keys on hash equality, not on whether the partner
+    * was actually retained hi-side) — so past saturation the stream
+    * under-reports hi-equal pairs rather than double-reporting any pair.
+    * Exactly-once-per-pair is preserved; coverage degrades only in
+    * blocks hotter than `maxPerBlock`, mirroring the batch path's
+    * capped-bucket stance (`Blocking.capBuckets`). */
   def nearDupStream(docs: DataFrame, hammingMax: Int = 6,
       watermark: String = "2 hours", horizonMs: Long = 7200000L,
       maxPerBlock: Int = 1000): Dataset[NearDupHit] = {

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{GraftQuery, QuerySuite, Tables}
+import graft.functions.TextOps.{md5Long60, tokens}
+
+/** Corpus-curation operators (north-star family): the dataset-assembly
+  * steps between "cleaned documents" and "training shards" —
+  * reproducible splits, per-domain caps, term weighting, versioned
+  * dimension history, series densification, and Z-ordered layout.
+  *
+  * Determinism stance: no `rand()` anywhere — sampling and splitting
+  * are content-addressed via the cross-engine md5 hash (graft.ops
+  * .Sampling); scores that would be floats are either exact integer
+  * arithmetic or integer-scaled via floor (c03's idf), so every query
+  * hash-matches DuckDB.
+  */
+object CurationSuite extends QuerySuite {
+
+  /** DuckDB twin of md5Long60: first 15 md5 hex chars as a BIGINT. */
+  private def duckH60(e: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1,16), i ->
+        CAST(strpos('0123456789abcdef', substring(md5($e),i,1)) - 1
+          AS BIGINT))), (a,b) -> a*16+b)"""
+
+  /** c01 — per-domain cap (Sampling.capPerKey): at most 25 documents
+    * per language, keeping the smallest-hash docs — an unbiased
+    * reproducible per-key sample (scan-order-independent, unlike
+    * "first N seen"). One window partitioned on the cap key. */
+  private val c01 = GraftQuery(
+    "c01_domain_cap",
+    (s, dir) =>
+      graft.ops.Sampling
+        .capPerKey(Tables(s, dir, "documents"), "lang", "doc_id", 25)
+        .select("doc_id", "lang", "rk"),
+    Some(s"""SELECT doc_id, lang,
+      CAST(row_number() OVER (PARTITION BY lang
+        ORDER BY ${duckH60("CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT)
+        AS rk
+    FROM documents
+    QUALIFY rk <= 25"""))
+
+  /** c02 — TF-IDF top terms per document. tf and df are exact counts;
+    * idf is integer-scaled (`floor(ln((N+1)/(df+1)+1) * 1e6)`, the
+    * smoothed sklearn-style form) so the score and the per-doc ranking
+    * compare integers only — cross-engine exact, immune to float
+    * ordering ties. Plan shape: one explode + two hash aggregates
+    * (doc-term tf, then term df) + a broadcast of the tiny df side?
+    * No — df joins back on term (many docs share terms, term dim ≪
+    * corpus); N is a scalar aggregate broadcast via cross join. The
+    * per-doc top-3 window partitions on doc_id (high-cardinality). */
+  private val c02 = GraftQuery(
+    "c02_tfidf",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      val tfAll = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tfAll.join(dfT, "term").crossJoin(broadcast(n))
+        .withColumn("idf_e6",
+          floor(log((col("n_docs") + 1).cast("double") /
+            (col("df") + 1) + 1) * 1e6).cast("long"))
+        .withColumn("score_e6", col("tf") * col("idf_e6"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_e6").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_e6", "rk")
+    },
+    Some("""WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+           GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        tf.tf * CAST(floor(ln(CAST(n.n_docs + 1 AS DOUBLE)
+          / (df.df + 1) + 1) * 1e6) AS BIGINT) AS score_e6,
+        CAST(floor(ln(CAST(n.n_docs + 1 AS DOUBLE)
+          / (df.df + 1) + 1) * 1e6) AS BIGINT) AS idf_e6
+      FROM tf JOIN df USING (term), n)
+    SELECT doc_id, term, tf, df, score_e6,
+      CAST(row_number() OVER (PARTITION BY doc_id
+        ORDER BY score_e6 DESC, term) AS BIGINT) AS rk
+    FROM scored QUALIFY rk <= 3"""))
+
+  /** c03 — SCD-type-2 versioned history from an event log: each
+    * (user, day) closes at the day's last `value` (row_number over
+    * (ts, event_id) desc — total order); consecutive days become
+    * versions with [valid_from, valid_to) ranges via lead, the open
+    * version's valid_to NULL. The standard warehouse dimension-history
+    * op. Windows partition on user_id / (user_id, day) — never global. */
+  private val c03 = GraftQuery(
+    "c03_scd2_history",
+    (s, dir) => {
+      val wDay = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wVer = Window.partitionBy("user_id").orderBy("valid_from")
+      Tables(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day").as("valid_from"),
+          col("value").as("close_value"))
+        .withColumn("valid_to", lead("valid_from", 1).over(wVer))
+        .withColumn("version", row_number().over(wVer).cast("long"))
+    },
+    Some("""WITH closes AS (
+      SELECT user_id, CAST(ts AS DATE) AS valid_from,
+        value AS close_value,
+        row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events QUALIFY rn = 1)
+    SELECT user_id, valid_from, close_value,
+      lead(valid_from) OVER w AS valid_to,
+      CAST(row_number() OVER w AS BIGINT) AS version
+    FROM closes
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)"""))
+
+  /** c04 — time-series gap filling (densification): per user, a dense
+    * daily spine from their first to last active day (sequence +
+    * explode), left-joined to per-day activity; missing days get
+    * n_events = 0 and carry the last seen close_value forward
+    * (last(..., ignoreNulls) over an unbounded-preceding frame — the
+    * IGNORE NULLS idiom both engines share). Spine generation is
+    * per-user map-side after one groupBy; the fill window partitions
+    * on user_id. */
+  private val c04 = GraftQuery(
+    "c04_gap_fill",
+    (s, dir) => {
+      val wDay = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = Tables(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("rn", row_number().over(wDay))
+        .withColumn("n_day", count(lit(1)).over(
+          Window.partitionBy("user_id", "day")))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"),
+          col("n_day").cast("long").as("n_events"),
+          col("value").as("close_value"))
+      val spine = daily.groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("day"))
+      val wFill = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last("close_value", ignoreNulls = true).over(wFill)
+            .as("carried_value"))
+    },
+    Some("""WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+        CAST(COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE))
+          AS BIGINT) AS n_events,
+        value AS close_value,
+        row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events QUALIFY rn = 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi,
+        INTERVAL 1 DAY))::DATE AS day
+      FROM (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+            FROM daily GROUP BY 1))
+    SELECT s.user_id, s.day,
+      COALESCE(d.n_events, 0) AS n_events,
+      last_value(d.close_value IGNORE NULLS) OVER (
+        PARTITION BY s.user_id ORDER BY s.day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS carried_value
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day"""))
+
+  /** c05 — Z-order key (io.ZOrder.morton2): the 32-bit Morton
+    * interleave of (o_custkey, o_orderkey) low 16 bits — the layout
+    * key `writeZOrdered` range-partitions on. Emitted as a query so
+    * the magic-bits column tree itself is oracle-pinned bit-for-bit
+    * against an independent SQL formulation. */
+  private val c05 = GraftQuery(
+    "c05_zorder_key",
+    (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          graft.io.ZOrder.morton2(col("o_custkey"), col("o_orderkey"))
+            .as("zval")),
+    // the magic-bits spread as a CTE chain: each stage doubles the gap
+    // between payload bits (…<<8 &…, <<4, <<2, <<1), independently
+    // rederived from the public bit-twiddling sequence
+    Some("""WITH s0 AS (SELECT o_orderkey,
+        o_custkey & 65535 AS x, o_orderkey & 65535 AS y FROM orders),
+      s1 AS (SELECT o_orderkey, (x | (x << 8)) & 16711935 AS x,
+        (y | (y << 8)) & 16711935 AS y FROM s0),
+      s2 AS (SELECT o_orderkey, (x | (x << 4)) & 252645135 AS x,
+        (y | (y << 4)) & 252645135 AS y FROM s1),
+      s3 AS (SELECT o_orderkey, (x | (x << 2)) & 858993459 AS x,
+        (y | (y << 2)) & 858993459 AS y FROM s2),
+      s4 AS (SELECT o_orderkey, (x | (x << 1)) & 1431655765 AS x,
+        (y | (y << 1)) & 1431655765 AS y FROM s3)
+    SELECT o_orderkey, x | (y << 1) AS zval FROM s4"""))
+
+  override val suite: Seq[GraftQuery] = Seq(c01, c02, c03, c04, c05)
+}

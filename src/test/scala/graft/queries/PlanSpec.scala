@@ -120,4 +120,36 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1,
       s"d05 shuffles $exchanges times — expected a single groupBy:\n$p")
   }
+
+  test("curation windows partition on their domain keys, never globally (c01/c03)") {
+    // calibrate the textual signature of an empty partition spec from a
+    // deliberately-global window, then assert the curation plans never
+    // carry it — a global window would single-partition the corpus
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{row_number, col}
+    import spark.implicits._
+    val g = Seq(1, 2).toDF("x")
+      .withColumn("r", row_number().over(W.orderBy(col("x"))))
+    g.collect()
+    val gp = g.queryExecution.executedPlan.toString
+    // a partition-less window forces all rows through one partition —
+    // visible as an ENSURE_REQUIREMENTS SinglePartition exchange
+    val sig = "Exchange SinglePartition"
+    assert(gp.contains(sig),
+      s"calibration: global-window plan signature changed\n$gp")
+    Seq("c01_domain_cap", "c03_scd2_history").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains(sig), s"$q single-partitions the corpus:\n$p")
+    }
+  }
+
+  test("the Z-order key is a pure projection — no Exchange, no UDF (c05)") {
+    val p = plan("c05_zorder_key")
+    assert(!p.contains("Exchange"), s"morton key shuffled:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"),
+      s"morton key left codegen:\n$p")
+    // the `*(n)` prefix marks WholeStageCodegen spans in executed-plan
+    // strings; the Project carrying the morton tree must sit in one
+    assert(p.contains("*(1) Project") || p.contains("WholeStageCodegen"), p)
+  }
 }

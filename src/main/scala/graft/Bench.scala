@@ -70,7 +70,13 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        // per-query progress to stderr (NOT stdout — the harness parses
+        // the stdout tail): makes a wedged or slow query identifiable
+        // from the log instead of requiring a thread dump
+        System.err.println(s"[bench] $name ...")
         val times = (0 until iters).map(_ => runOnce(fn))
+        System.err.println(
+          s"[bench] $name ${times.map(t => f"$t%.2f").mkString(",")}")
         name -> times
       }
     // steady-state = min over the iterations that SUCCEEDED; -1.0 only

@@ -213,5 +213,31 @@ object CurationSuite extends QuerySuite {
         (y | (y << 1)) & 1431655765 AS y FROM s3)
     SELECT o_orderkey, x | (y << 1) AS zval FROM s4"""))
 
-  override val suite: Seq[GraftQuery] = Seq(c01, c02, c03, c04, c05)
+  /** c06 — deterministic WEIGHTED sample (Efraimidis–Spirakis A-ES):
+    * key = u^(1/w) with u = md5(doc_id)/2^60 standing in for the
+    * uniform draw and w = n_chars as the quality weight; the top-k by
+    * key is a weighted sample without replacement — longer documents
+    * proportionally likelier, yet selection is content-addressed and
+    * re-run-stable like every op in this suite. Only integer columns
+    * are emitted (the pow key itself is not — Math.pow may differ from
+    * libm by an ulp; the ORDERING is safe, nearest-key spacing at
+    * corpus scale is ~1e-10 vs 1e-16 ulp). Top-k via orderBy+limit —
+    * TakeOrderedAndProject, per-partition heaps, no global sort. */
+  private val c06 = GraftQuery(
+    "c06_weighted_sample",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("u",
+          md5Long60(col("doc_id")).cast("double") / 1.152921504606846976e18)
+        .withColumn("akey", pow(col("u"), lit(1.0) / col("n_chars")))
+        .orderBy(col("akey").desc, col("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_chars"),
+    Some(s"""SELECT doc_id, n_chars FROM documents
+    ORDER BY pow(${duckH60("CAST(doc_id AS VARCHAR)")}
+      / 1152921504606846976.0, 1.0 / n_chars) DESC, doc_id
+    LIMIT 20"""))
+
+  override val suite: Seq[GraftQuery] =
+    Seq(c01, c02, c03, c04, c05, c06)
 }

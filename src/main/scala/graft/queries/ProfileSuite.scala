@@ -101,9 +101,10 @@ object ProfileSuite extends QuerySuite {
     * 2-grams) → exact dedup (keep-first by content hash, min_by /
     * arg_min — deterministic under unique doc ids). One row per stage
     * with surviving doc and token counts — the numbers a pipeline
-    * owner actually watches. Metrics are within-row array math; each
-    * stage aggregate is a partial-agg scan; the dedup stage's only
-    * shuffle is the md5 groupBy. */
+    * owner actually watches. Metrics are within-row array math; the
+    * whole funnel is ONE corpus scan and ONE shuffle (the md5 groupBy,
+    * map-side combined) — stage totals ride the same aggregate as
+    * conditional partials. */
   private val p03 = {
     import graft.functions.TextOps.{shingles, tokens}
     GraftQuery(
@@ -121,33 +122,35 @@ object ProfileSuite extends QuerySuite {
               (size(col("g2")) - size(array_distinct(col("g2"))))
                 .cast("double") / size(col("g2"))).otherwise(0.0))
           .withColumn("h", md5(col("text").cast("binary")))
-        // one flags projection, then conditional aggregation: stages
-        // 0-2 come out of a SINGLE pass (the naive per-stage filters
-        // re-ran the shingle math once per stage — 4 corpus scans),
-        // and only the dedup stage needs its own (filtered) pass for
-        // the md5 groupBy
+        // one flags projection, then ONE corpus pass: the per-hash
+        // groupBy carries conditional partials for stages 0-2 alongside
+        // the dedup survivor pick (min-doc_id struct over the gated
+        // rows — min skips nulls, doc_id uniqueness makes it total), so
+        // the expensive shingle math runs exactly once and the only
+        // corpus shuffle is the md5 groupBy (map-side combined)
         val flags = base.select(col("doc_id"), col("n_tokens"), col("h"),
           (col("n_tokens") >= 5 && col("uniq_ratio") >= 0.3).as("qp"),
           (col("dup2_frac") <= 0.2).as("rp"))
-        val s012 = flags.agg(
-          count(lit(1)).as("n0"), sum("n_tokens").as("t0"),
-          count(when(col("qp"), lit(1))).as("n1"),
-          sum(when(col("qp"), col("n_tokens"))).as("t1"),
-          count(when(col("qp") && col("rp"), lit(1))).as("n2"),
-          sum(when(col("qp") && col("rp"), col("n_tokens"))).as("t2"))
-          .selectExpr("""stack(3,
-            CAST(0 AS BIGINT), 'total',      n0, t0,
-            CAST(1 AS BIGINT), 'quality',    n1, t1,
-            CAST(2 AS BIGINT), 'repetition', n2, t2)
+        flags.groupBy("h").agg(
+            count(lit(1)).as("n0g"), sum("n_tokens").as("t0g"),
+            count(when(col("qp"), lit(1))).as("n1g"),
+            sum(when(col("qp"), col("n_tokens"))).as("t1g"),
+            count(when(col("qp") && col("rp"), lit(1))).as("n2g"),
+            sum(when(col("qp") && col("rp"), col("n_tokens"))).as("t2g"),
+            min(when(col("qp") && col("rp"),
+              struct(col("doc_id"), col("n_tokens")))).as("surv"))
+          .agg(
+            sum("n0g").as("n0"), sum("t0g").as("t0"),
+            sum("n1g").as("n1"), sum("t1g").as("t1"),
+            sum("n2g").as("n2"), sum("t2g").as("t2"),
+            count(col("surv")).as("n3"),
+            sum(col("surv.n_tokens")).as("t3"))
+          .selectExpr("""stack(4,
+            CAST(0 AS BIGINT), 'total',       n0, t0,
+            CAST(1 AS BIGINT), 'quality',     n1, t1,
+            CAST(2 AS BIGINT), 'repetition',  n2, t2,
+            CAST(3 AS BIGINT), 'exact_dedup', n3, t3)
             AS (stage, gate, n_docs, n_tokens_total)""")
-        val s3 = flags.filter(col("qp") && col("rp"))
-          .groupBy("h")
-          .agg(min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum("n_tokens").as("n_tokens_total"))
-          .select(lit(3L).as("stage"), lit("exact_dedup").as("gate"),
-            col("n_docs"), col("n_tokens_total"))
-        s012.unionByName(s3)
       },
       Some("""WITH base AS (
         SELECT doc_id, md5(text) AS h,

@@ -238,6 +238,82 @@ object CurationSuite extends QuerySuite {
       / 1152921504606846976.0, 1.0 / n_chars) DESC, doc_id
     LIMIT 20"""))
 
+  /** c07 — PageRank, the classic link-graph quality signal for corpus
+    * curation, as 3 unrolled power iterations over the REAL
+    * part↔supplier bipartite graph (distinct lineitem pairs, made
+    * symmetric; node ids disambiguated as part*2 / supp*2+1). All
+    * arithmetic is INTEGER fixed-point (rank ×1e9, floor division for
+    * both the share split and the damping) so every engine computes
+    * identical ranks — no float summation order anywhere.
+    *
+    * Scale shape: one distinct + degree groupBy up front (cached —
+    * three iterations reference them), then per iteration ONE join on
+    * src and ONE groupBy on dst — the standard message-passing round.
+    * Rank frames stay keyed by node. Production graphs with many more
+    * rounds would localCheckpoint each round to cut the growing
+    * lineage, exactly as ops/NearDedup does. */
+  private val c07 = GraftQuery(
+    "c07_pagerank",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val pairs = li.select((col("l_partkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b")).distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .cache()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .cache()
+      val nV = deg.agg(count(lit(1)).as("n"))
+      var ranks = deg.crossJoin(broadcast(nV))
+        .select(col("src").as("node"), expr("1000000000L div n").as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(deg, "src")
+          .join(ranks.select(col("node").as("src"), col("r")), "src")
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy("dst").agg(sum("c").as("m"))
+        ranks = ranks.select(col("node"))
+          .join(contrib, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(nV))
+          .select(col("node"),
+            (expr("(15 * (1000000000L div n)) div 100") +
+              expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
+      }
+      ranks.select(col("node"), col("r").as("rank_e9"))
+        .orderBy(col("rank_e9").desc, col("node"))
+        .limit(100)
+    },
+    Some("""WITH pairs AS (
+      SELECT DISTINCT l_partkey*2 AS a, l_suppkey*2+1 AS b FROM lineitem),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+    v AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1000000000 // n AS r FROM deg, v),
+    s1 AS (SELECT e.dst AS node, SUM(r.r // d.outdeg) AS m
+           FROM edges e JOIN r0 r ON e.src = r.node
+           JOIN deg d ON e.src = d.src GROUP BY 1),
+    r1 AS (SELECT r0.node,
+             (15 * (1000000000 // v.n)) // 100
+               + (85 * COALESCE(s1.m, 0)) // 100 AS r
+           FROM r0 LEFT JOIN s1 ON r0.node = s1.node, v),
+    s2 AS (SELECT e.dst AS node, SUM(r.r // d.outdeg) AS m
+           FROM edges e JOIN r1 r ON e.src = r.node
+           JOIN deg d ON e.src = d.src GROUP BY 1),
+    r2 AS (SELECT r1.node,
+             (15 * (1000000000 // v.n)) // 100
+               + (85 * COALESCE(s2.m, 0)) // 100 AS r
+           FROM r1 LEFT JOIN s2 ON r1.node = s2.node, v),
+    s3 AS (SELECT e.dst AS node, SUM(r.r // d.outdeg) AS m
+           FROM edges e JOIN r2 r ON e.src = r.node
+           JOIN deg d ON e.src = d.src GROUP BY 1),
+    r3 AS (SELECT r2.node,
+             (15 * (1000000000 // v.n)) // 100
+               + (85 * COALESCE(s3.m, 0)) // 100 AS r
+           FROM r2 LEFT JOIN s3 ON r2.node = s3.node, v)
+    SELECT node, r AS rank_e9 FROM r3
+    ORDER BY rank_e9 DESC, node LIMIT 100"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(c01, c02, c03, c04, c05, c06)
+    Seq(c01, c02, c03, c04, c05, c06, c07)
 }

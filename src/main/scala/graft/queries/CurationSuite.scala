@@ -314,6 +314,52 @@ object CurationSuite extends QuerySuite {
     SELECT node, r AS rank_e9 FROM r3
     ORDER BY rank_e9 DESC, node LIMIT 100"""))
 
+  /** c08 — declarative data-quality report (ops/DataQuality; the
+    * dbt-tests / Deequ family): not-null, accepted-values and range
+    * checks ride ONE conditional aggregate over lineitem; uniqueness is
+    * one key groupBy; referential integrity is an anti-join per
+    * relationship. The in_range [1,49] check is deliberately violated
+    * by the data (quantities reach 50) so the report proves it counts,
+    * not just passes. */
+  private val c08 = GraftQuery(
+    "c08_dq_report",
+    (s, dir) => {
+      import graft.ops.DataQuality._
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val cst = Tables(s, dir, "customer")
+      rowChecks(li, Seq(
+          notNull("l_orderkey"),
+          notNull("l_quantity"),
+          acceptedValues("l_returnflag", Seq("A", "N", "R")),
+          inRange("l_quantity", 1, 49)))
+        .unionByName(uniqueKey(li, Seq("l_orderkey", "l_linenumber")))
+        .unionByName(referential(o, "o_custkey", cst, "c_custkey"))
+    },
+    Some("""SELECT 'not_null' AS "check", 'l_orderkey' AS "column",
+      COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'not_null', 'l_quantity',
+      COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) FROM lineitem
+    UNION ALL
+    SELECT 'accepted_values', 'l_returnflag',
+      COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                   OR l_returnflag IS NULL THEN 1 END) FROM lineitem
+    UNION ALL
+    SELECT 'in_range', 'l_quantity',
+      COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 49
+                   OR l_quantity IS NULL THEN 1 END) FROM lineitem
+    UNION ALL
+    SELECT 'unique', 'l_orderkey,l_linenumber',
+      COALESCE(SUM(n - 1), 0)
+    FROM (SELECT COUNT(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber)
+    UNION ALL
+    SELECT 'referential', 'o_custkey', COUNT(*)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(c01, c02, c03, c04, c05, c06, c07)
+    Seq(c01, c02, c03, c04, c05, c06, c07, c08)
 }

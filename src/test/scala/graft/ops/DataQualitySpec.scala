@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+  import DataQuality._
+
+  private def toy = Seq(
+    (1L, Some("A"), 10.0),
+    (2L, Some("B"), -1.0), // bad value, out of range
+    (2L, Some("A"), 5.0), // duplicate key
+    (3L, None, 120.0) // null, out of range
+  ).toDF("id", "flag", "score")
+
+  test("rowChecks counts each violation class in one pass") {
+    val got = rowChecks(toy, Seq(
+        notNull("flag"),
+        acceptedValues("flag", Seq("A")),
+        inRange("score", 0, 100)))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("not_null", "flag", 1L),
+      ("accepted_values", "flag", 2L), // "B" and the null both violate
+      ("in_range", "score", 2L)))
+    // single aggregate: the plan carries exactly one Aggregate pair
+    val p = rowChecks(toy, Seq(notNull("flag"), inRange("score", 0, 100)))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Union"), s"row checks fan out into passes:\n$p")
+  }
+
+  test("uniqueKey counts extra rows beyond the first per key") {
+    val got = uniqueKey(toy, Seq("id"))
+      .as[(String, String, Long)].head()
+    assert(got == (("unique", "id", 1L)))
+    val clean = uniqueKey(toy.filter($"score" > 0), Seq("id", "flag"))
+      .as[(String, String, Long)].head()
+    assert(clean._3 == 0L)
+  }
+
+  test("referential counts orphans") {
+    val parent = Seq(1L, 2L).toDF("id")
+    val got = referential(toy, "id", parent, "id")
+      .as[(String, String, Long)].head()
+    assert(got == (("referential", "id", 1L))) // id=3 is an orphan
+  }
+}

@@ -58,9 +58,10 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
-      // conf hygiene: x04/x05 pin the kNN-rewrite flag inside their
-      // builders; reset so the flag never leaks into later queries
-      finally spark.conf.unset("spark.graft.knnTopK.enabled")
+      // conf hygiene: A/B builders (x04/x05 kNN rewrite, x09/x10 bloom
+      // join) pin session flags; reset so none leaks into later queries
+      finally graft.queries.BenchSuite.PinnedConfKeys
+        .foreach(spark.conf.unset)
       (System.nanoTime() - t0) / 1e9
     }
 

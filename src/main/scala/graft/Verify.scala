@@ -22,9 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // conf hygiene: builders may pin graft session flags (x04/x05
-      // A/B, v08) — reset so one query's flag never leaks into the next
-      finally spark.conf.unset("spark.graft.knnTopK.enabled")
+      // conf hygiene: builders may pin session flags (x04/x05 and
+      // x09/x10 A/Bs, v08) — reset so one query's flag never leaks
+      // into the next
+      finally graft.queries.BenchSuite.PinnedConfKeys
+        .foreach(spark.conf.unset)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -136,6 +136,54 @@ object BenchSuite extends QuerySuite {
     (s, dir) => graft.ops.Ops.topKPerGroupScalable(grouped(s, dir),
       Seq("g"), Seq(col("cnt").desc, col("item").asc), 5))
 
+  /** x09/x10 — runtime BLOOM-FILTER semi-join reduction A/B (Spark's
+    * InjectRuntimeFilter): a selective dim filter (≈5% of orders) joins
+    * the fact over a SHUFFLE join (broadcast disabled both sides so the
+    * A/B isolates the bloom effect); with the filter on, the optimizer
+    * builds a bloom filter from the dim's join keys and prunes fact
+    * rows BEFORE the fact shuffle — at 100 TB that's the difference
+    * between shuffling the whole fact table and shuffling the ~5% that
+    * can match. Thresholds are lowered to let the rule fire at bench
+    * scale; plan pinned in PlanSpec (bloom_filter_might_contain on the
+    * fact scan side). Rows-only checked (the A/B twin is the oracle of
+    * shape; x10's output is identical by construction). */
+  private def bloomJoin(s: SparkSession, dir: String,
+      bloom: Boolean): DataFrame = {
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      bloom.toString)
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "1KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+    Tables(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+  }
+
+  /** Session keys the A/B builders pin; Bench/Verify unset them after
+    * every query so a variant's flag never leaks into the next plan. */
+  val PinnedConfKeys: Seq[String] = Seq(
+    "spark.graft.knnTopK.enabled",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+  private val x09 = GraftQuery(
+    "x09_bloom_join",
+    (s, dir) => bloomJoin(s, dir, bloom = true))
+
+  private val x10 = GraftQuery(
+    "x10_bloom_off",
+    (s, dir) => bloomJoin(s, dir, bloom = false))
+
   override val suite: Seq[GraftQuery] =
-    Seq(x01, x02, x03, x04, x05, x06, x07, x08)
+    Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10)
 }

@@ -143,6 +143,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x09 injects a runtime bloom filter on the fact side; x10 doesn't") {
+    try {
+      // executed plans print the filter as might_contain(...) over a
+      // bloom_filter_agg subquery on the dim side
+      val on = plan("x09_bloom_join")
+      assert(on.contains("might_contain") && on.contains("bloom_filter_agg"),
+        s"bloom filter did not fire:\n$on")
+      val off = plan("x10_bloom_off")
+      assert(!off.contains("might_contain"), off)
+    } finally BenchSuite.PinnedConfKeys.foreach(spark.conf.unset)
+  }
+
   test("the Z-order key is a pure projection — no Exchange, no UDF (c05)") {
     val p = plan("c05_zorder_key")
     assert(!p.contains("Exchange"), s"morton key shuffled:\n$p")

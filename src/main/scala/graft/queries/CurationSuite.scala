@@ -246,12 +246,15 @@ object CurationSuite extends QuerySuite {
     * both the share split and the damping) so every engine computes
     * identical ranks — no float summation order anywhere.
     *
-    * Scale shape: one distinct + degree groupBy up front (cached —
-    * three iterations reference them), then per iteration ONE join on
-    * src and ONE groupBy on dst — the standard message-passing round.
-    * Rank frames stay keyed by node. Production graphs with many more
-    * rounds would localCheckpoint each round to cut the growing
-    * lineage, exactly as ops/NearDedup does. */
+    * Scale shape: one distinct + degree groupBy up front (edges cached
+    * pre-partitioned on src — three iterations reference them), then
+    * per round the rank/degree work happens in a TINY node-keyed
+    * `shares` frame (|V| rows) so the round's only big operation is
+    * edges ⋈ shares + a dst groupBy — shares broadcasts under AQE at
+    * this |V| ≪ |E|; a web-scale graph co-partitions both on node
+    * instead (the edges cache already carries that partitioning).
+    * Production graphs with many more rounds would localCheckpoint each
+    * round to cut the growing lineage, exactly as ops/NearDedup does. */
   private val c07 = GraftQuery(
     "c07_pagerank",
     (s, dir) => {
@@ -260,19 +263,21 @@ object CurationSuite extends QuerySuite {
         (col("l_suppkey") * 2 + 1).as("b")).distinct()
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src"))
         .cache()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-        .cache()
+        .withColumnRenamed("src", "node").cache()
       val nV = deg.agg(count(lit(1)).as("n"))
       var ranks = deg.crossJoin(broadcast(nV))
-        .select(col("src").as("node"), expr("1000000000L div n").as("r"))
+        .select(col("node"), expr("1000000000L div n").as("r"))
       for (_ <- 1 to 3) {
-        val contrib = edges
-          .join(deg, "src")
-          .join(ranks.select(col("node").as("src"), col("r")), "src")
-          .select(col("dst"), expr("r div outdeg").as("c"))
+        // per-node share — all |V|-sized frames, joined OFF the big
+        // edge set so each round's only fact-scale work is one join
+        val shares = ranks.join(deg, "node")
+          .select(col("node").as("src"), expr("r div outdeg").as("c"))
+        val contrib = edges.join(shares, "src")
           .groupBy("dst").agg(sum("c").as("m"))
-        ranks = ranks.select(col("node"))
+        ranks = deg.select(col("node"))
           .join(contrib, col("node") === col("dst"), "left")
           .crossJoin(broadcast(nV))
           .select(col("node"),

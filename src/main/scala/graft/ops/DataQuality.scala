@@ -56,6 +56,28 @@ object DataQuality {
       .select(lit("unique").as("check"),
         lit(keyCols.mkString(",")).as("column"), col("n_violations"))
 
+  /** Order-independent table checksum for replica/engine
+    * reconciliation: per-row md5 of the null-tagged string encoding,
+    * folded with TWO permutation-invariant combiners — XOR (catches
+    * value drift; weakness: an even number of identical rows cancels)
+    * and modular sum (catches duplicate-row multiplicity; mod 1e9+7
+    * keeps |rows| × 1e9 far from long overflow). Comparing checksums
+    * of two 100 TB replicas costs one scan each and exchanges 24
+    * bytes. */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // \u0001-separated so ("ab","c") and ("a","bc") encode differently;
+    // cross-ENGINE comparison additionally requires columns whose
+    // string rendering is identical on both sides (integers, strings -
+    // not doubles/timestamps, whose formatting is engine-specific)
+    val enc = concat_ws("",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\\N"))): _*)
+    val h = graft.functions.TextOps.md5Long60(enc)
+    df.select(h.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(bit_xor(col("h")), lit(0L)).as("xor_sum"),
+        coalesce(sum(col("h") % 1000000007L), lit(0L)).as("mod_sum"))
+  }
+
   /** Orphan count for a referential-integrity check: child rows whose
     * key has no parent. */
   def referential(child: DataFrame, childKey: String,

@@ -365,6 +365,31 @@ object CurationSuite extends QuerySuite {
     FROM orders o WHERE NOT EXISTS
       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"""))
 
+  /** c09 — order-independent table checksum (DataQuality
+    * .tableChecksum): XOR + modular-sum folds of per-row md5 hashes —
+    * the replica-reconciliation op (compare two 100 TB copies with one
+    * scan each and a 24-byte exchange). The oracle IS the use case:
+    * DuckDB independently computes the same checksum over the same
+    * rows. Integer/string columns only — double/timestamp rendering is
+    * engine-specific (see scaladoc). */
+  private val c09 = GraftQuery(
+    "c09_table_checksum",
+    (s, dir) =>
+      graft.ops.DataQuality.tableChecksum(Tables(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus")),
+    Some(s"""SELECT COUNT(*) AS n_rows,
+      COALESCE(bit_xor(h), 0) AS xor_sum,
+      COALESCE(SUM(h % 1000000007), 0) AS mod_sum
+    FROM (SELECT ${duckH60("""concat_ws(chr(1),
+        COALESCE(CAST(l_orderkey AS VARCHAR), '\N'),
+        COALESCE(CAST(l_partkey AS VARCHAR), '\N'),
+        COALESCE(CAST(l_suppkey AS VARCHAR), '\N'),
+        COALESCE(CAST(l_linenumber AS VARCHAR), '\N'),
+        COALESCE(l_returnflag, '\N'),
+        COALESCE(l_linestatus, '\N'))""")} AS h
+      FROM lineitem)"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(c01, c02, c03, c04, c05, c06, c07, c08)
+    Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09)
 }

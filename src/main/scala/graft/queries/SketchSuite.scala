@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -386,6 +387,83 @@ object SketchSuite extends QuerySuite {
       FROM events e JOIN b USING (event_type)
       GROUP BY 1"""))
 
+  // ---------------------------------------------------------------- s10
+  /** s10 — sketch REAGGREGATION, the property that makes sketches the
+    * 100 TB answer: daily HLL register sets (what a warehouse would
+    * persist per partition) roll up to the full-period estimate by
+    * max-per-register MERGE — no rescan of the raw data. The merged
+    * estimate provably equals the direct whole-period estimate (max is
+    * associative), and the oracle pins exactly that: per-day rows AND
+    * the merged row, each against its exact distinct count. */
+  private val s10 = {
+    val M = HyperLogLog.M
+    GraftQuery(
+      "s10_hll_rollup",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(to_date(col("ts")).cast("string").as("day"),
+            col("user_id"))
+        val rho = ev.select(col("day"), md5Long32(col("user_id")).as("h32"))
+          .withColumn("j", col("h32") % M)
+          .withColumn("wbits", expr(s"h32 div $M"))
+          .withColumn("rho",
+            when(col("wbits") === 0, lit(HyperLogLog.MaxRho))
+              .otherwise(expr("bit_count((wbits & -wbits) - 1) + 1")))
+        // the persisted daily sketches: 64 registers per day
+        val daily = rho.groupBy("day", "j").agg(max("rho").as("r"))
+        def estimate(regs: DataFrame, key: Column): DataFrame =
+          regs.groupBy(key.as("scope")).agg(
+              sum(expr("shiftleft(1L, 32 - r)")).as("s_present"),
+              count(lit(1)).as("n_regs"))
+            .select(col("scope"),
+              (lit(HyperLogLog.EstConst) /
+                (col("s_present") +
+                  (lit(M) - col("n_regs")) * lit(4294967296L))
+                  .cast("double")).as("est_users"))
+        val perDay = estimate(daily, col("day"))
+        // MERGE: max over the stored daily registers — raw data untouched
+        val merged = estimate(
+          daily.groupBy("j").agg(max("r").as("r")), lit("__merged__"))
+        val exactDay = ev.groupBy("day")
+          .agg(countDistinct("user_id").as("n_exact"))
+          .select(col("day").as("scope"), col("n_exact"))
+        val exactAll = ev.agg(countDistinct("user_id").as("n_exact"))
+          .select(lit("__merged__").as("scope"), col("n_exact"))
+        perDay.unionByName(merged)
+          .join(exactDay.unionByName(exactAll), "scope")
+          .select("scope", "n_exact", "est_users")
+      },
+      Some(s"""WITH ev AS (
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id
+        FROM events),
+      rho AS (
+        SELECT day, h32 % $M AS j,
+          CASE WHEN h32 // $M = 0 THEN ${HyperLogLog.MaxRho}
+               ELSE bit_count(((h32 // $M) & -(h32 // $M)) - 1) + 1
+          END AS rho
+        FROM (SELECT day, ${duckH32("CAST(user_id AS VARCHAR)")} AS h32
+              FROM ev)),
+      daily AS (SELECT day, j, max(rho) AS r FROM rho GROUP BY 1, 2),
+      per_day AS (
+        SELECT day AS scope, SUM(1::BIGINT << (32 - r)) AS sp,
+          COUNT(*) AS nr
+        FROM daily GROUP BY 1),
+      merged AS (
+        SELECT '__merged__' AS scope, SUM(1::BIGINT << (32 - r)) AS sp,
+          COUNT(*) AS nr
+        FROM (SELECT j, max(r) AS r FROM daily GROUP BY 1)),
+      est AS (
+        SELECT scope, ${HyperLogLog.EstConst}
+          / CAST(sp + ($M - nr) * 4294967296 AS DOUBLE) AS est_users
+        FROM (SELECT * FROM per_day UNION ALL SELECT * FROM merged)),
+      exact AS (
+        SELECT day AS scope, COUNT(DISTINCT user_id) AS n_exact
+        FROM ev GROUP BY 1
+        UNION ALL
+        SELECT '__merged__', COUNT(DISTINCT user_id) FROM ev)
+      SELECT scope, n_exact, est_users FROM est JOIN exact USING (scope)"""))
+  }
+
   override def suite: Seq[GraftQuery] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }

@@ -44,4 +44,24 @@ class DataQualitySpec extends SparkSpec {
       .as[(String, String, Long)].head()
     assert(got == (("referential", "id", 1L))) // id=3 is an orphan
   }
+
+  test("tableChecksum is order/partitioning-independent and drift-sensitive") {
+    val cols = Seq("id", "flag")
+    def sum3(df: org.apache.spark.sql.DataFrame) =
+      tableChecksum(df, cols).as[(Long, Long, Long)].head()
+    val a = sum3(toy)
+    assert(a == sum3(toy.repartition(7)), "repartition changed checksum")
+    assert(a == sum3(toy.orderBy($"score".desc)), "order changed checksum")
+    // a single changed value must move the checksum
+    val drifted = toy.withColumn("flag",
+      org.apache.spark.sql.functions.when($"id" === 1, "Z")
+        .otherwise($"flag"))
+    assert(sum3(drifted) != a)
+    // duplicating a row an even number of times cancels in XOR but is
+    // caught by n_rows and the modular sum — the reason both exist
+    val doubled = toy.unionAll(toy)
+    val d = sum3(doubled)
+    assert(d._2 == 0L, "every row paired: XOR must cancel to zero")
+    assert(d._1 == 2 * a._1 && d._3 == 2 * a._3 && d._3 != a._3)
+  }
 }

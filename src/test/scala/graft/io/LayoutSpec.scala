@@ -52,5 +52,12 @@ class LayoutSpec extends SparkSpec {
     val b = spark.read.parquet(compacted)
     assert(a.count() == b.count())
     assert(a.join(b, a.columns.toSeq, "left_anti").count() == 0)
+
+    // glob input paths size correctly too (getContentSummary threw on
+    // them; sizing now goes through globStatus over data files only)
+    val globOut = base + "/compact_glob"
+    Layout.compact(spark, frag + "/part-*.parquet", globOut,
+      Seq("user_id", "ts"))
+    assert(spark.read.parquet(globOut).count() == a.count())
   }
 }

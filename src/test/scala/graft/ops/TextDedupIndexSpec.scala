@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextDedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Corpus of distinct sentences plus a batch where some docs are
+    * near-copies of corpus docs (one token changed out of ten). */
+  private def sentence(seed: Int): String =
+    (0 until 10).map(j => s"w${(seed * 31 + j * 7) % 97}_$j").mkString(" ")
+
+  private def corpus = (0 until 40)
+    .map(i => (i.toLong, sentence(i))).toDF("doc_id", "text")
+
+  private def batch = Seq(
+    (100L, sentence(3)), // exact copy of corpus doc 3
+    (101L, sentence(7).replace("_9", "_9x")), // near-copy of doc 7
+    // novel: token values cycle with seed mod 97, so any seed in
+    // [40, 96] is guaranteed disjoint from the 0..39 corpus
+    (102L, sentence(50)),
+    (103L, sentence(11)) // exact copy of doc 11
+  ).toDF("doc_id", "text")
+
+  test("probe prunes index partitions and finds the cross candidates") {
+    val path = java.nio.file.Files
+      .createTempDirectory("lsh_index").toString
+    TextDedupIndex.writeIndex(corpus, path)
+    val got = TextDedupIndex.probeCandidates(spark, path, batch)
+    got.collect() // finalize AQE before reading the executed plan
+    val pairs = got.as[(Long, Long)].collect().toSet
+    // brute-force reference: band-key equality between corpus and batch
+    val cb = TextDedupIndex.bandRows(corpus, "doc_id", "text")
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
+    val bb = TextDedupIndex.bandRows(batch, "doc_id", "text")
+      .select(col("doc_id").as("new_id"), col("band"), col("bkey"))
+    val want = cb.join(bb, Seq("band", "bkey"))
+      .select("corpus_id", "new_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == want, s"got $pairs want $want")
+    // the copies MUST surface; the novel doc must not pair with anything
+    assert(pairs.contains((3L, 100L)) && pairs.contains((11L, 103L)))
+    assert(pairs.contains((7L, 101L)),
+      "near-copy missed — 4 bands of 2 should catch a 1-token edit")
+    assert(!pairs.exists(_._2 == 102L))
+    // and the scan must be partition-pruned, not a full index read
+    val plan = got.queryExecution.executedPlan.toString
+    val scan = plan.split("\n").find(_.contains("PartitionFilters"))
+    assert(scan.isDefined, plan)
+    assert(!scan.get.contains("PartitionFilters: []"),
+      s"index scan reads all partitions:\n$plan")
+  }
+
+  test("index layout bounds partition count by bands x GroupMod") {
+    val path = java.nio.file.Files
+      .createTempDirectory("lsh_layout").toString
+    TextDedupIndex.writeIndex(corpus, path)
+    val bandDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("band="))
+    assert(bandDirs.length == 4) // k=8, rowsPerBand=2
+    bandDirs.foreach { d =>
+      val groups = d.listFiles().count(_.getName.startsWith("bgroup="))
+      assert(groups <= TextDedupIndex.GroupMod, d.toString)
+    }
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.{GraftQuery, QuerySuite, Tables}
 
@@ -188,5 +189,61 @@ object ProfileSuite extends QuerySuite {
         CAST(SUM(n_tokens) AS BIGINT) FROM d"""))
   }
 
-  override val suite: Seq[GraftQuery] = Seq(p01, p02, p03)
+  /** p04 — join-key SKEW profile: the report to read before shuffling
+    * 100 TB on a key. Per candidate key: distinct-key count, max and
+    * p99-ish key frequency (exact rank over the frequency distribution
+    * — a window over per-key counts, i.e. |distinct| rows, not corpus
+    * rows), and the share of all rows held by the top key, integer-
+    * scaled (×1e6, floor) so it cross-checks exactly. A key whose
+    * max_freq share is large wants salting (ops/Ops.saltedJoin) or
+    * AQE skew handling; the profile quantifies that BEFORE the job. */
+  private val p04 = {
+    def profile(keyCol: String) = s"""
+      SELECT '$keyCol' AS key_col,
+        COUNT(*) AS n_keys,
+        MAX(cnt) AS max_freq,
+        MAX(CASE WHEN rnk = CAST(ceil(0.99 * nk) AS BIGINT) THEN cnt END)
+          AS p99_freq,
+        (MAX(cnt) * 1000000) // SUM(cnt) AS top_share_e6
+      FROM (
+        SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rnk,
+          COUNT(*) OVER () AS nk
+        FROM (SELECT $keyCol AS k, COUNT(*) AS cnt
+              FROM lineitem GROUP BY 1))"""
+    GraftQuery(
+      "p04_skew_profile",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        def one(keyCol: String) = {
+          val counts = li.groupBy(col(keyCol).as("k"))
+            .agg(count(lit(1)).as("cnt"))
+          val w = Window.orderBy(col("cnt"), col("k"))
+          // the rank window runs over |distinct keys| rows (the
+          // aggregated frame), never the corpus — single-partition is
+          // fine for a diagnostics frame this small; at true dim-scale
+          // cardinality the sort+zipWithIndex path (t05) applies
+          counts
+            .withColumn("rnk", row_number().over(w).cast("long"))
+            .withColumn("nk", count(lit(1)).over())
+            .agg(
+              count(lit(1)).as("n_keys"),
+              max("cnt").as("max_freq"),
+              max(when(col("rnk") === ceil(lit(0.99) * col("nk"))
+                .cast("long"), col("cnt"))).as("p99_freq"),
+              expr("(max(cnt) * 1000000) div sum(cnt)").as("top_share_e6"))
+            .select(lit(keyCol).as("key_col"), col("n_keys"),
+              col("max_freq"), col("p99_freq"), col("top_share_e6"))
+        }
+        one("l_orderkey")
+          .unionByName(one("l_partkey"))
+          .unionByName(one("l_suppkey"))
+          .unionByName(one("l_returnflag"))
+      },
+      Some(s"""${profile("l_orderkey")}
+        UNION ALL ${profile("l_partkey")}
+        UNION ALL ${profile("l_suppkey")}
+        UNION ALL ${profile("l_returnflag")}"""))
+  }
+
+  override val suite: Seq[GraftQuery] = Seq(p01, p02, p03, p04)
 }

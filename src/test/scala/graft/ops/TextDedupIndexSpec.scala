@@ -53,6 +53,39 @@ class TextDedupIndexSpec extends SparkSpec {
       s"index scan reads all partitions:\n$plan")
   }
 
+  test("streaming ingest probes the index per micro-batch (foreachBatch)") {
+    // the nightly-ingest flow as a STREAM: each arriving micro-batch of
+    // documents dedups against the persisted corpus index; only the
+    // matching index partitions are read per batch
+    val idx = java.nio.file.Files
+      .createTempDirectory("lsh_stream_idx").toString
+    TextDedupIndex.writeIndex(corpus, idx)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("lsh_stream_src").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+    val cp = java.nio.file.Files
+      .createTempDirectory("lsh_stream_cp").toString
+    val hits = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = spark.readStream
+      .schema(batch.schema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          hits.synchronized {
+            hits ++= TextDedupIndex.probeCandidates(spark, idx, b)
+              .as[(Long, Long)].collect()
+          }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(hits.toSet == Set((3L, 100L), (7L, 101L), (11L, 103L)),
+      s"got $hits")
+  }
+
   test("index layout bounds partition count by bands x GroupMod") {
     val path = java.nio.file.Files
       .createTempDirectory("lsh_layout").toString

@@ -354,6 +354,56 @@ object TextSuite extends QuerySuite {
         md5(nfc_normalize(raw)) AS nfc_md5
       FROM r"""))
 
+  /** t11 — CONTENT-DEFINED chunking (the Rabin/FastCDC idea on token
+    * windows): a chunk boundary falls after token i when the hash of
+    * the 3-token window ending at i is ≡ 0 mod 16 (≈16-token expected
+    * chunks). Unlike t08's fixed stride, boundaries move WITH the
+    * content — insert one token early in a document and every fixed
+    * chunk after it changes, but content-defined chunks realign, so
+    * sub-document dedup across near-identical docs keeps matching.
+    * Emits per chunk: ordinal, token count, and the chunk content
+    * hash (the dedup key). Windows partition by doc_id; the group
+    * rebuild is sort_array(collect_list(struct(pos, tok))) — Spark's
+    * deterministic twin of SQL's string_agg(... ORDER BY pos). */
+  private val t11 = {
+    val W = 3; val Mod = 16
+    // DuckDB twin of md5Long60 (first 15 md5 hex chars as a long)
+    def h60(e: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1,16), i ->
+          CAST(strpos('0123456789abcdef', substring(md5($e),i,1)) - 1
+            AS BIGINT))), (a,b) -> a*16+b)"""
+    GraftQuery(
+      "t11_cdc_chunks",
+      (s, dir) => graft.ops.Chunking.cdcChunks(
+        Tables(s, dir, "documents"), w = W, mod = Mod),
+      Some(s"""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+          generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents),
+      win AS (
+        SELECT doc_id, pos, tok,
+          CASE WHEN pos >= ${W - 1} THEN
+            ${h60(s"""concat_ws(' ',
+              lag(tok, 2) OVER w, lag(tok, 1) OVER w, tok)""")}
+          END AS wh
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      flagged AS (
+        SELECT doc_id, pos, tok,
+          CASE WHEN wh % $Mod = 0 THEN 1 ELSE 0 END AS boundary
+        FROM win),
+      chunked AS (
+        SELECT doc_id, pos, tok,
+          CAST(COALESCE(SUM(boundary) OVER (PARTITION BY doc_id
+            ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS BIGINT) AS chunk
+        FROM flagged)
+      SELECT doc_id, chunk, COUNT(*) AS n_tokens,
+        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      FROM chunked GROUP BY 1, 2"""))
+  }
+
   override val suite: Seq[GraftQuery] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+
 }

@@ -20,8 +20,7 @@ object Examples {
 
     // --- streaming ---
     val srcDir = Files.createTempDirectory("graft_ex_events").toString
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables(spark, "/root/testdata/sf0.001", "events")
       .write.mode("append").parquet(srcDir)
     val stream = EventStreams.fromFiles(spark, srcDir)
     val q1 = EventStreams.windowedAgg(stream)

@@ -34,14 +34,26 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet timestamp[ns]; Spark reads it as Long only
-    // under nanosAsLong (set in GraftSession). Convert to a microsecond
-    // TimestampType with integer division — same truncation DuckDB
-    // applies when it reads the ns column, so oracles line up.
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts has drifted across fixture generations: parquet
+    // timestamp[ns] (read as Long under nanosAsLong), then
+    // TIMESTAMP_MICROS isAdjustedToUTC=0 (read as TIMESTAMP_NTZ).
+    // Dispatch on the dtype actually read so the logical schema is
+    // always a microsecond TimestampType, matching what DuckDB sees:
+    //  - LongType: ns epoch → integer-divide to us (same truncation
+    //    DuckDB applies reading a ns column);
+    //  - TimestampNTZType: identical under the pinned UTC session TZ;
+    //  - TimestampType: already canonical.
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types._
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType    => df
+        case other => throw new IllegalStateException(
+          s"events.ts: unexpected physical type $other — update Tables.apply")
+      }
+    } else df
   }
 }
 

@@ -13,8 +13,7 @@ class EventStreamsSpec extends SparkSpec {
     * exercise multi-file discovery). */
   private lazy val srcDir: String = {
     val dir = Files.createTempDirectory("graft_stream_src").toString
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
     // chunks split on event time, as a real ingest would arrive — the
     // watermark then advances monotonically across micro-batches
     val mid = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))

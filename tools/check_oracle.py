@@ -49,6 +49,12 @@ def main(outdir, sfdir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = f"{outdir}/{name}"
+        err_marker = f"{spark_dir}/_ERROR"
+        if os.path.exists(err_marker):
+            msg = open(err_marker).read().strip()
+            print(f"FAIL {name}: spark error: {msg[:200]}")
+            n_fail += 1
+            continue
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")

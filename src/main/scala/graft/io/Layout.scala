@@ -56,10 +56,13 @@ object Layout {
         val p = new org.apache.hadoop.fs.Path(inPath)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         def dataBytes(st: org.apache.hadoop.fs.FileStatus): Long =
-          if (st.isDirectory)
+          // hidden names are skipped BEFORE the directory branch: a
+          // half-written _temporary tree (or .hive-staging) must not
+          // inflate the sizing any more than a _SUCCESS file does
+          if (st.getPath.getName.startsWith("_") ||
+              st.getPath.getName.startsWith(".")) 0L
+          else if (st.isDirectory)
             fs.listStatus(st.getPath).map(dataBytes).sum
-          else if (st.getPath.getName.startsWith("_") ||
-                   st.getPath.getName.startsWith(".")) 0L
           else st.getLen
         val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
         val bytes = matched.map(dataBytes).sum

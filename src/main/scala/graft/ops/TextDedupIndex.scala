@@ -70,24 +70,35 @@ object TextDedupIndex {
       newDocs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8, rowsPerBand: Int = 2)
       : DataFrame = {
+    // NOT cached: the batch is micro-batch-sized by the incremental
+    // contract, so re-shingling it once for the `groups` collect and
+    // once inside the returned (lazy) join costs next to nothing —
+    // while a per-batch `.cache()` in the long-lived nightly session
+    // this is built for accumulates blocks that nothing unpersists.
     val nb = bandRows(newDocs, idCol, textCol, k, rowsPerBand)
       .withColumn("bgroup", pmod(col("bkey"), lit(GroupMod)))
-      .cache()
     val groups = nb.select("band", "bgroup").distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
-    require(groups.nonEmpty, "probe batch produced no band rows")
-    // OR-of-conjunctions over the partition columns — prunes at plan
-    // time (PartitionFilters), asserted in TextDedupIndexSpec
-    val prune = groups.map { case (b, g) =>
-      col("band") === b && col("bgroup") === g
-    }.reduce(_ || _)
-    spark.read.parquet(indexPath)
-      .filter(prune)
-      .select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
-      .join(nb.select(col("doc_id").as("new_id"), col("band"),
-        col("bkey")), Seq("band", "bkey"))
-      .filter(col("corpus_id") =!= col("new_id"))
-      .select("corpus_id", "new_id")
-      .distinct()
+    // an empty micro-batch (or one whose docs are all shorter than a
+    // shingle) has nothing to probe — return an empty pair frame
+    // instead of crashing the caller's streaming loop
+    if (groups.isEmpty)
+      newDocs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("corpus_id"), lit(0L).as("new_id"))
+    else {
+      // OR-of-conjunctions over the partition columns — prunes at plan
+      // time (PartitionFilters), asserted in TextDedupIndexSpec
+      val prune = groups.map { case (b, g) =>
+        col("band") === b && col("bgroup") === g
+      }.reduce(_ || _)
+      spark.read.parquet(indexPath)
+        .filter(prune)
+        .select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
+        .join(nb.select(col("doc_id").as("new_id"), col("band"),
+          col("bkey")), Seq("band", "bkey"))
+        .filter(col("corpus_id") =!= col("new_id"))
+        .select("corpus_id", "new_id")
+        .distinct()
+    }
   }
 }

@@ -213,29 +213,29 @@ object CurationSuite extends QuerySuite {
         (y | (y << 1)) & 1431655765 AS y FROM s3)
     SELECT o_orderkey, x | (y << 1) AS zval FROM s4"""))
 
-  /** c06 — deterministic WEIGHTED sample (Efraimidis–Spirakis A-ES):
-    * key = u^(1/w) with u = md5(doc_id)/2^60 standing in for the
-    * uniform draw and w = n_chars as the quality weight; the top-k by
-    * key is a weighted sample without replacement — longer documents
-    * proportionally likelier, yet selection is content-addressed and
-    * re-run-stable like every op in this suite. Only integer columns
-    * are emitted (the pow key itself is not — Math.pow may differ from
-    * libm by an ulp; the ORDERING is safe, nearest-key spacing at
-    * corpus scale is ~1e-10 vs 1e-16 ulp). Top-k via orderBy+limit —
+  /** c06 — deterministic WEIGHTED sample, sequential-Poisson style
+    * (Ohlsson's variant of the Efraimidis–Spirakis priority family):
+    * key = u div w with u = the 60-bit md5 of doc_id standing in for
+    * the uniform draw and w = n_chars as the quality weight; the
+    * smallest-k by key is a weighted sample without replacement —
+    * longer documents proportionally likelier, yet selection is
+    * content-addressed and re-run-stable like every op in this suite.
+    * The key is PURE INTEGER arithmetic (hash, then one floor
+    * division), so both engines compute bit-identical orderings — the
+    * earlier u^(1/w) formulation left the oracle set one libm-ulp away
+    * from flipping on near-equal keys. Top-k via orderBy+limit —
     * TakeOrderedAndProject, per-partition heaps, no global sort. */
   private val c06 = GraftQuery(
     "c06_weighted_sample",
     (s, dir) =>
       Tables(s, dir, "documents")
-        .withColumn("u",
-          md5Long60(col("doc_id")).cast("double") / 1.152921504606846976e18)
-        .withColumn("akey", pow(col("u"), lit(1.0) / col("n_chars")))
-        .orderBy(col("akey").desc, col("doc_id"))
+        .withColumn("h60", md5Long60(col("doc_id")))
+        .withColumn("akey", expr("h60 div n_chars"))
+        .orderBy(col("akey").asc, col("doc_id"))
         .limit(20)
         .select("doc_id", "n_chars"),
     Some(s"""SELECT doc_id, n_chars FROM documents
-    ORDER BY pow(${duckH60("CAST(doc_id AS VARCHAR)")}
-      / 1152921504606846976.0, 1.0 / n_chars) DESC, doc_id
+    ORDER BY ${duckH60("CAST(doc_id AS VARCHAR)")} // n_chars ASC, doc_id
     LIMIT 20"""))
 
   /** c07 — PageRank, the classic link-graph quality signal for corpus
@@ -316,7 +316,8 @@ object CurationSuite extends QuerySuite {
              (15 * (1000000000 // v.n)) // 100
                + (85 * COALESCE(s3.m, 0)) // 100 AS r
            FROM r2 LEFT JOIN s3 ON r2.node = s3.node, v)
-    SELECT node, r AS rank_e9 FROM r3
+    SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_e9
+    FROM r3
     ORDER BY rank_e9 DESC, node LIMIT 100"""))
 
   /** c08 — declarative data-quality report (ops/DataQuality; the
@@ -342,26 +343,30 @@ object CurationSuite extends QuerySuite {
         .unionByName(referential(o, "o_custkey", cst, "c_custkey"))
     },
     Some("""SELECT 'not_null' AS "check", 'l_orderkey' AS "column",
-      COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_violations
+      CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT)
+        AS n_violations
     FROM lineitem
     UNION ALL
     SELECT 'not_null', 'l_quantity',
-      COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) FROM lineitem
+      CAST(COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem
     UNION ALL
     SELECT 'accepted_values', 'l_returnflag',
-      COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R')
-                   OR l_returnflag IS NULL THEN 1 END) FROM lineitem
+      CAST(COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                   OR l_returnflag IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem
     UNION ALL
     SELECT 'in_range', 'l_quantity',
-      COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 49
-                   OR l_quantity IS NULL THEN 1 END) FROM lineitem
+      CAST(COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 49
+                   OR l_quantity IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem
     UNION ALL
     SELECT 'unique', 'l_orderkey,l_linenumber',
-      COALESCE(SUM(n - 1), 0)
+      CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
     FROM (SELECT COUNT(*) AS n FROM lineitem
           GROUP BY l_orderkey, l_linenumber)
     UNION ALL
-    SELECT 'referential', 'o_custkey', COUNT(*)
+    SELECT 'referential', 'o_custkey', CAST(COUNT(*) AS BIGINT)
     FROM orders o WHERE NOT EXISTS
       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"""))
 
@@ -378,9 +383,9 @@ object CurationSuite extends QuerySuite {
       graft.ops.DataQuality.tableChecksum(Tables(s, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_returnflag", "l_linestatus")),
-    Some(s"""SELECT COUNT(*) AS n_rows,
-      COALESCE(bit_xor(h), 0) AS xor_sum,
-      COALESCE(SUM(h % 1000000007), 0) AS mod_sum
+    Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS xor_sum,
+      CAST(COALESCE(SUM(h % 1000000007), 0) AS BIGINT) AS mod_sum
     FROM (SELECT ${duckH60("""concat_ws(chr(1),
         COALESCE(CAST(l_orderkey AS VARCHAR), '\N'),
         COALESCE(CAST(l_partkey AS VARCHAR), '\N'),

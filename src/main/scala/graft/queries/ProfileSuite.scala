@@ -200,11 +200,11 @@ object ProfileSuite extends QuerySuite {
   private val p04 = {
     def profile(keyCol: String) = s"""
       SELECT '$keyCol' AS key_col,
-        COUNT(*) AS n_keys,
-        MAX(cnt) AS max_freq,
-        MAX(CASE WHEN rnk = CAST(ceil(0.99 * nk) AS BIGINT) THEN cnt END)
-          AS p99_freq,
-        (MAX(cnt) * 1000000) // SUM(cnt) AS top_share_e6
+        CAST(COUNT(*) AS BIGINT) AS n_keys,
+        CAST(MAX(cnt) AS BIGINT) AS max_freq,
+        CAST(MAX(CASE WHEN rnk = (99 * nk + 99) // 100
+          THEN cnt END) AS BIGINT) AS p99_freq,
+        CAST((MAX(cnt) * 1000000) // SUM(cnt) AS BIGINT) AS top_share_e6
       FROM (
         SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rnk,
           COUNT(*) OVER () AS nk
@@ -228,8 +228,10 @@ object ProfileSuite extends QuerySuite {
             .agg(
               count(lit(1)).as("n_keys"),
               max("cnt").as("max_freq"),
-              max(when(col("rnk") === ceil(lit(0.99) * col("nk"))
-                .cast("long"), col("cnt"))).as("p99_freq"),
+              // integer-exact p99 rank: ceil(99*nk/100) without any
+              // double math, so no engine's FP rounding can move it
+              max(when(col("rnk") === expr("(99 * nk + 99) div 100"),
+                col("cnt"))).as("p99_freq"),
               expr("(max(cnt) * 1000000) div sum(cnt)").as("top_share_e6"))
             .select(lit(keyCol).as("key_col"), col("n_keys"),
               col("max_freq"), col("p99_freq"), col("top_share_e6"))

@@ -59,5 +59,29 @@ class LayoutSpec extends SparkSpec {
     Layout.compact(spark, frag + "/part-*.parquet", globOut,
       Seq("user_id", "ts"))
     assert(spark.read.parquet(globOut).count() == a.count())
+
+    // a leftover _temporary tree (crashed earlier write) must not
+    // inflate the sizing: with a huge junk file hidden inside it, the
+    // compaction must still produce the same small file count
+    val junkDir = new java.io.File(frag, "_temporary/0")
+    junkDir.mkdirs()
+    val junk = new java.io.File(junkDir, "junk.bin")
+    val out = new java.io.FileOutputStream(junk)
+    out.write(new Array[Byte](8 << 20)); out.close()
+    val hiddenOut = base + "/compact_hidden"
+    Layout.compact(spark, frag, hiddenOut, Seq("user_id", "ts"),
+      targetFileBytes = 1 << 20)
+    val hiddenFiles = new java.io.File(hiddenOut).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val cleanFiles = {
+      junk.delete()
+      val cleanOut = base + "/compact_clean"
+      Layout.compact(spark, frag, cleanOut, Seq("user_id", "ts"),
+        targetFileBytes = 1 << 20)
+      new java.io.File(cleanOut).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }
+    assert(hiddenFiles == cleanFiles,
+      s"hidden _temporary junk changed sizing: $hiddenFiles vs $cleanFiles")
   }
 }

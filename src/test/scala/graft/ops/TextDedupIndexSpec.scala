@@ -86,6 +86,18 @@ class TextDedupIndexSpec extends SparkSpec {
       s"got $hits")
   }
 
+  test("empty and sub-shingle probe batches return empty, not crash") {
+    val path = java.nio.file.Files
+      .createTempDirectory("lsh_empty").toString
+    TextDedupIndex.writeIndex(corpus, path)
+    // a streaming micro-batch can legitimately be empty …
+    val empty = corpus.filter(col("doc_id") < 0)
+    assert(TextDedupIndex.probeCandidates(spark, path, empty).count() == 0)
+    // … or contain only docs too short to produce a single 3-shingle
+    val tiny = Seq((200L, "one two")).toDF("doc_id", "text")
+    assert(TextDedupIndex.probeCandidates(spark, path, tiny).count() == 0)
+  }
+
   test("index layout bounds partition count by bands x GroupMod") {
     val path = java.nio.file.Files
       .createTempDirectory("lsh_layout").toString

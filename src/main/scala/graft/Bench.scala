@@ -68,7 +68,7 @@ object Bench {
     // optional comma-separated name filter for targeted iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries
+    val results = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         // per-query progress to stderr (NOT stdout — the harness parses

@@ -13,7 +13,7 @@ class PlanSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, dir)
+    val df = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)(name)(spark, dir)
     df.collect() // finalize AQE so codegen / join choices are visible
     df.queryExecution.executedPlan.toString
   }
@@ -32,6 +32,18 @@ class PlanSpec extends SparkSpec {
     val p = plan("r07_dim_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), "dim join fell back to SMJ")
+  }
+
+  test("j03's filtered aggregate broadcasts into orders (no fact SMJ)") {
+    // Q18 shape: lineitem groupBy → HAVING total_qty > 250 leaves a
+    // dim-sized frame. At 100x scale an SMJ here re-shuffles the whole
+    // orders table against a few hundred rows; AQE must see the
+    // post-filter size and choose a broadcast join for BOTH the
+    // orders⋈agg and the ⋈customer joins.
+    val p = plan("j03_large_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "j03's dim-sized aggregate fell back to SortMergeJoin:\n" + p)
   }
 
   test("global top-k plans as TakeOrderedAndProject (r14)") {

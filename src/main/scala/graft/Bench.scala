@@ -53,16 +53,44 @@ object Bench {
     // the stdout tail the harness keeps and crowd out the JSON line
     spark.sparkContext.setLogLevel("ERROR")
 
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    // Watchdog (round 9): one wedged query must never hang the whole
+    // round (round 7's 786 s cold x03 turned the driver window into
+    // rc=124 thrash). Each iteration runs in its own thread under a
+    // cancellable job group; past the cap the group is cancelled and
+    // the iteration records -2.0 (timed out) vs -1.0 (failed).
+    val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_SEC", "300").toLong
+
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      val group = s"bench-$name-${System.nanoTime()}"
+      @volatile var result = -1.0
+      val worker = new Thread(() => {
+        val t0 = System.nanoTime()
+        try {
+          // job group is per-thread state — set it in the worker so
+          // cancelJobGroup reaches exactly this iteration's jobs
+          spark.sparkContext.setJobGroup(group, name,
+            interruptOnCancel = true)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          result = (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => () } // result stays -1.0
+        finally spark.sparkContext.clearJobGroup()
+      }, group)
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(capSec * 1000L)
+      val out =
+        if (worker.isAlive) {
+          System.err.println(s"[bench] $name exceeded ${capSec}s — cancelling")
+          spark.sparkContext.cancelJobGroup(group)
+          worker.join(30000L)
+          -2.0
+        } else result
       // conf hygiene: A/B builders (x04/x05 kNN rewrite, x09/x10 bloom
       // join) pin session flags; reset so none leaks into later queries
-      finally graft.queries.BenchSuite.PinnedConfKeys
-        .foreach(spark.conf.unset)
-      (System.nanoTime() - t0) / 1e9
+      graft.queries.BenchSuite.PinnedConfKeys.foreach(spark.conf.unset)
+      out
     }
 
     // optional comma-separated name filter for targeted iteration
@@ -75,17 +103,19 @@ object Bench {
         // the stdout tail): makes a wedged or slow query identifiable
         // from the log instead of requiring a thread dump
         System.err.println(s"[bench] $name ...")
-        val times = (0 until iters).map(_ => runOnce(fn))
+        val times = (0 until iters).map(_ => runOnce(name, fn))
         System.err.println(
           s"[bench] $name ${times.map(t => f"$t%.2f").mkString(",")}")
         name -> times
       }
-    // steady-state = min over the iterations that SUCCEEDED; -1.0 only
-    // when every iteration failed (one flaky run must not poison the
-    // number when the retries were fine).
+    // steady-state = min over the iterations that SUCCEEDED; -1.0 /
+    // -2.0 (timed out) only when every iteration failed (one flaky run
+    // must not poison the number when the retries were fine).
     def steadyOf(ts: Seq[Double]): Double = {
       val ok = ts.filter(_ >= 0)
-      if (ok.nonEmpty) ok.min else -1.0
+      if (ok.nonEmpty) ok.min
+      else if (ts.contains(-2.0)) -2.0
+      else -1.0
     }
     val steady = results.map { case (k, ts) => k -> steadyOf(ts) }
     def jmap(m: Iterable[(String, Double)], fmt: Double => String) =
@@ -109,8 +139,12 @@ object Bench {
     val sfNum = raw".*sf([0-9.]+)/?$$".r
       .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0.1")
     val head = Headline.flatMap(h => steady.get(h).map(h -> _))
+    // failure visibility: a total that silently excludes broken queries
+    // reads as an improvement — report the counts next to it
+    val nFailed = steady.count(_._2 == -1.0)
+    val nTimedOut = steady.count(_._2 == -2.0)
     // ONE compact line, printed last so it survives tail truncation
-    println(s"""{"metric":"engine_total_steady_sec","value":${r3(engineTotal)},"unit":"sec","sf":$sfNum,"iters":$iters,"nq":${steady.size},"total_with_ab_baselines":${r3(allTotal)},"detail":"BENCH_FULL.json","queries":${jmap(head, r3)}}""")
+    println(s"""{"metric":"engine_total_steady_sec","value":${r3(engineTotal)},"unit":"sec","sf":$sfNum,"iters":$iters,"nq":${steady.size},"failed":$nFailed,"timed_out":$nTimedOut,"total_with_ab_baselines":${r3(allTotal)},"detail":"BENCH_FULL.json","queries":${jmap(head, r3)}}""")
     spark.stop()
   }
 }

@@ -32,28 +32,43 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Canonical post-load type of each timestamp column. The fixture
+    * encodings have drifted across driver regenerations (events.ts:
+    * parquet timestamp[ns] read as Long under nanosAsLong, then
+    * TIMESTAMP_MICROS isAdjustedToUTC=0 read as TIMESTAMP_NTZ), so the
+    * loader normalizes whatever it finds into the form every query and
+    * oracle was validated against: events.ts as TimestampType (the
+    * original ns shim produced it), orders/lineitem dates as
+    * TIMESTAMP_NTZ (how Spark reads their current encoding). Under the
+    * pinned UTC session timezone the NTZ↔TZ cast is an identity on the
+    * underlying microseconds, which is exactly why both forms keep
+    * hash-matching DuckDB. */
+  private val canonicalTs: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "events"   -> Seq("ts" -> TimestampType),
+      "orders"   -> Seq("o_orderdate" -> TimestampNTZType),
+      "lineitem" -> Seq("l_shipdate" -> TimestampNTZType))
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts has drifted across fixture generations: parquet
-    // timestamp[ns] (read as Long under nanosAsLong), then
-    // TIMESTAMP_MICROS isAdjustedToUTC=0 (read as TIMESTAMP_NTZ).
-    // Dispatch on the dtype actually read so the logical schema is
-    // always a microsecond TimestampType, matching what DuckDB sees:
-    //  - LongType: ns epoch → integer-divide to us (same truncation
-    //    DuckDB applies reading a ns column);
-    //  - TimestampNTZType: identical under the pinned UTC session TZ;
-    //  - TimestampType: already canonical.
-    if (name == "events") {
-      import org.apache.spark.sql.functions.{col, expr}
-      import org.apache.spark.sql.types._
-      df.schema("ts").dataType match {
-        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-        case TimestampType    => df
-        case other => throw new IllegalStateException(
-          s"events.ts: unexpected physical type $other — update Tables.apply")
-      }
-    } else df
+    canonicalTs.getOrElse(name, Nil).foldLeft(df) {
+      case (d, (c, target)) =>
+        d.schema(c).dataType match {
+          case t if t == target => d
+          // ns epoch → integer-divide to us (the same truncation DuckDB
+          // applies reading a ns column), then cast to the canonical type
+          case LongType => d.withColumn(c,
+            expr(s"timestamp_micros($c div 1000)").cast(target))
+          case TimestampType | TimestampNTZType =>
+            d.withColumn(c, col(c).cast(target))
+          case other => throw new IllegalStateException(
+            s"$name.$c: unexpected physical type $other — update Tables")
+        }
+    }
   }
 }
 

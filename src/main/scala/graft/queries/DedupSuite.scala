@@ -437,6 +437,47 @@ object DedupSuite extends QuerySuite {
         GROUP BY 1, 2"""))
   }
 
+  /** d10 — cross-document repeated-span detection (the exact-substring
+    * dedup op from training-data curation: find token spans that occur
+    * in more than one document, the spans an LM would memorize). Every
+    * 8-token rolling span hashes map-side (shingles → md5-60, no
+    * shuffle); the single exchange is the span-hash groupBy, whose
+    * output is the duplicated-span dictionary — at 100 TB that
+    * dictionary is what the removal pass semi-joins against, and the
+    * heavy explode never crosses the wire. Distinct-doc counting rides
+    * Spark's two-phase partial-distinct aggregate. */
+  private val d10 = {
+    val N = 8
+    def duckH60(e: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1,16), i ->
+          CAST(strpos('0123456789abcdef', substring(md5($e),i,1)) - 1
+            AS BIGINT))), (a,b) -> a*16+b)"""
+    GraftQuery(
+      "d10_repeated_spans",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(transform(shingles(tokens(col("text")), N),
+              g => md5Long60(g))).as("h"))
+          .groupBy("h")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("n_total"))
+          .filter(col("n_docs") >= 2),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) - ${N - 2}),
+            i -> array_to_string(list_slice(tk, i, i + ${N - 1}), ' ')))
+            AS g
+          FROM toks)
+        SELECT ${duckH60("g")} AS h,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM g GROUP BY 1
+        HAVING COUNT(DISTINCT doc_id) >= 2"""))
+  }
+
   override val suite: Seq[GraftQuery] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
 }

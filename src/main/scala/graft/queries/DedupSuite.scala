@@ -455,15 +455,8 @@ object DedupSuite extends QuerySuite {
             AS BIGINT))), (a,b) -> a*16+b)"""
     GraftQuery(
       "d10_repeated_spans",
-      (s, dir) =>
-        Tables(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(transform(shingles(tokens(col("text")), N),
-              g => md5Long60(g))).as("h"))
-          .groupBy("h")
-          .agg(countDistinct("doc_id").as("n_docs"),
-            count(lit(1)).as("n_total"))
-          .filter(col("n_docs") >= 2),
+      (s, dir) => graft.ops.RepeatedSpans.detect(
+        Tables(s, dir, "documents"), "doc_id", "text", N),
       Some(s"""WITH toks AS (
           SELECT doc_id, string_split(text,' ') AS tk FROM documents),
         g AS (

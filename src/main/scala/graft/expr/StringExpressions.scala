@@ -46,3 +46,60 @@ object NfcNormalize {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 }
+
+/** Duplicate-n-gram fraction of a token array in ONE traversal (the
+  * Gopher/MassiveText repetition filters, t09): equivalent to
+  * `(size(g) - size(array_distinct(g))) / size(g)` over
+  * `g = shingles(toks, n)`, but without materializing the n-gram
+  * array — Spark's higher-order functions are CodegenFallback, so the
+  * compositional form re-allocates per row; this expression streams
+  * the n-grams through one hash set inside codegen. `n` is baked in
+  * (a literal in every call site), like [[graft.expr.Md5Long]]'s
+  * nHex. */
+case class DupFraction(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def inputTypes = Seq(org.apache.spark.sql.types.ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dup_frac"
+
+  override def nullSafeEval(input: Any): Any =
+    DupFraction.dupFrac(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.DupFraction.dupFrac($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object DupFraction {
+  /** (n-gram count - distinct n-gram count) / n-gram count; 0.0 when
+    * the array is shorter than n. N-grams compare as their
+    * space-joined text — identical to `array_join(slice(toks,i,n)," ")`
+    * in the relational form, so results are bit-identical. */
+  def dupFrac(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): Double = {
+    val total = arr.numElements() - n + 1
+    if (total <= 0) return 0.0
+    val seen = new java.util.HashSet[String](total * 2)
+    val sb = new java.lang.StringBuilder
+    var dups = 0
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(String.valueOf(arr.getUTF8String(i + j)))
+        j += 1
+      }
+      if (!seen.add(sb.toString)) dups += 1
+      i += 1
+    }
+    dups.toDouble / total
+  }
+}

@@ -308,6 +308,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "_FUNC_(s) - Unicode NFC normalization"),
       (es: Seq[Expression]) => NfcNormalize(es(0))))
+    ext.injectFunction((FunctionIdentifier("graft_dup_frac"),
+      info("graft_dup_frac",
+        "_FUNC_(toks, n) - duplicate n-gram fraction of a token array"),
+      (es: Seq[Expression]) => {
+        val n = es(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int if i >= 1 => i
+            case l: Long if l >= 1 => l.toInt
+            case other => throw new IllegalArgumentException(
+              "graft_dup_frac: n must be a positive integer literal, " +
+                s"got ${Option(other).getOrElse("NULL")}")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_dup_frac: n must be a foldable integer literal, " +
+              "not a per-row column")
+        }
+        DupFraction(es(0), n)
+      }))
     ext.injectFunction((FunctionIdentifier("graft_md5_long"),
       info("graft_md5_long",
         "_FUNC_(s, nHex) - first nHex md5 hex nibbles as a long"),

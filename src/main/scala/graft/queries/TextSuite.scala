@@ -285,12 +285,13 @@ object TextSuite extends QuerySuite {
     * math — zero shuffle, embarrassingly parallel at any scale. */
   private val t09 = {
     val Thresh2 = 0.20; val Thresh3 = 0.18
-    def dupFrac(k: Int) = {
-      val g = shingles(col("toks"), k)
-      when(size(g) > 0,
-        (size(g) - size(array_distinct(g))).cast("double") / size(g))
-        .otherwise(0.0)
-    }
+    // one-pass codegen expression (expr.DupFraction) — bit-identical to
+    // (size(g) - size(array_distinct(g)))/size(g) over shingles(toks,k)
+    // (parity pinned in StringExpressionsSpec), ~4x faster: the
+    // compositional form is CodegenFallback and materializes the n-gram
+    // array per row
+    def dupFrac(k: Int) =
+      call_function("graft_dup_frac", col("toks"), lit(k))
     def duckDupFrac(k: Int) = {
       val g = s"""list_transform(range(1, len(toks) - ${k - 2}),
         i -> array_to_string(list_slice(toks, i, i + ${k - 1}), ' '))"""

@@ -1,0 +1,52 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextOps.{shingles, tokens}
+
+class StringExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_dup_frac equals the relational shingle/distinct form") {
+    // real corpus text plus adversarial edges: shorter than n, exactly
+    // n, all-identical tokens, interior repeats
+    val real = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+    val edges = Seq("a", "a b", "a b c", "a a a a a",
+      "x y x y x y", "p q r p q r s").toDF("text")
+    val docs = real.unionByName(edges)
+      .select(tokens(col("text")).as("toks"))
+    for (k <- Seq(2, 3)) {
+      val g = shingles(col("toks"), k)
+      val relational = when(size(g) > 0,
+        (size(g) - size(array_distinct(g))).cast("double") / size(g))
+        .otherwise(0.0)
+      val mism = docs
+        .select(relational.as("want"),
+          call_function("graft_dup_frac", col("toks"), lit(k)).as("got"))
+        .filter(col("want") =!= col("got"))
+        .count()
+      assert(mism == 0, s"k=$k: $mism rows diverge")
+    }
+  }
+
+  test("graft_dup_frac stays inside WholeStageCodegen") {
+    val df = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(call_function("graft_dup_frac",
+        tokens(col("text")), lit(2)).as("f"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fused = """\*\(\d+\) Project \[[^\n]*graft_dup_frac""".r
+    assert(fused.findFirstIn(p).isDefined, p)
+  }
+
+  test("graft_dup_frac rejects a non-literal n") {
+    val e = intercept[Exception] {
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+        .select(call_function("graft_dup_frac",
+          tokens(col("text")), col("doc_id"))).collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+  }
+}

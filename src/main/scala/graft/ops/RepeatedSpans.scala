@@ -28,9 +28,13 @@ object RepeatedSpans {
     docs.select(col(idCol).as("doc_id"),
         explode(transform(shingles(tokens(col(textCol)), n),
           g => md5Long60(g))).as("h"))
+      // explicit two-stage distinct: count+countDistinct in one agg
+      // would plan an Expand that DOUBLES the exploded span rows
+      // through the shuffle; aggregating (h, doc_id) first combines
+      // map-side and ships each doc's span counts once
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
       .groupBy("h")
-      .agg(countDistinct("doc_id").as("n_docs"),
-        count(lit(1)).as("n_total"))
+      .agg(count(lit(1)).as("n_docs"), sum("c").as("n_total"))
       .filter(col("n_docs") >= 2)
 
   /** Remove every occurrence of every dictionary span from every

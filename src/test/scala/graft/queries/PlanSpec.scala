@@ -46,6 +46,15 @@ class PlanSpec extends SparkSpec {
       "j03's dim-sized aggregate fell back to SortMergeJoin:\n" + p)
   }
 
+  test("d10's distinct-doc count carries no Expand through the shuffle") {
+    // the two-stage (h, doc_id) → (h) aggregate must survive: a
+    // count+countDistinct single aggregate would plan an Expand that
+    // doubles every exploded span row crossing the wire
+    val p = plan("d10_repeated_spans")
+    assert(!p.contains("Expand"),
+      "d10 regressed to an Expand-based distinct aggregate:\n" + p)
+  }
+
   test("global top-k plans as TakeOrderedAndProject (r14)") {
     val p = plan("r14_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -395,6 +395,46 @@ object CurationSuite extends QuerySuite {
         COALESCE(l_linestatus, '\N'))""")} AS h
       FROM lineitem)"""))
 
+  /** c10 — mixture sampling (the data-mixing op: compose a training
+    * set from per-language target quotas — the Pile/ROOTS-style recipe
+    * step). Selection is content-addressed (smallest md5 of doc_id per
+    * language wins), so the mixture is re-run-stable and incremental
+    * ingest can only append past the quota boundary. Ranking rides
+    * [[graft.ops.Ops.topKPerGroupScalable]] — languages are a
+    * LOW-cardinality key, so a plain per-lang window would funnel the
+    * corpus through |langs| tasks; the two-level form pre-prunes in
+    * langs × 64 buckets and ranks only the survivors. A language
+    * missing from the recipe contributes nothing (null quota filters
+    * out). */
+  private val c10 = {
+    val quotas = Map("en" -> 80, "de" -> 40, "fr" -> 30,
+      "es" -> 30, "zh" -> 20)
+    val maxQuota = quotas.values.max
+    GraftQuery(
+      "c10_mixture_sample",
+      (s, dir) => {
+        val ranked = graft.ops.Ops.topKPerGroupScalable(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              md5Long60(col("doc_id")).as("hk")),
+          Seq("lang"), Seq(col("hk").asc, col("doc_id").asc), maxQuota)
+        ranked
+          .withColumn("quota",
+            element_at(typedLit(quotas), col("lang")))
+          .filter(col("rank") <= col("quota"))
+          .select(col("doc_id"), col("lang"),
+            col("rank").cast("long").as("rnk"))
+      },
+      Some(s"""WITH q(lang, quota) AS (VALUES
+        ('en', 80), ('de', 40), ('fr', 30), ('es', 30), ('zh', 20)),
+      r AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY ${duckH60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
+        FROM documents)
+      SELECT r.doc_id, r.lang, CAST(r.rnk AS BIGINT) AS rnk
+      FROM r JOIN q USING (lang) WHERE r.rnk <= q.quota"""))
+  }
+
   override val suite: Seq[GraftQuery] =
-    Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09)
+    Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10)
 }

@@ -435,6 +435,40 @@ object CurationSuite extends QuerySuite {
       FROM r JOIN q USING (lang) WHERE r.rnk <= q.quota"""))
   }
 
+  /** c11 — domain-level quality gate (the C4-style blocklist step:
+    * aggregate per-source quality signals, then keep/block whole
+    * domains — cheaper and often more effective than doc-level
+    * filtering because garbage clusters by origin). ONE map-side
+    * combined groupBy on source; verdict math is all integer (floor
+    * averages, ×1e6 fractions), so both engines agree exactly. At
+    * 100 TB the output is a dim-sized blocklist the ingest pass
+    * broadcast-anti-joins against. */
+  private val c11 = GraftQuery(
+    "c11_domain_gate",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars_total"),
+          count(when(col("n_chars") < 200, 1)).as("n_short"))
+        .withColumn("avg_chars", expr("chars_total div n_docs"))
+        .withColumn("short_frac_e6",
+          expr("n_short * 1000000 div n_docs"))
+        .withColumn("keep",
+          col("avg_chars") >= 300 && col("short_frac_e6") <= 280000),
+    Some("""SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+      CAST(COUNT(CASE WHEN n_chars < 200 THEN 1 END) AS BIGINT)
+        AS n_short,
+      CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars,
+      CAST(COUNT(CASE WHEN n_chars < 200 THEN 1 END) * 1000000
+        // COUNT(*) AS BIGINT) AS short_frac_e6,
+      (SUM(n_chars) // COUNT(*) >= 300 AND
+       COUNT(CASE WHEN n_chars < 200 THEN 1 END) * 1000000
+         // COUNT(*) <= 280000) AS keep
+    FROM documents GROUP BY source"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10)
+    Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11)
 }

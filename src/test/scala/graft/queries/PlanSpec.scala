@@ -158,7 +158,11 @@ class PlanSpec extends SparkSpec {
     val sig = "Exchange SinglePartition"
     assert(gp.contains(sig),
       s"calibration: global-window plan signature changed\n$gp")
-    Seq("c01_domain_cap", "c03_scd2_history").foreach { q =>
+    // c10's two-level rank and d10's span aggregate were built exactly
+    // to avoid this signature — keep them pinned with the r7 curation
+    // plans
+    Seq("c01_domain_cap", "c03_scd2_history", "c10_mixture_sample",
+        "c11_domain_gate", "d10_repeated_spans").foreach { q =>
       val p = plan(q)
       assert(!p.contains(sig), s"$q single-partitions the corpus:\n$p")
     }

@@ -434,6 +434,52 @@ object VectorSuite extends QuerySuite {
       FROM cand QUALIFY rnk <= 5"""))
   }
 
+  /** v12 — per-label embedding outliers (the mislabeled/noisy-vector
+    * quality signal: the k vectors farthest from their own label's
+    * centroid are the rows a curation pass reviews or drops). All
+    * arithmetic is integer-exact on the quantized vectors: the
+    * centroid's floor-average rides a +OFF shift so the numerator is
+    * provably positive — there DuckDB's floor `//` and Spark's
+    * truncating `div` agree — and the distance is a plain long sum of
+    * squared deviations. The per-(label,pos) centroid frame is
+    * dim-sized and broadcasts; the outlier rank uses the two-level
+    * top-k so the low-cardinality label key never funnels the corpus
+    * through |labels| tasks. */
+  private val v12 = {
+    val Off = 1L << 40 // >> any |avg quantized| (±~1e6) → shifted sums stay positive
+    GraftQuery(
+      "v12_label_outliers",
+      (s, dir) => {
+        val px = emb(s, dir).select(col("label"), col("vec_id"),
+          posexplode(col("qv")).as(Seq("pos", "x")))
+        val cent = px.groupBy("label", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .select(col("label"), col("pos"),
+            expr(s"(sx + n * ${Off}L) div n - ${Off}L").as("cx"))
+        val d2 = px.join(broadcast(cent), Seq("label", "pos"))
+          .groupBy("vec_id", "label")
+          .agg(sum((col("x") - col("cx")) * (col("x") - col("cx")))
+            .as("d2"))
+        graft.ops.Ops.topKPerGroupScalable(d2, Seq("label"),
+            Seq(col("d2").desc, col("vec_id").asc), 5, "rnk")
+          .withColumn("rnk", col("rnk").cast("long"))
+      },
+      Some(s"""WITH q AS ($qvSql),
+      px AS (SELECT label, vec_id, p.pos, qv[p.pos] AS x
+        FROM q, LATERAL (SELECT unnest(range(1, 1 + len(qv))) AS pos) p),
+      cent AS (SELECT label, pos,
+          (CAST(SUM(x) AS BIGINT) + COUNT(*) * $Off) // COUNT(*) - $Off
+            AS cx
+        FROM px GROUP BY 1, 2),
+      d AS (SELECT px.vec_id, px.label,
+          CAST(SUM((px.x - cent.cx) * (px.x - cent.cx)) AS BIGINT) AS d2
+        FROM px JOIN cent USING (label, pos) GROUP BY 1, 2)
+      SELECT vec_id, label, d2,
+        CAST(row_number() OVER (PARTITION BY label
+          ORDER BY d2 DESC, vec_id) AS BIGINT) AS rnk
+      FROM d QUALIFY rnk <= 5"""))
+  }
+
   override val suite: Seq[GraftQuery] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12)
 }

@@ -464,6 +464,76 @@ object SketchSuite extends QuerySuite {
       SELECT scope, n_exact, est_users FROM est JOIN exact USING (scope)"""))
   }
 
+  /** s11 — KMV/theta-style SET-OVERLAP estimate between event-type
+    * audiences (the Apache-DataSketches theta use case: estimate
+    * |A ∩ B| for every pair of segments from fixed-size sketches,
+    * never from the raw sets). Per type, the sketch is the K smallest
+    * distinct user-id hashes (two-level ranked — the low-cardinality
+    * type key never funnels the deduped hash set through |types|
+    * tasks); per pair, θ = the union sketch's K-th minimum and the
+    * estimate is |common hashes < θ| × 2^32 / θ — integer arithmetic
+    * to a single final division, so both engines agree bitwise. All
+    * post-sketch frames are |types|²×K rows: tiny, like every sketch
+    * here the corpus-sized work is ONE distinct. */
+  private val s11 = {
+    val K = 64
+    GraftQuery(
+      "s11_kmv_overlap",
+      (s, dir) => {
+        val hashed = Tables(s, dir, "events")
+          .select(col("event_type"),
+            graft.functions.TextOps.md5Long32(col("user_id")).as("h"))
+          .distinct()
+        val sk = graft.ops.Ops.topKPerGroupScalable(hashed,
+          Seq("event_type"), Seq(col("h").asc), K, "rn").drop("rn")
+        val types = sk.select(col("event_type")).distinct()
+        val pairs = types.select(col("event_type").as("ta"))
+          .join(types.select(col("event_type").as("tb")),
+            col("ta") < col("tb"))
+        // union sketch per pair → θ (window over ≤ 2K rows per pair)
+        val u = pairs.join(sk,
+            col("event_type") === col("ta") ||
+              col("event_type") === col("tb"))
+          .select(col("ta"), col("tb"), col("h")).distinct()
+        val wp = Window.partitionBy("ta", "tb").orderBy("h")
+        val theta = u.withColumn("rn", row_number().over(wp))
+          .filter(col("rn") === K)
+          .select(col("ta"), col("tb"), col("h").as("th"))
+        val common = sk.select(col("event_type").as("ta"), col("h"))
+          .join(sk.select(col("event_type").as("tb"), col("h")), Seq("h"))
+          .filter(col("ta") < col("tb"))
+        theta.join(common, Seq("ta", "tb"), "left")
+          .groupBy("ta", "tb", "th")
+          .agg(count(when(col("h") < col("th"), 1)).as("n_common"))
+          .select(col("ta"), col("tb"), col("n_common"),
+            (col("n_common").cast("double") * 4.294967296e9 /
+              col("th").cast("double")).as("est_overlap"))
+      },
+      Some(s"""WITH hashed AS (
+        SELECT DISTINCT event_type,
+          ${duckH32("CAST(user_id AS VARCHAR)")} AS h FROM events),
+      sk AS (SELECT event_type, h FROM hashed
+        QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h)
+          <= $K),
+      t AS (SELECT DISTINCT event_type FROM sk),
+      pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+        FROM t a, t b WHERE a.event_type < b.event_type),
+      u AS (SELECT DISTINCT p.ta, p.tb, s.h FROM pairs p
+        JOIN sk s ON s.event_type = p.ta OR s.event_type = p.tb),
+      theta AS (SELECT ta, tb, h AS th FROM u
+        QUALIFY row_number() OVER (PARTITION BY ta, tb ORDER BY h) = $K),
+      common AS (SELECT sa.event_type AS ta, sb.event_type AS tb, sa.h
+        FROM sk sa JOIN sk sb
+        ON sa.h = sb.h AND sa.event_type < sb.event_type)
+      SELECT th.ta, th.tb,
+        CAST(COUNT(CASE WHEN c.h < th.th THEN 1 END) AS BIGINT)
+          AS n_common,
+        CAST(COUNT(CASE WHEN c.h < th.th THEN 1 END) AS DOUBLE)
+          * 4294967296 / CAST(th.th AS DOUBLE) AS est_overlap
+      FROM theta th LEFT JOIN common c ON c.ta = th.ta AND c.tb = th.tb
+      GROUP BY th.ta, th.tb, th.th"""))
+  }
+
   override def suite: Seq[GraftQuery] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
 }

@@ -87,6 +87,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // grouped top-k (GroupedTopK) plans as ObjectHashAggregate; the
+      // stock 128-key fallback would sort a partition's input by group
+      // key once a scan sees >128 query ids. Buffers are ≤ 2k longs, so
+      // 4096 in-memory groups is still < 1 MB per task.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4096")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .config("spark.ui.enabled", "false")

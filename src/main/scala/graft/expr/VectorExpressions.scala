@@ -305,6 +305,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_dot_long",
         "_FUNC_(a, b) - exact dot product over quantized long vectors"),
       (es: Seq[Expression]) => DotLong(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_sortable_bits"),
+      info("graft_sortable_bits",
+        "_FUNC_(d) - order-preserving long bits of a double"),
+      (es: Seq[Expression]) => DoubleSortableLong(es(0))))
+    ext.injectFunction((FunctionIdentifier("graft_sortable_double"),
+      info("graft_sortable_double",
+        "_FUNC_(l) - double restored from graft_sortable_bits"),
+      (es: Seq[Expression]) => SortableLongDouble(es(0))))
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "_FUNC_(s) - Unicode NFC normalization"),
       (es: Seq[Expression]) => NfcNormalize(es(0))))

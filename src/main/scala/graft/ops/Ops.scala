@@ -50,6 +50,44 @@ object Ops {
     topKPerGroup(pruned, partitionCols, orderBy, k, rankCol)
   }
 
+  /** Per-group top-k as a mergeable AGGREGATE
+    * ([[graft.functions.GroupedTopK]]) — the 100 TB form of
+    * [[topKPerGroup]]: no corpus-sized shuffle at all. The partial
+    * ObjectHashAggregate reduces every input partition to ≤ groups × k
+    * (key,id) pairs map-side; only those buffers cross the exchange.
+    * Use when the ranked `key` is (or maps exactly to) a long and the
+    * row identity is a long — e.g. kNN distance ranking, count ranking.
+    * Rows with a null key or id are excluded (document distances/counts
+    * are non-null by construction; a window would instead rank nulls by
+    * engine-specific null ordering, which never cross-checks anyway).
+    *
+    * Output: groupCols ++ (keyName, idName, rankCol), rank 1-based in
+    * `descending ? key desc : key asc, id asc` order — identical rows
+    * to [[topKPerGroup]] with that ordering. Descending rides bitwise
+    * NOT, an order-reversing bijection on longs (no MinValue overflow).
+    */
+  def topKPerGroupAgg(df: DataFrame, groupCols: Seq[String],
+      key: Column, id: Column, k: Int,
+      keyName: String = "key", idName: String = "id",
+      rankCol: String = "rank", descending: Boolean = false): DataFrame = {
+    val keyL = key.cast("long")
+    val encKey = if (descending) bitwise_not(keyL) else keyL
+    val topk = graft.functions.GroupedTopK.topK(k)
+    val grouped = df
+      .filter(key.isNotNull && id.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(topk(encKey, id.cast("long")).as("__topk"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__topk")).as(Seq("__pos", "__e")): _*)
+    val outKey =
+      if (descending) bitwise_not(col("__e").getField("_1"))
+      else col("__e").getField("_1")
+    grouped.select(groupCols.map(col) ++ Seq(
+      outKey.as(keyName),
+      col("__e").getField("_2").as(idName),
+      (col("__pos") + 1).cast("int").as(rankCol)): _*)
+  }
+
   /** Key-based upsert — the MERGE INTO semantic on plain storage (the
     * incremental-ETL op: new extract rows replace same-key rows, the
     * rest of the base survives). Relationally: updates ∪ (base

@@ -207,6 +207,19 @@ object BenchSuite extends QuerySuite {
       .withColumn("rank", col("rank").cast("long")),
     Some(groupedTopkSql))
 
+  /** x11 — third arm of the same A/B: the grouped bounded-heap
+    * AGGREGATE ([[graft.ops.Ops.topKPerGroupAgg]]). Unlike both window
+    * forms it shuffles NOTHING group-sized: partial ObjectHashAggregate
+    * reduces each partition to ≤ 3 groups × 5 pairs map-side. Identical
+    * rows, same oracle. */
+  private val x11 = GraftQuery(
+    "x11_topk_groupagg",
+    (s, dir) => graft.ops.Ops.topKPerGroupAgg(grouped(s, dir), Seq("g"),
+      col("cnt"), col("item"), 5, "cnt", "item", "rank",
+      descending = true)
+      .withColumn("rank", col("rank").cast("long")),
+    Some(groupedTopkSql))
+
   /** x09/x10 — runtime BLOOM-FILTER semi-join reduction A/B (Spark's
     * InjectRuntimeFilter): a selective dim filter (≈5% of orders) joins
     * the fact over a SHUFFLE join (broadcast disabled both sides so the
@@ -257,7 +270,7 @@ object BenchSuite extends QuerySuite {
 
   /** Oracle-paired production arms — part of the correctness record. */
   override val suite: Seq[GraftQuery] =
-    Seq(x02, x04, x07, x08)
+    Seq(x02, x04, x07, x08, x11)
 
   /** Timed by Bench, asserted by PlanSpec where a plan property is the
     * point (x09/x10), but excluded from Verify/CORRECTNESS: baselines

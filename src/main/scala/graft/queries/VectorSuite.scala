@@ -15,8 +15,10 @@ import graft.functions.{TextOps, VectorOps}
   * arithmetic in both engines, with one trailing IEEE sqrt/division.
   *
   * Scale notes (100 TB): the brute-force kNN broadcasts the (small)
-  * query set against the corpus — a map-side cross join with a
-  * TakeOrderedAndProject per query, no corpus shuffle. The IVF pair
+  * query set against the corpus — a map-side cross join ranked by the
+  * grouped bounded-heap aggregate (per-partition top-k PER QUERY,
+  * only groups×k pairs cross the exchange), no corpus shuffle and no
+  * per-query single-task sort. The IVF pair
   * (v06/v07) is the real scale design: cluster assignment is a
   * broadcast-8-centroids map pass, and probes prune to one cell —
   * at 1000 executors that's a partition-pruned scan, not a full sweep.
@@ -81,23 +83,26 @@ object VectorSuite extends QuerySuite {
 
   /** v03 — brute-force kNN (V5; ref `generate_embeddings.py:418-452`):
     * 10 query vectors against the full corpus, top-5 each by exact
-    * quantized L2, total-ordered tiebreak. The query side is broadcast —
-    * the corpus never shuffles. */
+    * quantized L2, total-ordered tiebreak. The query side is broadcast
+    * and ranking is the grouped bounded-heap AGGREGATE
+    * ([[graft.ops.Ops.topKPerGroupAgg]]): each scan partition keeps a
+    * local top-5 per query map-side, so the corpus×queries product is
+    * never shuffled and no query funnels through a single-task sort. */
   private val v03 = GraftQuery(
     "v03_knn_bruteforce",
     (s, dir) => {
       val corpus = emb(s, dir).select(col("vec_id"), col("qv"))
       val queries = emb(s, dir).filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("qv").as("query_qv"))
-      val w = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
-      corpus.crossJoin(broadcast(queries))
+      val scored = corpus.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("d2",
           call_function("graft_sqdist_long", col("qv"), col("query_qv")))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (sqrt(col("d2").cast("double")) / 1e6).as("dist"), col("rnk"))
+      graft.ops.Ops.topKPerGroupAgg(scored, Seq("query_id"),
+          col("d2"), col("vec_id"), 5, "d2", "neighbor_id", "rnk")
+        .select(col("query_id"), col("neighbor_id"),
+          (sqrt(col("d2").cast("double")) / 1e6).as("dist"),
+          col("rnk").cast("long").as("rnk"))
     },
     Some(s"""WITH q AS ($qvSql),
     pairs AS (
@@ -121,16 +126,18 @@ object VectorSuite extends QuerySuite {
         .select(col("vec_id").as("query_id"), col("qv").as("query_qv"))
       val labels = Tables(s, dir, "embeddings")
         .select(col("vec_id").as("neighbor_id"), col("label"))
-      val w = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+      // nearest neighbor = per-query argmin: min over struct(d2, id)
+      // compares lexicographically (distance, then id tiebreak) and
+      // partial-aggregates map-side — no window, no product shuffle
       corpus.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("d2",
           call_function("graft_sqdist_long", col("qv"), col("query_qv")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (lit(1.0) / (lit(1.0) + sqrt(col("d2").cast("double")) / 1e6))
-            .as("score"))
+        .groupBy(col("query_id"))
+        .agg(min(struct(col("d2"), col("vec_id"))).as("nn"))
+        .select(col("query_id"), col("nn.vec_id").as("neighbor_id"),
+          (lit(1.0) / (lit(1.0) +
+            sqrt(col("nn.d2").cast("double")) / 1e6)).as("score"))
         // no hint: `labels` is the CORPUS-sized id→label map (never
         // broadcastable at scale); the tiny side here is the k-per-query
         // result, and AQE broadcasts THAT from its measured size
@@ -188,15 +195,17 @@ object VectorSuite extends QuerySuite {
     (s, dir) => {
       val cents = emb(s, dir).filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent_id"), col("qv").as("cent_qv"))
-      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+      // per-vector argmin over 8 centroids as min(struct): both
+      // aggregations partial-combine map-side; the old window form
+      // shuffled and sorted the corpus×8 product
       emb(s, dir).select(col("vec_id"), col("qv"))
         .crossJoin(broadcast(cents))
         .withColumn("d2",
           aggregate(zip_with(col("qv"), col("cent_qv"),
             (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .groupBy(col("cent_id").as("cell"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cent_id"))).as("nn"))
+        .groupBy(col("nn.cent_id").as("cell"))
         .agg(count(lit(1)).as("cell_size"))
     },
     Some(s"""WITH q AS ($qvSql),
@@ -216,15 +225,16 @@ object VectorSuite extends QuerySuite {
     (s, dir) => {
       val cents = emb(s, dir).filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent_id"), col("qv").as("cent_qv"))
-      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+      // same min(struct) argmin assignment as v06 — vec rides the
+      // group key (functionally dependent on vec_id), never compared
       val assigned = emb(s, dir).select(col("vec_id"), col("qv"))
         .crossJoin(broadcast(cents))
         .withColumn("d2",
           aggregate(zip_with(col("qv"), col("cent_qv"),
             (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("vec_id"), col("qv"), col("cent_id").as("cell"))
+        .groupBy(col("vec_id"), col("qv"))
+        .agg(min(struct(col("d2"), col("cent_id"))).as("nn"))
+        .select(col("vec_id"), col("qv"), col("nn.cent_id").as("cell"))
       val probe = assigned.filter(col("vec_id") === 42)
         .select(col("qv").as("probe_qv"), col("cell").as("probe_cell"))
       // top-3 via orderBy+limit (TakeOrderedAndProject — distributed
@@ -392,16 +402,19 @@ object VectorSuite extends QuerySuite {
           .select(col("query_id"), col("query_qv"),
             explode(array(col("own") +: (0 until B).map(b =>
               col("own").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("dist"), col("vec_id"))
-        corpus.join(broadcast(probes), Seq("bucket"))
+        // rank by the exact integer d2 (sqrt is monotone and, at these
+        // magnitudes, injective over distinct longs — ulp(8.4e6) ≈
+        // 2e-9 << the ~6e-8 gap between adjacent sqrt values), through
+        // the grouped bounded-heap aggregate: candidates never shuffle
+        val scored = corpus.join(broadcast(probes), Seq("bucket"))
           .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("dist",
-            sqrt(call_function("graft_sqdist_long",
-              col("qv"), col("query_qv")).cast("double")) / 1e6)
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 5)
-          .select("query_id", "vec_id", "dist", "rnk")
+          .withColumn("d2", call_function("graft_sqdist_long",
+            col("qv"), col("query_qv")))
+        graft.ops.Ops.topKPerGroupAgg(scored, Seq("query_id"),
+            col("d2"), col("vec_id"), 5, "d2", "vec_id", "rnk")
+          .select(col("query_id"), col("vec_id"),
+            (sqrt(col("d2").cast("double")) / 1e6).as("dist"),
+            col("rnk").cast("long").as("rnk"))
       },
       Some(s"""WITH q AS ($qvSql),
       hp AS (SELECT * FROM (VALUES
@@ -442,9 +455,10 @@ object VectorSuite extends QuerySuite {
     * provably positive — there DuckDB's floor `//` and Spark's
     * truncating `div` agree — and the distance is a plain long sum of
     * squared deviations. The per-(label,pos) centroid frame is
-    * dim-sized and broadcasts; the outlier rank uses the two-level
-    * top-k so the low-cardinality label key never funnels the corpus
-    * through |labels| tasks. */
+    * dim-sized and broadcasts; the outlier rank goes through the
+    * grouped bounded-heap aggregate so the low-cardinality label key
+    * never funnels the corpus through |labels| tasks — or any shuffle
+    * of the scored rows at all. */
   private val v12 = {
     val Off = 1L << 40 // >> any |avg quantized| (±~1e6) → shifted sums stay positive
     GraftQuery(
@@ -460,9 +474,13 @@ object VectorSuite extends QuerySuite {
           .groupBy("vec_id", "label")
           .agg(sum((col("x") - col("cx")) * (col("x") - col("cx")))
             .as("d2"))
-        graft.ops.Ops.topKPerGroupScalable(d2, Seq("label"),
-            Seq(col("d2").desc, col("vec_id").asc), 5, "rnk")
-          .withColumn("rnk", col("rnk").cast("long"))
+        // descending top-5 per label through the grouped aggregate —
+        // map-side bounded heaps, nothing label-funneled, nothing sorted
+        graft.ops.Ops.topKPerGroupAgg(d2, Seq("label"),
+            col("d2"), col("vec_id"), 5, "d2", "vec_id", "rnk",
+            descending = true)
+          .select(col("label"), col("vec_id"), col("d2"),
+            col("rnk").cast("long").as("rnk"))
       },
       Some(s"""WITH q AS ($qvSql),
       px AS (SELECT label, vec_id, p.pos, qv[p.pos] AS x

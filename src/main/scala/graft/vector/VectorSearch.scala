@@ -2,7 +2,6 @@ package graft.vector
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Library-level similarity-search API (the reference's
   * `generate_embeddings.py` search path, V5/V6, re-expressed as plans):
@@ -11,32 +10,46 @@ import org.apache.spark.sql.expressions.Window
   * [[graft.expr]] (registered by GraftExtensions).
   *
   * Scale design (100 TB): `knn` broadcasts the query set — the corpus
-  * is scanned once, map-side, and each partition keeps a local top-k
-  * before the global TakeOrdered merge. `IvfIndex` embeds the (tiny)
-  * centroid set as a *literal array expression*, so cluster assignment
-  * is a pure map-side argmin — no crossJoin, no shuffle, no window —
-  * and probes read only `nprobe` cells; written `partitionBy("cell")`
-  * that becomes real partition pruning.
+  * is scanned once, map-side, and ranking goes through the grouped
+  * bounded-heap aggregate ([[graft.functions.GroupedTopK]] via
+  * [[graft.ops.Ops.topKPerGroupAgg]]): each scan partition keeps a
+  * local top-k PER QUERY before the exchange, so the shuffle carries
+  * only `partitions × queries × k` pairs — never the corpus×queries
+  * product, and never a per-query single-task sort. `IvfIndex` embeds
+  * the (tiny) centroid set as a *literal array expression*, so cluster
+  * assignment is a pure map-side argmin — no crossJoin, no shuffle, no
+  * window — and probes read only `nprobe` cells; written
+  * `partitionBy("cell")` that becomes real partition pruning.
   */
 object VectorSearch {
 
   private def l2(a: Column, b: Column): Column =
     call_function("graft_l2_distance", a, b)
 
+  /** Rank scored (query_id, id, dist) candidates: top-k per query via
+    * the mergeable bounded-heap aggregate. The double distance rides
+    * the order-preserving sortable-bits map and is restored
+    * bit-for-bit on output. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.ops.Ops.topKPerGroupAgg(
+      scored.withColumn("__dk",
+        call_function("graft_sortable_bits", col("dist"))),
+      Seq("query_id"), col("__dk"), col("id"), k, "dkey", "id", "rank")
+      .select(col("query_id"), col("id"),
+        call_function("graft_sortable_double", col("dkey")).as("dist"),
+        col("rank"))
+
   /** Exact brute-force top-k: one row per (query, rank<=k neighbor).
     * `queries` must be small (it is broadcast). */
   def knn(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
-    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(queries.select(
-        col(qidCol).as("query_id"), col(qvecCol).as("qvec"))))
-      .withColumn("dist", l2(col("vec"), col("qvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "id", "dist", "rank")
-  }
+      k: Int): DataFrame =
+    rankTopK(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .crossJoin(broadcast(queries.select(
+          col(qidCol).as("query_id"), col(qvecCol).as("qvec"))))
+        .withColumn("dist", l2(col("vec"), col("qvec"))),
+      k)
 
   /** IVF index: corpus rows tagged with their nearest centroid cell.
     * `centroids` is driver-side (tiny by construction). */
@@ -112,11 +125,13 @@ object VectorSearch {
     val q = queries.select(col(qidCol).as("query_id"),
       col(qvecCol).cast("array<double>").as("qvec"))
       .withColumn("cell", explode(index.probeCells(col("qvec"), nprobe)))
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
-    index.assigned.join(broadcast(q), Seq("cell"))
-      .withColumn("dist", l2(col("vec"), col("qvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val ranked = rankTopK(
+      index.assigned.join(broadcast(q), Seq("cell"))
+        .withColumn("dist", l2(col("vec"), col("qvec"))),
+      k)
+    // join the (queries × k)-sized result back to the id→cell map for
+    // the cell provenance column; AQE broadcasts the tiny ranked side
+    ranked.join(index.assigned.select(col("id"), col("cell")), Seq("id"))
       .select("query_id", "id", "cell", "dist", "rank")
   }
 
@@ -175,12 +190,10 @@ object VectorSearch {
     val corpus = spark.read.parquet(path)
       .filter(col(bucketCol).isin(probeBuckets: _*))
       .withColumnRenamed(bucketCol, "bucket")
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
-    corpus.join(broadcast(q), Seq("bucket"))
-      .withColumn("dist", l2(col("vec"), col("qvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "id", "dist", "rank")
+    rankTopK(
+      corpus.join(broadcast(q), Seq("bucket"))
+        .withColumn("dist", l2(col("vec"), col("qvec"))),
+      k)
   }
 
   /** ANN search through sign-bucket LSH: corpus tagged map-side,
@@ -197,11 +210,9 @@ object VectorSearch {
       col(qvecCol).cast("array<double>").as("qvec"))
       .withColumn("bucket",
         explode(lshProbes(col("qvec"), planes, multiprobe)))
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
-    tagged.join(broadcast(q), Seq("bucket"))
-      .withColumn("dist", l2(col("vec"), col("qvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "id", "dist", "rank")
+    rankTopK(
+      tagged.join(broadcast(q), Seq("bucket"))
+        .withColumn("dist", l2(col("vec"), col("qvec"))),
+      k)
   }
 }

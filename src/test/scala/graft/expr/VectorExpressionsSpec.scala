@@ -131,4 +131,30 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect()
     assert(r.head.isNullAt(0))
   }
+
+  test("sortable bits: order-preserving, exact round trip, codegen = eval") {
+    val vals = Seq(Double.NegativeInfinity, -1.5e300, -2.0, -1.0,
+      -Double.MinPositiveValue, -0.0, 0.0, Double.MinPositiveValue,
+      1.0, 2.0, 1.5e300, Double.PositiveInfinity)
+    val df = vals.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("id", "d")
+      .select(col("id"), col("d"),
+        call_function("graft_sortable_bits", col("d")).as("s"))
+      .select(col("id"), col("d"), col("s"),
+        call_function("graft_sortable_double", col("s")).as("back"))
+    val rows = df.as[(Long, Double, Long, Double)].collect().sortBy(_._1)
+    // round trip is bit-exact (-0.0 included)
+    rows.foreach { case (_, d, _, back) =>
+      assert(java.lang.Double.doubleToLongBits(d) ==
+        java.lang.Double.doubleToLongBits(back), s"round trip lost $d")
+    }
+    // signed-long order of the mapped keys equals double order
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    // interpreted eval agrees with the codegen path just exercised
+    import graft.expr.DoubleSortableLong
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    rows.foreach { case (_, d, s, _) =>
+      assert(DoubleSortableLong(Literal(d)).eval(null) == s)
+    }
+  }
 }

@@ -39,6 +39,39 @@ class OpsSpec extends SparkSpec {
     assert(scalable == direct)
   }
 
+  test("topKPerGroupAgg agrees with the window form, both directions") {
+    val df = (1 to 500).map(i => (i % 5, (i * 7 % 501).toLong, i.toLong))
+      .toDF("g", "v", "id")
+    for (desc <- Seq(false, true)) {
+      val order = if (desc) Seq(col("v").desc, col("id").asc)
+        else Seq(col("v").asc, col("id").asc)
+      val windowed = Ops.topKPerGroup(df, Seq("g"), order, 4)
+        .select("g", "v", "id", "rank").as[(Int, Long, Long, Int)]
+        .collect().toSet
+      val agg = Ops.topKPerGroupAgg(df, Seq("g"), col("v"), col("id"), 4,
+          "v", "id", "rank", descending = desc)
+        .select("g", "v", "id", "rank").as[(Int, Long, Long, Int)]
+        .collect().toSet
+      assert(agg == windowed, s"descending=$desc")
+    }
+  }
+
+  test("topKPerGroupAgg handles negative keys, ties, small groups, null keys") {
+    val df = Seq((0, -5L, 1L), (0, -5L, 2L), (0, 3L, 3L), (0, Long.MinValue, 4L),
+      (1, 7L, 5L))
+      .toDF("g", "v", "id")
+      .unionByName(Seq((1, Option.empty[Long], 6L)).toDF("g", "v", "id"))
+    val out = Ops.topKPerGroupAgg(df, Seq("g"), col("v"), col("id"), 3,
+        "v", "id", "rank")
+      .as[(Int, Long, Long, Int)].collect().toSet
+    assert(out == Set((0, Long.MinValue, 4L, 1), (0, -5L, 1L, 2),
+      (0, -5L, 2L, 3), (1, 7L, 5L, 1)))
+    val desc = Ops.topKPerGroupAgg(df, Seq("g"), col("v"), col("id"), 2,
+        "v", "id", "rank", descending = true)
+      .as[(Int, Long, Long, Int)].collect().toSet
+    assert(desc == Set((0, 3L, 3L, 1), (0, -5L, 1L, 2), (1, 7L, 5L, 1)))
+  }
+
   test("upsertByKey replaces same-key rows, keeps the rest, rejects drift") {
     val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
       .toDF("k", "tag", "v")

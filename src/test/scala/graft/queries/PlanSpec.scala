@@ -73,6 +73,28 @@ class PlanSpec extends SparkSpec {
     assert(fused.findFirstIn(p).isDefined, p)
   }
 
+  test("multi-query kNN ranks via the grouped bounded-heap aggregate, " +
+      "never a per-query window funnel (v03/v11/v12/x02/x11)") {
+    Seq("v03_knn_bruteforce", "v11_lsh_ann", "v12_label_outliers",
+        "x02_knn_codegen", "x11_topk_groupagg").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q funnels each query group through a window sort:\n$p")
+      // map-side partial top-k: the ObjectHashAggregate pair must split
+      // into partial + final, so only groups×k pairs cross the exchange
+      assert(p.toLowerCase.contains("partial_topkaggregator"),
+        s"$q lost the partial (map-side) top-k stage:\n$p")
+    }
+    // the argmin (k=1) queries collapse to a plain min(struct) aggregate
+    Seq("v04_knn_joinback", "v06_ivf_assign").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q ranks its argmin through a window:\n$p")
+      assert(p.contains("partial_min") || p.toLowerCase.contains("min(struct"),
+        s"$q lost map-side partial argmin:\n$p")
+    }
+  }
+
   test("no single-partition global windows in corpus-scale paths (t05/v07)") {
     // t05's vocabulary rank goes through range-sort + zipWithIndex —
     // the plan must carry no Window operator at all

@@ -85,6 +85,18 @@ object Bench {
           System.err.println(s"[bench] $name exceeded ${capSec}s — cancelling")
           spark.sparkContext.cancelJobGroup(group)
           worker.join(30000L)
+          if (worker.isAlive) {
+            // a worker that survives job-group cancellation is wedged in
+            // driver-side code (plan/codegen/collect): interrupt it and
+            // wait again — an abandoned-but-running zombie would overlap
+            // the next iteration's jobs and race the conf unset below,
+            // skewing every subsequent timing
+            worker.interrupt()
+            worker.join(30000L)
+            if (worker.isAlive)
+              System.err.println(s"[bench] $name worker survived cancel+" +
+                "interrupt — treat subsequent timings as tainted")
+          }
           -2.0
         } else result
       // conf hygiene: A/B builders (x04/x05 kNN rewrite, x09/x10 bloom
@@ -145,6 +157,11 @@ object Bench {
     val nTimedOut = steady.count(_._2 == -2.0)
     // ONE compact line, printed last so it survives tail truncation
     println(s"""{"metric":"engine_total_steady_sec","value":${r3(engineTotal)},"unit":"sec","sf":$sfNum,"iters":$iters,"nq":${steady.size},"failed":$nFailed,"timed_out":$nTimedOut,"total_with_ab_baselines":${r3(allTotal)},"detail":"BENCH_FULL.json","queries":${jmap(head, r3)}}""")
+    // cache hygiene: the suite memos pin executor storage per (session,
+    // dir) — release before stop so a reused/long-lived session (or a
+    // follow-on main in the same JVM) starts from storage baseline
+    graft.queries.DedupSuite.releaseCaches(spark)
+    graft.queries.BenchSuite.releaseCaches(spark)
     spark.stop()
   }
 }

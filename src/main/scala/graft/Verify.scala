@@ -67,6 +67,9 @@ object Verify {
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries failed: " +
         errors.keys.mkString(", "))
+    // cache hygiene: release the suite memos (see Bench) before stop
+    graft.queries.DedupSuite.releaseCaches(spark)
+    graft.queries.BenchSuite.releaseCaches(spark)
     spark.stop()
   }
 }

@@ -63,12 +63,11 @@ object Pipeline {
     },
     "remove_duplicates" -> { df: DataFrame =>
       // pandas keep='first' in file order → explicit stable order on
-      // (src_file, product_url) — SURVEY.md §2.3 D1 deterministic form.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("product_name", "product_url")
-        .orderBy("src_file", "file_order")
-      df.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      // (src_file, file_order) — SURVEY.md §2.3 D1 deterministic form,
+      // as the min(struct) aggregate: partial combine map-side, one
+      // candidate row per key crosses the shuffle (Ops.dedupKeepFirstAgg)
+      graft.ops.Ops.dedupKeepFirstAgg(df,
+        Seq("product_name", "product_url"), Seq("src_file", "file_order"))
     },
     "generate_mock_data" -> { df: DataFrame =>
       MockData(df, seed, orderKey = "product_name")

@@ -61,16 +61,29 @@ case class DupFraction(child: Expression, n: Int)
   require(n >= 1, s"n-gram size must be >= 1, got $n")
   override def inputTypes = Seq(org.apache.spark.sql.types.ArrayType(StringType))
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
-  override def nullIntolerant: Boolean = true
+  // a null token array is an EMPTY document, not an unknown one: the
+  // replaced when/otherwise relational form returned 0.0 there, and a
+  // null-text doc must not silently vanish from t09's threshold filter
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_dup_frac"
 
-  override def nullSafeEval(input: Any): Any =
-    DupFraction.dupFrac(
-      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0.0
+    else DupFraction.dupFrac(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.expr.DupFraction.dupFrac($c, $n)")
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      double ${ev.value} = ${childGen.isNull} ? 0.0
+        : graft.expr.DupFraction.dupFrac(${childGen.value}, $n);""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -80,7 +93,9 @@ object DupFraction {
   /** (n-gram count - distinct n-gram count) / n-gram count; 0.0 when
     * the array is shorter than n. N-grams compare as their
     * space-joined text — identical to `array_join(slice(toks,i,n)," ")`
-    * in the relational form, so results are bit-identical. */
+    * in the relational form (null elements skipped WITH their
+    * separator, exactly as array_join skips them), so results are
+    * bit-identical on null-bearing token arrays too. */
   def dupFrac(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       n: Int): Double = {
     val total = arr.numElements() - n + 1
@@ -91,10 +106,15 @@ object DupFraction {
     var i = 0
     while (i < total) {
       sb.setLength(0)
+      var appended = 0
       var j = 0
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(String.valueOf(arr.getUTF8String(i + j)))
+        val u = arr.getUTF8String(i + j)
+        if (u != null) {
+          if (appended > 0) sb.append(' ')
+          sb.append(u.toString)
+          appended += 1
+        }
         j += 1
       }
       if (!seen.add(sb.toString)) dups += 1

@@ -72,7 +72,28 @@ object PgVector {
   /** The reference's embeddings load (`psql_load.sql`), Spark-first:
     * id + literal-formatted vector, through the batched JDBC writer.
     * `vectorCol` must be `array<float>` or `array<double>`; everything
-    * else passes through untouched. */
+    * else passes through untouched.
+    *
+    * DDL contract (important): staging converts the vector column to
+    * its TEXT literal, so by the time the JDBC writer sees the schema
+    * the column is StringType — [[PgVectorDialect]]'s ArrayType →
+    * `vector(dim)` mapping does NOT apply to a staged frame, and a
+    * writer-issued CREATE TABLE would emit TEXT. Either load into a
+    * PRE-EXISTING table with a `vector(dim)` column (pgvector casts
+    * the literal on INSERT — the reference's own path), or pass
+    * `.option("createTableColumnTypes", PgVector.createColumnTypes(
+    * vectorCol, dim))` so the writer CREATEs the vector column
+    * correctly. The dialect's ArrayType mapping remains for schema
+    * tools that derive DDL from the UNstaged frame. (Writing the raw
+    * array column through JDBC is not supported: Spark's ArrayType
+    * setter goes through JDBC createArrayOf, which pgvector does not
+    * accept.) */
   def stageForLoad(df: DataFrame, vectorCol: String): DataFrame =
     df.withColumn(vectorCol, vectorLiteral(col(vectorCol)))
+
+  /** `createTableColumnTypes` fragment that makes the JDBC writer
+    * CREATE the staged (string-typed) vector column as `vector(dim)` —
+    * see the [[stageForLoad]] DDL contract. */
+  def createColumnTypes(vectorCol: String, dim: Int): String =
+    s"$vectorCol vector($dim)"
 }

@@ -20,6 +20,29 @@ object Ops {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Keep-first dedup as an AGGREGATE — same semantics as
+    * [[dedupKeepFirst]] for ASCENDING order columns, but with map-side
+    * partial aggregation: `min(struct(orderCols ++ rest))` compares
+    * lexicographically, so each input partition collapses to one
+    * candidate row per key before the exchange, where the window form
+    * shuffles and sorts EVERY row. The remaining payload columns sit
+    * after the order columns in the struct, so order ties still resolve
+    * totally (deterministic output even when `orderCols` alone is not a
+    * total order — the window form is nondeterministic there).
+    * Output columns keep the input order. Nulls sort first, matching
+    * the window form's ascending null ordering. */
+  def dedupKeepFirstAgg(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val rest = df.columns.filterNot(c =>
+      keys.contains(c) || orderCols.contains(c))
+    val packed = (orderCols ++ rest).map(col)
+    val agg = df.groupBy(keys.map(col): _*)
+      .agg(min(struct(packed: _*)).as("__first"))
+    agg.select(df.columns.toSeq.map(c =>
+      if (keys.contains(c)) col(c)
+      else col("__first").getField(c).as(c)): _*)
+  }
+
   /** Per-group top-k (generalized O1): partitioned window, never a
     * global sort; ties broken by the caller's order columns. */
   def topKPerGroup(df: DataFrame, partitionCols: Seq[String],

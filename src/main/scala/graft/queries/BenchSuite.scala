@@ -41,6 +41,18 @@ object BenchSuite extends QuerySuite {
           col("embedding").cast("array<double>").as("vec"))
         .cache())
 
+  /** Lifecycle hook (same contract as [[DedupSuite.releaseCaches]]):
+    * unpersist the inflated corpus and any memoized IVF index for
+    * `session`. Safe to call at any point — both rebuild lazily. */
+  def releaseCaches(session: SparkSession): Unit = {
+    memo.filterInPlace { case ((s, _), df) =>
+      if (s eq session) { df.unpersist(); false } else true
+    }
+    ivfMemo.filterInPlace { case ((s, _), idx) =>
+      if (s eq session) { idx.assigned.unpersist(); false } else true
+    }
+  }
+
   private def queries(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings").filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"),

@@ -227,15 +227,21 @@ object CurationSuite extends QuerySuite {
     * TakeOrderedAndProject, per-partition heaps, no global sort. */
   private val c06 = GraftQuery(
     "c06_weighted_sample",
+    // weight guard: greatest(n_chars, 1) on BOTH sides — on a
+    // regenerated fixture with an empty doc, Spark's `div 0` yields
+    // NULL (NULLS FIRST, silently entering the sample) while DuckDB's
+    // `//` raises — the guard keeps the key total and the engines
+    // aligned for any fixture
     (s, dir) =>
       Tables(s, dir, "documents")
         .withColumn("h60", md5Long60(col("doc_id")))
-        .withColumn("akey", expr("h60 div n_chars"))
+        .withColumn("akey", expr("h60 div greatest(n_chars, 1)"))
         .orderBy(col("akey").asc, col("doc_id"))
         .limit(20)
         .select("doc_id", "n_chars"),
     Some(s"""SELECT doc_id, n_chars FROM documents
-    ORDER BY ${duckH60("CAST(doc_id AS VARCHAR)")} // n_chars ASC, doc_id
+    ORDER BY ${duckH60("CAST(doc_id AS VARCHAR)")} // greatest(n_chars, 1)
+      ASC, doc_id
     LIMIT 20"""))
 
   /** c07 — PageRank, the classic link-graph quality signal for corpus

@@ -95,6 +95,16 @@ object DedupSuite extends QuerySuite {
       mk: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, dir, key), mk.cache())
 
+  /** Lifecycle hook: unpersist and forget every frame memoized for
+    * `session` (all dirs). Long-lived sessions (test JVMs, notebook
+    * servers) call this between rounds — without it the TrieMap pins
+    * executor storage memory forever (the caches re-build lazily on
+    * next use, so releasing is always safe). */
+  def releaseCaches(session: SparkSession): Unit =
+    memo.filterInPlace { case ((s, _, _), df) =>
+      if (s eq session) { df.unpersist(); false } else true
+    }
+
   private def wideSigCached(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "wideSig")(wideSig(s, dir))
 
@@ -253,14 +263,18 @@ object DedupSuite extends QuerySuite {
     * (standard SimHash blocking — a near-dup pair with Hamming distance
     * <= 6 in 32 bits must agree on at least one half only heuristically,
     * but blocking is the candidate generator, Hamming the verifier). */
+  /** SimHash 16-bit-half blocks — the d06 candidate generator, shared
+    * with d11's drop report. */
+  private def simhashBlocked(s: SparkSession, dir: String): DataFrame =
+    simhashCached(s, dir).select(col("doc_id"), col("simhash"),
+      explode(array(
+        concat(lit("hi:"), expr("simhash div 65536")),
+        concat(lit("lo:"), col("simhash") % 65536))).as("block"))
+
   private val d06 = GraftQuery(
     "d06_simhash_pairs",
     (s, dir) => {
-      val sh = simhashCached(s, dir)
-      val blocked = sh.select(col("doc_id"), col("simhash"),
-        explode(array(
-          concat(lit("hi:"), expr("simhash div 65536")),
-          concat(lit("lo:"), col("simhash") % 65536))).as("block"))
+      val blocked = simhashBlocked(s, dir)
       // bucket-capped blocked join (see Blocking): a hot 16-bit block
       // must not explode into quadratic pair output
       graft.ops.Blocking.candidatePairs(blocked, "doc_id", Seq("block"),
@@ -471,6 +485,66 @@ object DedupSuite extends QuerySuite {
         HAVING COUNT(DISTINCT doc_id) >= 2"""))
   }
 
+  /** d11 — the hot-bucket DROP REPORT as a first-class query (the
+    * operational twin of d03/d06: COVERAGE.md promises "drops reported,
+    * never silent", and this is where they surface). It runs
+    * [[graft.ops.Blocking.capBuckets]] over the SAME two candidate
+    * generators the production dedup queries use — the LSH band buckets
+    * and the SimHash half blocks — at a low demo cap so the report is
+    * non-empty at test SFs (the production cap is [[MaxBucket]]; at
+    * 100 TB a boilerplate-header bucket lands in exactly this frame
+    * instead of silently deleting its candidate pairs). One row per
+    * dropped bucket with its population. */
+  private val d11 = {
+    val DemoCap = 2
+    GraftQuery(
+      "d11_drop_report",
+      (s, dir) => {
+        val hotBands = graft.ops.Blocking.capBuckets(
+          bandsCached(s, dir), Seq("band", "bkey"), DemoCap)._2
+          .select(lit("lsh").as("source"),
+            concat_ws(":", col("band"), col("bkey")).as("bucket"),
+            col("bucket_size"))
+        val hotBlocks = graft.ops.Blocking.capBuckets(
+          simhashBlocked(s, dir), Seq("block"), DemoCap)._2
+          .select(lit("simhash").as("source"),
+            col("block").as("bucket"), col("bucket_size"))
+        hotBands.unionByName(hotBlocks)
+      },
+      Some(s"""WITH $sigSql, $bandsSql,
+      swords AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      shashed AS (
+        SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1,9), i ->
+            CAST(strpos('0123456789abcdef', substring(md5(w),i,1)) - 1
+              AS BIGINT))), (a,b) -> a*16+b) AS h32
+        FROM swords),
+      svotes AS (
+        SELECT doc_id, b.bit,
+          SUM(CASE WHEN (h32 // (1::BIGINT << b.bit)) % 2 = 1
+                   THEN 1 ELSE -1 END) AS vote
+        FROM shashed, (SELECT unnest(range(0,32)) AS bit) b
+        GROUP BY 1, 2),
+      ssh AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN vote >= 0 THEN 1::BIGINT << bit ELSE 0 END)
+            AS BIGINT) AS simhash
+        FROM svotes GROUP BY 1),
+      sblocked AS (
+        SELECT doc_id, unnest([
+          'hi:' || CAST(simhash // 65536 AS VARCHAR),
+          'lo:' || CAST(simhash % 65536 AS VARCHAR)]) AS block
+        FROM ssh)
+      SELECT 'lsh' AS source,
+        CAST(band AS VARCHAR) || ':' || bkey AS bucket,
+        COUNT(*) AS bucket_size
+      FROM bands GROUP BY band, bkey HAVING COUNT(*) > 2
+      UNION ALL
+      SELECT 'simhash' AS source, block AS bucket, COUNT(*) AS bucket_size
+      FROM sblocked GROUP BY block HAVING COUNT(*) > 2"""))
+  }
+
   override val suite: Seq[GraftQuery] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
 }

@@ -161,22 +161,41 @@ object JoinsSuite extends QuerySuite {
 
   /** j07 — explicit GROUPING SETS over region/nation (completes the
     * rollup family of r16; SQL surface in both engines — the DataFrame
-    * rollup path trips Spark's ambiguous-self-join check, see r16). */
+    * rollup path trips Spark's ambiguous-self-join check, see r16).
+    *
+    * Scale shape: COUNT and SUM are decomposable, so the fact rows
+    * pre-aggregate to the (r_name, n_name) grain FIRST — exact decimal
+    * partial sums, map-side combine — and the 4-way Expand replicates
+    * only the ~|nations| aggregated rows, never the fact table. The
+    * naive form (Expand over the raw join) quadruples every fact row
+    * crossing the shuffle; at 100 TB that's 4× the exchange for output
+    * the pre-aggregate reproduces exactly (sums of exact decimal
+    * partials re-sum losslessly; the double cast happens once at the
+    * end, per the Det money-math contract). */
   private val j07 = GraftQuery(
     "j07_grouping_sets",
     (s, dir) => {
       val c = Tables(s, dir, "customer")
       val n = Tables(s, dir, "nation")
       val r = Tables(s, dir, "region")
-      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      val grain = c
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .select("r_name", "n_name", "c_acctbal")
-        .createOrReplaceTempView("graft_j07_src")
-      s.sql("""SELECT COALESCE(r_name, 'ALL') AS r_name,
-          COALESCE(n_name, 'ALL') AS n_name, COUNT(*) AS cnt,
-          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
-        FROM graft_j07_src
-        GROUP BY GROUPING SETS ((r_name), (n_name), (r_name, n_name), ())""")
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("cnt_part"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("bal_part"))
+      // DataFrame groupingSets (Spark 4): safe here because the grain
+      // frame is a fresh aggregate — the ambiguous-self-join trap that
+      // forces r16's rollup through SQL text only bites joined frames
+      grain.groupingSets(
+          Seq(Seq(col("r_name")), Seq(col("n_name")),
+            Seq(col("r_name"), col("n_name")), Seq.empty[org.apache.spark.sql.Column]),
+          col("r_name"), col("n_name"))
+        .agg(sum(col("cnt_part")).as("cnt"),
+          sum(col("bal_part")).cast("double").as("bal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+          coalesce(col("n_name"), lit("ALL")).as("n_name"),
+          col("cnt"), col("bal"))
     },
     Some("""SELECT COALESCE(r_name, 'ALL') AS r_name,
       COALESCE(n_name, 'ALL') AS n_name, COUNT(*) AS cnt,

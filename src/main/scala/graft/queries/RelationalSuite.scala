@@ -116,20 +116,21 @@ object RelationalSuite extends QuerySuite {
     FROM orders GROUP BY 1, 2"""))
 
   /** r04 — deterministic keep-first dedup (D1/W3; ref
-    * `remove_duplicates.py:6-12`). pandas keep='first' becomes an explicit
-    * stable order: row_number over the dedup key, ordered by a total key.
-    * Scale: the window partitions on the dedup key — one shuffle, no
-    * global sort, no single-partition bottleneck. */
+    * `remove_duplicates.py:6-12`). pandas keep='first' becomes an
+    * explicit stable order, computed as a `min(struct)` AGGREGATE
+    * ([[graft.ops.Ops.dedupKeepFirstAgg]]): each partition collapses to
+    * one candidate per key map-side, so the exchange carries one row
+    * per (partition, key) — the old window form shuffled and sorted
+    * every input row for the same keep-first output. */
   private val r04 = GraftQuery(
     "r04_dedup_keep_first",
-    (s, dir) => {
-      val li = Tables(s, dir, "lineitem")
-      val w = Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
-      li.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("l_orderkey", "l_partkey", "l_quantity")
-    },
+    (s, dir) =>
+      graft.ops.Ops.dedupKeepFirstAgg(
+        Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity"),
+        Seq("l_orderkey"), Seq("l_linenumber", "l_partkey", "l_suppkey"))
+        .select("l_orderkey", "l_partkey", "l_quantity"),
     Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
     QUALIFY row_number() OVER (PARTITION BY l_orderkey
       ORDER BY l_linenumber, l_partkey, l_suppkey) = 1"""))

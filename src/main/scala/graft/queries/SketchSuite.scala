@@ -490,15 +490,24 @@ object SketchSuite extends QuerySuite {
         val pairs = types.select(col("event_type").as("ta"))
           .join(types.select(col("event_type").as("tb")),
             col("ta") < col("tb"))
-        // union sketch per pair → θ (window over ≤ 2K rows per pair)
+        // union sketch per pair → θ (window over ≤ 2K rows per pair).
+        // KMV exact-count fallback: a union with fewer than K distinct
+        // hashes means the sketch saw the WHOLE union, so θ = 2^32 and
+        // the estimate degrades to the exact common count — without it
+        // small segments would silently vanish from the report (the
+        // rn === K row does not exist).
         val u = pairs.join(sk,
             col("event_type") === col("ta") ||
               col("event_type") === col("tb"))
           .select(col("ta"), col("tb"), col("h")).distinct()
         val wp = Window.partitionBy("ta", "tb").orderBy("h")
+        val wn = Window.partitionBy("ta", "tb")
         val theta = u.withColumn("rn", row_number().over(wp))
-          .filter(col("rn") === K)
-          .select(col("ta"), col("tb"), col("h").as("th"))
+          .withColumn("nu", count(lit(1)).over(wn))
+          .filter(col("rn") === least(lit(K), col("nu")))
+          .select(col("ta"), col("tb"),
+            when(col("nu") < K, lit(4294967296L)).otherwise(col("h"))
+              .as("th"))
         val common = sk.select(col("event_type").as("ta"), col("h"))
           .join(sk.select(col("event_type").as("tb"), col("h")), Seq("h"))
           .filter(col("ta") < col("tb"))
@@ -520,8 +529,12 @@ object SketchSuite extends QuerySuite {
         FROM t a, t b WHERE a.event_type < b.event_type),
       u AS (SELECT DISTINCT p.ta, p.tb, s.h FROM pairs p
         JOIN sk s ON s.event_type = p.ta OR s.event_type = p.tb),
-      theta AS (SELECT ta, tb, h AS th FROM u
-        QUALIFY row_number() OVER (PARTITION BY ta, tb ORDER BY h) = $K),
+      theta AS (SELECT ta, tb,
+        CASE WHEN COUNT(*) OVER (PARTITION BY ta, tb) < $K
+             THEN 4294967296 ELSE h END AS th
+        FROM u
+        QUALIFY row_number() OVER (PARTITION BY ta, tb ORDER BY h)
+          = LEAST($K, COUNT(*) OVER (PARTITION BY ta, tb))),
       common AS (SELECT sa.event_type AS ta, sb.event_type AS tb, sa.h
         FROM sk sa JOIN sk sb
         ON sa.h = sb.h AND sa.event_type < sb.event_type)

@@ -31,6 +31,34 @@ class StringExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_dup_frac: null array is an empty doc (0.0), null elements " +
+      "match array_join's skip semantics") {
+    // null token array (null-text doc): the old when/otherwise form
+    // returned 0.0 — the expression must too, on both eval paths, so
+    // t09's threshold filter never silently drops null-text rows
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b")),
+      (2L, null: Seq[String]),
+      (3L, Seq("a", null, "a", null, "a", null))).toDF("id", "toks")
+    val got = df.select(col("id"),
+      call_function("graft_dup_frac", col("toks"), lit(2)).as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(2L) == 0.0)
+    // null elements: array_join skips the null AND its separator, so
+    // ("a",null)→"a", (null,"a")→"a", ("a","a")... here every 2-gram
+    // of row 3 renders "a" → 4 dups / 5 grams
+    val relational = df.filter(col("id") === 3)
+      .select((size(shingles(col("toks"), 2)) -
+        size(array_distinct(shingles(col("toks"), 2)))).cast("double")
+        ./(size(shingles(col("toks"), 2))).as("want"))
+      .as[Double].head()
+    assert(got(3L) == relational, s"expr=${got(3L)} relational=$relational")
+    // nullable=false: the column must not report nullable
+    val schema = df.select(call_function("graft_dup_frac", col("toks"),
+      lit(2)).as("f")).schema
+    assert(!schema("f").nullable)
+  }
+
   test("graft_dup_frac stays inside WholeStageCodegen") {
     val df = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(call_function("graft_dup_frac",

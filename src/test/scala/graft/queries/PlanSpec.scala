@@ -95,6 +95,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r04 keep-first dedup aggregates partially — no window sort") {
+    val p = plan("r04_dedup_keep_first")
+    assert(!p.contains("Window"),
+      s"r04 regressed to the window keep-first form:\n$p")
+    // min(struct) must split into partial + final so each map task sends
+    // one candidate row per key into the exchange
+    assert(p.contains("partial_min"),
+      s"r04 lost map-side partial aggregation:\n$p")
+  }
+
+  test("j07 grouping sets expand the pre-aggregated grain, not fact rows") {
+    val p = plan("j07_grouping_sets")
+    assert(p.contains("Expand"), p)
+    // the Expand subtree (printed below the node) must contain the base
+    // (r_name, n_name) aggregate — i.e. fact rows were reduced to the
+    // ~|nations| grain BEFORE the 4-way grouping-sets replication
+    val below = p.substring(p.indexOf("Expand"))
+    assert(below.contains("HashAggregate"),
+      s"j07 expands raw fact rows (no pre-aggregation below Expand):\n$p")
+  }
+
   test("no single-partition global windows in corpus-scale paths (t05/v07)") {
     // t05's vocabulary rank goes through range-sort + zipWithIndex —
     // the plan must carry no Window operator at all

@@ -111,6 +111,32 @@ object Ops {
       (col("__pos") + 1).cast("int").as(rankCol)): _*)
   }
 
+  /** [[topKPerGroupAgg]] with a STRING item column (top bigrams per
+    * language, top URLs per domain): the id rides as UTF-8 bytes so
+    * tie ordering is the binary string order both engines' window
+    * forms use. Same map-side bounded-heap scale shape. */
+  def topKPerGroupAggStr(df: DataFrame, groupCols: Seq[String],
+      key: Column, id: Column, k: Int,
+      keyName: String = "key", idName: String = "id",
+      rankCol: String = "rank", descending: Boolean = false): DataFrame = {
+    val keyL = key.cast("long")
+    val encKey = if (descending) bitwise_not(keyL) else keyL
+    val topk = graft.functions.GroupedTopK.topKBytes(k)
+    val grouped = df
+      .filter(key.isNotNull && id.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(topk(encKey, encode(id, "UTF-8")).as("__topk"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__topk")).as(Seq("__pos", "__e")): _*)
+    val outKey =
+      if (descending) bitwise_not(col("__e").getField("_1"))
+      else col("__e").getField("_1")
+    grouped.select(groupCols.map(col) ++ Seq(
+      outKey.as(keyName),
+      decode(col("__e").getField("_2"), "UTF-8").as(idName),
+      (col("__pos") + 1).cast("int").as(rankCol)): _*)
+  }
+
   /** Key-based upsert — the MERGE INTO semantic on plain storage (the
     * incremental-ETL op: new extract rows replace same-key rows, the
     * rest of the base survives). Relationally: updates ∪ (base

@@ -406,12 +406,13 @@ object CurationSuite extends QuerySuite {
     * step). Selection is content-addressed (smallest md5 of doc_id per
     * language wins), so the mixture is re-run-stable and incremental
     * ingest can only append past the quota boundary. Ranking rides
-    * [[graft.ops.Ops.topKPerGroupScalable]] — languages are a
+    * the grouped bounded-heap aggregate
+    * ([[graft.ops.Ops.topKPerGroupAgg]]) — languages are a
     * LOW-cardinality key, so a plain per-lang window would funnel the
-    * corpus through |langs| tasks; the two-level form pre-prunes in
-    * langs × 64 buckets and ranks only the survivors. A language
-    * missing from the recipe contributes nothing (null quota filters
-    * out). */
+    * corpus through |langs| tasks; the aggregate keeps per-partition
+    * per-lang heaps map-side and ships only langs × quota pairs. A
+    * language missing from the recipe contributes nothing (null quota
+    * filters out). */
   private val c10 = {
     val quotas = Map("en" -> 80, "de" -> 40, "fr" -> 30,
       "es" -> 30, "zh" -> 20)
@@ -419,11 +420,12 @@ object CurationSuite extends QuerySuite {
     GraftQuery(
       "c10_mixture_sample",
       (s, dir) => {
-        val ranked = graft.ops.Ops.topKPerGroupScalable(
+        val ranked = graft.ops.Ops.topKPerGroupAgg(
           Tables(s, dir, "documents")
             .select(col("doc_id"), col("lang"),
               md5Long60(col("doc_id")).as("hk")),
-          Seq("lang"), Seq(col("hk").asc, col("doc_id").asc), maxQuota)
+          Seq("lang"), col("hk"), col("doc_id"), maxQuota,
+          "hk", "doc_id", "rank")
         ranked
           .withColumn("quota",
             element_at(typedLit(quotas), col("lang")))

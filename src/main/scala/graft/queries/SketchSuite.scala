@@ -547,6 +547,92 @@ object SketchSuite extends QuerySuite {
       GROUP BY th.ta, th.tb, th.th"""))
   }
 
+  /** s12 — PORTABLE bloom-filter membership prefilter (the explicit,
+    * mergeable twin of the x09 engine-internal runtime filter, and the
+    * 100 TB form of c11's blocklist anti-join): build an M-bit / 3-
+    * hash bloom over one audience's user ids (BIGINT words holding
+    * 32 bits each — bit math stays in non-negative territory, so both
+    * engines' `<<`/`&` agree), then prefilter a probe audience through
+    * it. Everything is integer md5 arithmetic: the filter, the probe
+    * verdicts, and even the false positives are bit-identical
+    * cross-engine. Output marks each probe user with the bloom verdict
+    * AND ground truth, so the (deterministic) FP set is itself part of
+    * the checked artifact.
+    *
+    * Scale shape: the filter is one groupBy over |members|×3 positions
+    * → 64 rows (256 bytes) — broadcast; the probe side is map-side
+    * expression math plus that broadcast join. At ingest scale this is
+    * "shuffle only what might match": the corpus-side scan consults
+    * 256 bytes instead of semi-joining a billion-row member list. */
+  private val s12 = {
+    val M = 256 // bits — sized so the probe set exercises negatives
+    // AND (deterministically) the false-positive band at test SFs
+    val J = 3 // hash functions
+    GraftQuery(
+      "s12_bloom_prefilter",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        // the member audience: error-reporting users in one cohort
+        // (id ≡ 0 mod 7 stands in for a real segment predicate, as in
+        // v05's sample bound) — guarantees non-member probes exist
+        val members = ev.filter(col("event_type") === "error" &&
+            col("user_id") % 7 === 0)
+          .select("user_id").distinct()
+        val probes = ev.filter(col("event_type") === "view")
+          .select("user_id").distinct()
+        def positions(df: DataFrame): DataFrame = df
+          .withColumn("i", explode(array((0 until J).map(lit): _*)))
+          .withColumn("pos",
+            md5Long32(concat(col("i"), lit(":"), col("user_id"))) % M)
+          .withColumn("word", expr("pos div 32"))
+          .withColumn("mask",
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+        val bloom = positions(members).groupBy("word")
+          .agg(expr("bit_or(mask)").as("bits"))
+        val checked = positions(probes)
+          .join(bloom, Seq("word"), "left")
+          .withColumn("hit",
+            coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask"))
+              === col("mask"))
+          .groupBy("user_id")
+          .agg(expr("bool_and(hit)").as("may_contain"))
+        checked
+          .join(members.withColumn("tm", lit(true)), Seq("user_id"), "left")
+          .select(col("user_id"), col("may_contain"),
+            coalesce(col("tm"), lit(false)).as("true_member"))
+      },
+      Some(s"""WITH members AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'error' AND user_id % 7 = 0),
+      probes AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+      hs AS (SELECT unnest(range(0, $J)) AS i),
+      mpos AS (
+        SELECT m.user_id,
+          ${duckH32("CAST(h.i AS VARCHAR) || ':' || CAST(m.user_id AS VARCHAR)")}
+            % $M AS pos
+        FROM members m, hs h),
+      bloom AS (
+        SELECT pos // 32 AS word,
+          bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bits
+        FROM mpos GROUP BY 1),
+      ppos AS (
+        SELECT p.user_id,
+          ${duckH32("CAST(h.i AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR)")}
+            % $M AS pos
+        FROM probes p, hs h),
+      checked AS (
+        SELECT pp.user_id,
+          bool_and((COALESCE(b.bits, 0) &
+              (1::BIGINT << CAST(pp.pos % 32 AS INTEGER)))
+            = (1::BIGINT << CAST(pp.pos % 32 AS INTEGER))) AS may_contain
+        FROM ppos pp LEFT JOIN bloom b ON b.word = pp.pos // 32
+        GROUP BY pp.user_id)
+      SELECT c.user_id, c.may_contain,
+        (m.user_id IS NOT NULL) AS true_member
+      FROM checked c LEFT JOIN members m USING (user_id)"""))
+  }
+
   override def suite: Seq[GraftQuery] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
 }

@@ -72,6 +72,28 @@ class OpsSpec extends SparkSpec {
     assert(desc == Set((0, 3L, 3L, 1), (0, -5L, 1L, 2), (1, 7L, 5L, 1)))
   }
 
+  test("topKPerGroupAggStr agrees with the window form, binary tie order") {
+    // items share counts so ties force the string comparator — include
+    // an astral-plane char (🂡 U+1F0A1) where UTF-16 code-unit order
+    // and UTF-8 binary order disagree vs '�': binary order must win
+    val df = Seq(
+      (0, 5L, "apple"), (0, 5L, "zebra"), (0, 5L, "�-repl"),
+      (0, 5L, new String(Character.toChars(0x1F0A1)) + "-card"),
+      (0, 9L, "top"), (1, 3L, "only")).toDF("g", "cnt", "item")
+    for (desc <- Seq(false, true)) {
+      val order = if (desc) Seq(col("cnt").desc, col("item").asc)
+        else Seq(col("cnt").asc, col("item").asc)
+      val windowed = Ops.topKPerGroup(df, Seq("g"), order, 3)
+        .select("g", "cnt", "item", "rank").as[(Int, Long, String, Int)]
+        .collect().toSet
+      val agg = Ops.topKPerGroupAggStr(df, Seq("g"), col("cnt"),
+          col("item"), 3, "cnt", "item", "rank", descending = desc)
+        .select("g", "cnt", "item", "rank").as[(Int, Long, String, Int)]
+        .collect().toSet
+      assert(agg == windowed, s"descending=$desc")
+    }
+  }
+
   test("upsertByKey replaces same-key rows, keeps the rest, rejects drift") {
     val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
       .toDF("k", "tag", "v")

@@ -76,15 +76,17 @@ class PlanSpec extends SparkSpec {
   test("multi-query kNN ranks via the grouped bounded-heap aggregate, " +
       "never a per-query window funnel (v03/v11/v12/x02/x11)") {
     Seq("v03_knn_bruteforce", "v11_lsh_ann", "v12_label_outliers",
-        "x02_knn_codegen", "x11_topk_groupagg").foreach { q =>
-      val p = plan(q)
-      assert(!p.contains("Window"),
-        s"$q funnels each query group through a window sort:\n$p")
-      // map-side partial top-k: the ObjectHashAggregate pair must split
-      // into partial + final, so only groups×k pairs cross the exchange
-      assert(p.toLowerCase.contains("partial_topkaggregator"),
-        s"$q lost the partial (map-side) top-k stage:\n$p")
-    }
+        "x02_knn_codegen", "x11_topk_groupagg", "c10_mixture_sample")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("Window"),
+          s"$q funnels each query group through a window sort:\n$p")
+        // map-side partial top-k: the ObjectHashAggregate pair must
+        // split into partial + final, so only groups×k pairs cross the
+        // exchange
+        assert(p.toLowerCase.contains("partial_topkaggregator"),
+          s"$q lost the partial (map-side) top-k stage:\n$p")
+      }
     // the argmin (k=1) queries collapse to a plain min(struct) aggregate
     Seq("v04_knn_joinback", "v06_ivf_assign").foreach { q =>
       val p = plan(q)

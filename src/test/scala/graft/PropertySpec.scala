@@ -110,6 +110,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("grouped bounded-heap top-k equals the window on random data, " +
+      "any k, both directions, long and string items") {
+    val gen = Gen.zip(
+      Gen.listOfN(100, Gen.zip(Gen.choose(0, 4),
+        Gen.choose(-1000L, 1000L), Gen.choose(0L, 40L))),
+      Gen.choose(1, 12), Gen.oneOf(true, false))
+    forAll(gen, n = 6) { case (data, k, desc) =>
+      whenever(data.nonEmpty) {
+        // distinct ids per group make the order total
+        val df = data.zipWithIndex
+          .map { case ((g, v, _), i) => (g, v, i.toLong) }
+          .toDF("g", "v", "id")
+        val order = if (desc) Seq(col("v").desc, col("id").asc)
+          else Seq(col("v").asc, col("id").asc)
+        val windowed = Ops.topKPerGroup(df, Seq("g"), order, k)
+          .select("g", "v", "id", "rank")
+          .as[(Int, Long, Long, Int)].collect().toSet
+        val agg = Ops.topKPerGroupAgg(df, Seq("g"), col("v"), col("id"),
+            k, "v", "id", "rank", descending = desc)
+          .as[(Int, Long, Long, Int)].collect().toSet
+        assert(agg == windowed, s"long items: k=$k desc=$desc")
+        // string-item twin over the stringified ids
+        val sdf = df.withColumn("id", concat(lit("s"), col("id")))
+        val sWindowed = Ops.topKPerGroup(sdf, Seq("g"), order, k)
+          .select("g", "v", "id", "rank")
+          .as[(Int, Long, String, Int)].collect().toSet
+        val sAgg = Ops.topKPerGroupAggStr(sdf, Seq("g"), col("v"),
+            col("id"), k, "v", "id", "rank", descending = desc)
+          .as[(Int, Long, String, Int)].collect().toSet
+        assert(sAgg == sWindowed, s"string items: k=$k desc=$desc")
+      }
+    }
+  }
+
   test("two-level top-k equals the direct window on random groups") {
     val gen = Gen.zip(
       Gen.listOfN(120, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 1000))),

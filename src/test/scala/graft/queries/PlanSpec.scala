@@ -97,6 +97,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x07's window form keeps stock partial WindowGroupLimit pruning") {
+    // the A/B window arm relies on Spark's InferWindowGroupLimit for
+    // its map-side prune (the reason it isn't catastrophic at 3
+    // groups); note the rule is BLOCKED by any expression over the
+    // rank column (e.g. the .cast(long) the oracle registry applies
+    // BEFORE filtering) — which is why the kNN family ranks through
+    // the GroupedTopK aggregate instead of relying on it
+    val p = plan("x07_topk_direct")
+    assert(p.contains("WindowGroupLimit"),
+      s"x07 lost the stock partial group-limit prune:\n$p")
+  }
+
   test("r04 keep-first dedup aggregates partially — no window sort") {
     val p = plan("r04_dedup_keep_first")
     assert(!p.contains("Window"),

@@ -45,11 +45,13 @@ object BenchSuite extends QuerySuite {
     * unpersist the inflated corpus and any memoized IVF index for
     * `session`. Safe to call at any point — both rebuild lazily. */
   def releaseCaches(session: SparkSession): Unit = {
+    // blocking for the same reason as DedupSuite.releaseCaches
     memo.filterInPlace { case ((s, _), df) =>
-      if (s eq session) { df.unpersist(); false } else true
+      if (s eq session) { df.unpersist(blocking = true); false } else true
     }
     ivfMemo.filterInPlace { case ((s, _), idx) =>
-      if (s eq session) { idx.assigned.unpersist(); false } else true
+      if (s eq session) { idx.assigned.unpersist(blocking = true); false }
+      else true
     }
   }
 

@@ -102,7 +102,10 @@ object DedupSuite extends QuerySuite {
     * next use, so releasing is always safe). */
   def releaseCaches(session: SparkSession): Unit =
     memo.filterInPlace { case ((s, _, _), df) =>
-      if (s eq session) { df.unpersist(); false } else true
+      // blocking: "released" must MEAN released — an async unpersist
+      // leaves blocks visible to storage-baseline checks and the next
+      // query's memory accounting
+      if (s eq session) { df.unpersist(blocking = true); false } else true
     }
 
   private def wideSigCached(s: SparkSession, dir: String): DataFrame =

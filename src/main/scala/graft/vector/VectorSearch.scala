@@ -125,14 +125,22 @@ object VectorSearch {
     val q = queries.select(col(qidCol).as("query_id"),
       col(qvecCol).cast("array<double>").as("qvec"))
       .withColumn("cell", explode(index.probeCells(col("qvec"), nprobe)))
-    val ranked = rankTopK(
-      index.assigned.join(broadcast(q), Seq("cell"))
-        .withColumn("dist", l2(col("vec"), col("qvec"))),
-      k)
-    // join the (queries × k)-sized result back to the id→cell map for
-    // the cell provenance column; AQE broadcasts the tiny ranked side
-    ranked.join(index.assigned.select(col("id"), col("cell")), Seq("id"))
-      .select("query_id", "id", "cell", "dist", "rank")
+    val scored = index.assigned.join(broadcast(q), Seq("cell"))
+      .withColumn("dist", l2(col("vec"), col("qvec")))
+      .withColumn("__dk", call_function("graft_sortable_bits", col("dist")))
+    // two-level so the cell provenance column survives WITHOUT a second
+    // corpus scan: bounded-heap top-k per (query, probed cell) — the
+    // global per-query top-k is a subset of the per-cell top-ks — then
+    // a window over the ≤ nprobe × k survivors per query (bounded by
+    // construction, never corpus-sized)
+    val perCell = graft.ops.Ops.topKPerGroupAgg(scored,
+      Seq("query_id", "cell"), col("__dk"), col("id"), k,
+      "dkey", "id", "__r1").drop("__r1")
+    graft.ops.Ops.topKPerGroup(perCell, Seq("query_id"),
+        Seq(col("dkey").asc, col("id").asc), k)
+      .select(col("query_id"), col("id"), col("cell"),
+        call_function("graft_sortable_double", col("dkey")).as("dist"),
+        col("rank"))
   }
 
   // ------------------------------------------------------------- LSH ANN

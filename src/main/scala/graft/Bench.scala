@@ -39,9 +39,11 @@ object Bench {
     "x02_knn_codegen", "x03_knn_ivf")
 
   /** Deliberately-unoptimized comparison arms of the A/B pairs
-    * (x01 vs x02, x05 vs x04). They exist to show the win, and belong
-    * in the artifact, but not in the engine's headline total. */
-  private val AbBaselines = Set("x01_knn_lambda", "x05_topk_stock")
+    * (x01 vs x02, x05 vs x04, x13 vs x12). They exist to show the win,
+    * and belong in the artifact, but not in the engine's headline
+    * total. */
+  private val AbBaselines =
+    Set("x01_knn_lambda", "x05_topk_stock", "x13_asof_rangejoin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -207,4 +207,70 @@ object Ops {
   def withDenseId(df: DataFrame, idCol: String,
       sortCols: Seq[String]): DataFrame =
     graft.etl.Normalize.zipWithIndexId(df.sort(sortCols.map(col): _*), idCol)
+
+  /** As-of join (the time-series "most recent right row at or before
+    * each left row" operator; DuckDB/kdb `ASOF JOIN`, pandas
+    * `merge_asof`). Spark has no native operator; the naive forms are
+    * both scale-broken: a range theta-join multiplies every left row by
+    * every earlier right row before the per-left argmax prunes it, and
+    * a per-left correlated subquery re-scans the right side. This is
+    * the union+carry-forward form instead: tag the two sides, shuffle
+    * BOTH once on the key, sort each partition by (time, tag), and let
+    * `last(_r, ignoreNulls)` carry the latest right payload forward
+    * into each left row. Cost = one exchange per side + one
+    * per-partition sort — a sort-merge join's profile with ZERO pair
+    * multiplication, and the right plan at 100 TB (skewed keys salt
+    * exactly like any keyed shuffle).
+    *
+    * Semantics: for each left row, the right row with the greatest
+    * `rightTime <= leftTime` and equal key; unmatched left rows keep
+    * null payloads (ASOF LEFT JOIN). Equal times match (right sorts
+    * before left at the same instant). If several right rows share
+    * (key, time) the LAST in (key, time, payload-struct) order wins —
+    * pre-dedupe the right side for a caller-chosen tiebreak.
+    *
+    * `tolerance` (pandas `merge_asof(tolerance=...)`): when set, a
+    * carried match older than `leftTime - tolerance` is nulled out —
+    * the bound on `leftTime - rightTime`, typed like the time columns'
+    * difference (an INTERVAL literal for timestamps, a number for
+    * numeric times). The staleness check is per-row post-window, so the
+    * plan is unchanged. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String],
+      tolerance: Option[Column] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // nest the payload under the matched right time so the tolerance
+    // check can see when the carried match became stale (and payload
+    // field names can never collide with the bookkeeping column)
+    val payload = struct(col(rightTime).as("__rt"),
+      struct(rightPayload.map(col): _*).as("__p"))
+    val rTagged = right.select(
+      (Seq(col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(0).as("__tag"), payload.as("__r")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val lTagged = left.select(
+      (Seq(col(leftKey).as("__k"), col(leftTime).as("__t"),
+        lit(1).as("__tag"),
+        lit(null).cast(rTagged.schema("__r").dataType).as("__r")) ++
+        leftCols.map(col)): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = last(col("__r"), ignoreNulls = true).over(w)
+    val fresh = tolerance match {
+      case Some(tol) => when(
+        col("__asof").isNotNull &&
+          col("__t") - col("__asof").getField("__rt") <= tol,
+        col("__asof").getField("__p"))
+      case None => col("__asof").getField("__p")
+    }
+    rTagged.unionByName(lTagged)
+      .withColumn("__asof", carried)
+      .filter(col("__tag") === 1)
+      .withColumn("__m", fresh)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col("__m").getField(c).as(c)): _*)
+  }
 }

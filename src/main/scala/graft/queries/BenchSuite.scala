@@ -282,6 +282,46 @@ object BenchSuite extends QuerySuite {
     "x10_bloom_off",
     (s, dir) => bloomJoin(s, dir, bloom = false))
 
+  /** As-of A/B inputs: events as the left side, orders deduped to one
+    * row per (custkey, orderdate) — the j10 shape. */
+  private def asofInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val e = Tables(s, dir, "events").select("event_id", "user_id", "ts")
+    val r = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    (e, r)
+  }
+
+  /** x12 — the production as-of plan (union + carry-forward window,
+    * `Ops.asofJoin`; j10's engine side re-timed as the A arm). */
+  private val x12 = GraftQuery(
+    "x12_asof_carry",
+    (s, dir) => {
+      val (e, r) = asofInputs(s, dir)
+      graft.ops.Ops.asofJoin(e, r, "user_id", "o_custkey",
+        "ts", "o_orderdate", Seq("o_orderkey", "o_orderdate", "o_totalprice"))
+    })
+
+  /** x13 — the naive as-of: range equi-join (key match + time bound)
+    * materializes every (event, earlier-order) pair, then argmax prunes
+    * per event. Same answer on matched rows, but the pair fan-out is
+    * |events_u| × |orders_u| per key — quadratic in per-key density,
+    * the thing that melts at 100 TB. Kept stock as the B arm. */
+  private val x13 = GraftQuery(
+    "x13_asof_rangejoin",
+    (s, dir) => {
+      val (e, r) = asofInputs(s, dir)
+      e.join(r, e("user_id") === r("o_custkey") &&
+          e("ts") >= r("o_orderdate"))
+        .groupBy(e("event_id"), e("user_id"), e("ts"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"))).as("m"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("m.o_orderkey"), col("m.o_orderdate"), col("m.o_totalprice"))
+    })
+
   /** Oracle-paired production arms — part of the correctness record. */
   override val suite: Seq[GraftQuery] =
     Seq(x02, x04, x07, x08, x11)
@@ -290,5 +330,5 @@ object BenchSuite extends QuerySuite {
     * point (x09/x10), but excluded from Verify/CORRECTNESS: baselines
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
-    Seq(x01, x03, x05, x06, x09, x10)
+    Seq(x01, x03, x05, x06, x09, x10, x12, x13)
 }

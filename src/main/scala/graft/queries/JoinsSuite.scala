@@ -269,6 +269,39 @@ object JoinsSuite extends QuerySuite {
       SELECT o_orderpriority, COUNT(*) AS n, 'except_all' AS op
       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1"""))
 
+  /** j10 — AS-OF join: each event matched to the user's most recent
+    * order at or before the event time (DuckDB `ASOF JOIN`; Spark has
+    * no native operator). Runs through [[graft.ops.Ops.asofJoin]]'s
+    * union+carry-forward plan — one exchange per side on the key, one
+    * per-partition sort, zero pair multiplication (the range-theta-join
+    * form multiplies every event by every earlier order before pruning;
+    * at 100 TB that's the difference between a sort-merge-join profile
+    * and a quadratic one). The right side pre-dedupes to one row per
+    * (custkey, orderdate) with a max-orderkey tiebreak so the as-of
+    * pick is total-order deterministic in both engines. */
+  private val j10 = GraftQuery(
+    "j10_asof_join",
+    (s, dir) => {
+      val e = Tables(s, dir, "events").select("event_id", "user_id", "ts")
+      val r = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      graft.ops.Ops.asofJoin(e, r,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_orderdate", "o_totalprice"))
+    },
+    Some("""WITH r AS (
+        SELECT o_custkey, o_orderdate,
+          MAX(o_orderkey) AS o_orderkey,
+          MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+        FROM orders GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, e.ts,
+        r.o_orderkey, r.o_orderdate, r.o_totalprice
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(j01, j02, j03, j04, j05, j06, j07, j08, j09)
+    Seq(j01, j02, j03, j04, j05, j06, j07, j08, j09, j10)
 }

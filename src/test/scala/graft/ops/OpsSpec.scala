@@ -154,4 +154,50 @@ class OpsSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("asofJoin picks the latest right row at or before each left row") {
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"),
+      (2L, 50L, "e3"), (3L, 7L, "e4"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, "r@10"), (1L, 15L, "r@15"), (1L, 30L, "r@30"),
+      (2L, 49L, "r@49"), (9L, 1L, "r-other"))
+      .toDF("k", "t", "payload")
+    val out = Ops.asofJoin(left, right, "k", "k", "t", "t", Seq("payload"))
+      .select("ev", "payload").as[(String, String)].collect().toMap
+    // e1 @10 matches r@10 (equal time inclusive); e2 @20 matches r@15
+    // (skips the later r@30); e0 @5 precedes every right row -> null;
+    // k=3 has no right rows at all -> null (ASOF LEFT JOIN)
+    assert(out == Map("e1" -> "r@10", "e2" -> "r@15", "e0" -> null,
+      "e3" -> "r@49", "e4" -> null))
+  }
+
+  test("asofJoin tolerance nulls out stale matches") {
+    val left = Seq((1L, 10L, "near"), (1L, 100L, "far")).toDF("k", "t", "ev")
+    val right = Seq((1L, 8L, "r@8")).toDF("k", "t", "payload")
+    val out = Ops.asofJoin(left, right, "k", "k", "t", "t", Seq("payload"),
+      tolerance = Some(lit(5L)))
+      .select("ev", "payload").as[(String, String)].collect().toMap
+    // t=10 is 2 ticks after r@8 (within 5); t=100 is 92 ticks (stale)
+    assert(out == Map("near" -> "r@8", "far" -> null))
+  }
+
+  test("asofJoin matches the quadratic reference form on random data") {
+    val rnd = new scala.util.Random(42)
+    val left = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(100).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("k", "t", "lid")
+    val right = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(100).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      // unique (k, t) per the documented contract (caller pre-dedupes)
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      .toDF("k", "t", "rid")
+    val fast = Ops.asofJoin(left, right, "k", "k", "t", "t", Seq("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    val slow = left.as[(Long, Long, Long)].collect().map { case (k, t, lid) =>
+      val m = right.as[(Long, Long, Long)].collect()
+        .filter(r => r._1 == k && r._2 <= t)
+      lid -> (if (m.isEmpty) None else Some(m.maxBy(r => (r._2, r._3))._3))
+    }.toMap
+    assert(fast == slow)
+  }
 }

@@ -246,4 +246,21 @@ class PlanSpec extends SparkSpec {
     // strings; the Project carrying the morton tree must sit in one
     assert(p.contains("*(1) Project") || p.contains("WholeStageCodegen"), p)
   }
+
+  test("j10 as-of join: union+window plan, zero join operators") {
+    // the point of Ops.asofJoin — the quadratic alternatives would show
+    // as a join here: a range theta-join plans BroadcastNestedLoopJoin /
+    // CartesianProduct (every event × every earlier order), a
+    // correlated-subquery form plans a per-left re-scan. The carry-
+    // forward plan has NO join at all: a Union, one keyed Window, and
+    // one Exchange per side feeding it.
+    val p = plan("j10_asof_join")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "as-of join regressed to a pair-multiplying join:\n" + p)
+    assert(p.contains("Union") && p.contains("Window"), p)
+    // the window must partition on the key — a global (unpartitioned)
+    // window would funnel the whole corpus through one task
+    assert(p.contains("windowspecdefinition(__k"),
+      "as-of window lost its key partitioning:\n" + p)
+  }
 }

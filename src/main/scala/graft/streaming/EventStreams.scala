@@ -248,6 +248,77 @@ object EventStreams {
       }
   }
 
+  final case class AsofRow(
+      user_id: Long, ts: Timestamp, event_id: Long, is_left: Boolean)
+  final case class AsofState(
+      // (tsUs, event_id), both kept sorted ascending; rights holds the
+      // in-watermark buffer plus ONE carried best row at-or-before the
+      // prune cutoff (the as-of carry — a future left may still need it)
+      rights: List[(Long, Long)], lefts: List[(Long, Long)])
+  final case class AsofMatch(
+      user_id: Long, event_id: Long, ts: Timestamp,
+      m_event_id: Option[Long], m_ts: Option[Timestamp])
+
+  /** STREAMING as-of enrichment — the incremental twin of
+    * [[graft.ops.Ops.asofJoin]] (batch oracle e08/j10): each left-side
+    * event is matched to the same user's most recent right-side event
+    * at-or-before it. Both sides union into one keyed state machine;
+    * a left row finalizes when the watermark passes its event time
+    * (any right row that could still precede it would be beyond the
+    * watermark, so the match set is provably complete), emitting the
+    * argmax-(ts, event_id) right at-or-before it — ASOF LEFT JOIN
+    * semantics, unmatched lefts emit null. State per user is the
+    * pending buffer inside the watermark horizon plus one carried
+    * right row (the current as-of value — it persists like any
+    * dimension's latest state), with an event-time timeout driving
+    * finalization when a user goes quiet. */
+  def asofEnrich(left: DataFrame, right: DataFrame,
+      watermark: String = "2 hours"): Dataset[AsofMatch] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def fromUs(u: Long): Timestamp = {
+      val t = new Timestamp(u / 1000)
+      t.setNanos((u % 1000000L).toInt * 1000)
+      t
+    }
+    def side(df: DataFrame, isLeft: Boolean) = df
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(isLeft).as("is_left"))
+    side(left, isLeft = true).unionByName(side(right, isLeft = false))
+      .withWatermark("ts", watermark)
+      .as[AsofRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[AsofRow],
+            state: GroupState[AsofState]) =>
+          val st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          val (inL, inR) = rows.toSeq.partition(_.is_left)
+          val lefts = (st.lefts ++ inL.map(r => (us(r.ts), r.event_id))).sorted
+          val rights = (st.rights ++ inR.map(r => (us(r.ts), r.event_id))).sorted
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, pending) = lefts.partition(_._1 <= wmUs)
+          val out = done.map { case (lt, lid) =>
+            // latest right at-or-before lt; equal ts ties resolve to the
+            // max event_id (the batch argmax-struct tiebreak)
+            val m = rights.takeWhile(_._1 <= lt).lastOption
+            AsofMatch(userId, lid, fromUs(lt),
+              m.map(_._2), m.map(r => fromUs(r._1)))
+          }
+          // prune rights: everything after the cutoff can still win a
+          // pending (or future) left; below it only the best row matters
+          val cutoff = (wmUs +: pending.map(_._1)).min
+          val (olds, keep) = rights.partition(_._1 <= cutoff)
+          val pruned = olds.lastOption.toList ++ keep
+          state.update(AsofState(pruned, pending))
+          if (pending.nonEmpty)
+            // drive finalization of buffered lefts on watermark advance
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          out.iterator
+      }
+  }
+
   /** foreachBatch sink running an arbitrary batch transform per
     * micro-batch and appending parquet — the incremental form of the
     * reference's transform chain (`pipeline.py` + append CSV). */

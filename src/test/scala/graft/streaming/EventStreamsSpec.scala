@@ -140,6 +140,43 @@ class EventStreamsSpec extends SparkSpec {
       s"streamed join emitted ${streamed.count()} of $total batch pairs")
   }
 
+  test("streaming as-of enrich matches the batch asofJoin twin") {
+    val purchases = EventStreams.fromFiles(spark, srcDir)
+      .filter(col("event_type") === "purchase")
+    val signups = EventStreams.fromFiles(spark, srcDir)
+      .filter(col("event_type") === "signup")
+    runToMemory(EventStreams.asofEnrich(purchases, signups).toDF(),
+      "asof", "append")
+    val streamed = spark.table("asof")
+    val ev = spark.read.parquet(srcDir)
+    // batch twin: right deduped per (user, ts) to the max event_id —
+    // the same tiebreak the stream applies at equal timestamps
+    val batch = graft.ops.Ops.asofJoin(
+      ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id"),
+      ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("m_ts"), col("event_id"))
+        .groupBy(col("user_id"), col("m_ts"))
+        .agg(max(col("event_id")).as("m_event_id")),
+      "user_id", "user_id", "ts", "m_ts", Seq("m_event_id", "m_ts"))
+    // soundness: every streamed row must agree with the batch row for
+    // the same left event, null matches included
+    val mismatches = streamed.alias("s")
+      .join(batch.alias("b"), Seq("user_id", "event_id"), "left")
+      .filter(!(col("s.m_event_id") <=> col("b.m_event_id")) ||
+        !(col("s.m_ts") <=> col("b.m_ts")))
+    assert(mismatches.count() == 0,
+      "streamed as-of disagrees with batch asofJoin")
+    // coverage: the watermark holds back only the final horizon; all
+    // lefts older than (max event time - 3h) must have emitted
+    val horizon = ev.agg(max(unix_micros(col("ts")))).head().getLong(0) -
+      3L * 3600 * 1000000
+    val due = batch.filter(unix_micros(col("ts")) <= horizon).count()
+    assert(due > 0, "fixture leaves no finalizable as-of rows")
+    assert(streamed.count() >= due,
+      s"streamed ${streamed.count()} rows, expected at least $due")
+  }
+
   test("streaming near-dup detection matches the batch SimHash pairs") {
     import spark.implicits._
     val docDir = Files.createTempDirectory("graft_stream_docs").toString

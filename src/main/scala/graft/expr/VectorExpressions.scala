@@ -2,9 +2,9 @@ package graft.expr
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native codegen vector expressions — SURVEY.md §4 / §7.4: the hot-path
@@ -77,6 +77,24 @@ case class L2Distance(left: Expression, right: Expression)
   protected def combine(acc: Double, x: Double, y: Double): Double =
     acc + (x - y) * (x - y)
   protected def finish(acc: Double): Double = math.sqrt(acc)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** SQUARED Euclidean distance (no final sqrt) — for argmin/threshold
+  * comparisons where the root is monotone overhead, and for exact
+  * parity with driver-side squared-distance math (PQ codebook
+  * assignment: a sqrt's rounding could re-order near-ties that the
+  * squared values distinguish). */
+case class SqDist(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "graft_sqdist"
+  protected def combineJava(acc: String, x: String, y: String): String =
+    s"$acc + ($x - $y) * ($x - $y)"
+  protected def finishJava(acc: String): String = acc
+  protected def combine(acc: Double, x: Double, y: Double): Double =
+    acc + (x - y) * (x - y)
+  protected def finish(acc: Double): Double = acc
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
@@ -239,6 +257,229 @@ case class SqDistLong(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** ADC (asymmetric distance computation) lookup-sum for
+  * product-quantized codes: `codes` is the corpus row's per-subspace
+  * code array (array<int>), `table` the query's FLAT lookup table
+  * (array<double>, m * ncent row-major: entry j*ncent+c = distance
+  * from the query's j-th subvector to centroid c of subspace j).
+  * Result = Σ_j table[j][codes[j]] — the approximate squared L2
+  * between query and the quantized corpus vector, computed without
+  * ever touching the original vector. The hot loop is m lookups per
+  * row (m = subspace count), flat in generated Java; this is what
+  * makes a PQ scan memory-bound-cheap at 100 TB (m bytes + m loads
+  * per corpus row vs d doubles + d FMAs). */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_adc"
+
+  // The table is FLAT (m * ncent doubles, row-major by subspace) with
+  // ncent inferred per row as table.length / codes.length: a nested
+  // array<array<double>> would cost a per-subspace getArray() view
+  // allocation per corpus row (m allocations/row — more than the m
+  // lookups themselves at m=32).
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val table = b.asInstanceOf[ArrayData]
+    val n = codes.numElements()
+    if (n == 0) return 0.0
+    val ncent = table.numElements() / n
+    var acc = 0.0
+    var j = 0
+    while (j < n) {
+      acc += table.getDouble(j * ncent + codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val nc = ctx.freshName("nc")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = $a.numElements();
+        int $nc = $n == 0 ? 0 : $b.numElements() / $n;
+        double $acc = 0.0;
+        for (int $j = 0; $j < $n; $j++) {
+          $acc += $b.getDouble($j * $nc + $a.getInt($j));
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** ADC against a LITERAL table set — the multi-query scan form used by
+  * [[graft.vector.ProductQuantizer.search]]. `tables` must be foldable
+  * (array<array<double>>, one flat m*ncent table per query); it is
+  * evaluated ONCE at plan time into a primitive `double[][]` that the
+  * generated code reads through a reference — avoiding both failure
+  * modes of the alternatives: a table DATA column copies m*ncent
+  * doubles (16 KB at m=32/nc=64) into every corpus×queries join row,
+  * and a GenericArrayData literal boxes every `getDouble` (one
+  * Double unbox per lookup — half a billion on a 2M-row scan).
+  * `qidx` selects the row's query table by position. */
+case class PqAdcLit(codes: Expression, qidx: Expression, tables: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def first: Expression = codes
+  override def second: Expression = qidx
+  override def third: Expression = tables
+  override def inputTypes = Seq(ArrayType(IntegerType), IntegerType,
+    ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_adc_lit"
+
+  @transient private lazy val mats: Array[Array[Double]] = {
+    require(tables.foldable, "graft_pq_adc_lit: tables must be a literal")
+    val arr = tables.eval().asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray())
+  }
+
+  override def nullSafeEval(c: Any, q: Any, unused: Any): Any = {
+    val codes = c.asInstanceOf[ArrayData]
+    val t = mats(q.asInstanceOf[Int])
+    val n = codes.numElements()
+    if (n == 0) return 0.0
+    val nc = t.length / n
+    var acc = 0.0
+    var j = 0
+    while (j < n) {
+      acc += t(j * nc + codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcTables", mats, "double[][]")
+    nullSafeCodeGen(ctx, ev, (c, q, _) => {
+      val n = ctx.freshName("n")
+      val nc = ctx.freshName("nc")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val t = ctx.freshName("t")
+      s"""
+        double[] $t = $ref[$q];
+        int $n = $c.numElements();
+        int $nc = $n == 0 ? 0 : $t.length / $n;
+        double $acc = 0.0;
+        for (int $j = 0; $j < $n; $j++) {
+          $acc += $t[$j * $nc + $c.getInt($j)];
+        }
+        ${ev.value} = $acc;
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(codes = f, qidx = s, tables = t)
+}
+
+/** PQ encode: nearest-centroid code per subspace. `left` is the vector
+  * (array<double>), `right` the codebooks (array<array<array<double>>>,
+  * [m][ncent][dsub]) — in practice a plan LITERAL, so the generated
+  * code reads it from the references array, never from the row. One
+  * flat triple loop replaces the m × ncent `struct(sqdist, idx)`
+  * argmin composition, whose ~2k-node expression tree cost tens of
+  * seconds of codegen at m=32/ncent=64. Ties (equal squared distance)
+  * keep the lowest centroid index — matching the driver-side
+  * `PqModel.encodeOne` exactly (same sequential double sums). */
+case class PqEncode(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType),
+    ArrayType(ArrayType(ArrayType(DoubleType))))
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val books = b.asInstanceOf[ArrayData]
+    val m = books.numElements()
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = books.getArray(j)
+      val dsub = if (book.numElements() == 0) 0
+        else book.getArray(0).numElements()
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.numElements()) {
+        val cent = book.getArray(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = vec.getDouble(j * dsub + i) - cent.getDouble(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, books) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val book = ctx.freshName("book")
+      val cent = ctx.freshName("cent")
+      val dsub = ctx.freshName("dsub")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      s"""
+        int $m = $books.numElements();
+        int[] $out = new int[$m];
+        for (int $j = 0; $j < $m; $j++) {
+          org.apache.spark.sql.catalyst.util.ArrayData $book =
+            $books.getArray($j);
+          int $dsub = $book.numElements() == 0 ? 0
+            : $book.getArray(0).numElements();
+          int $best = 0;
+          double $bestD = Double.MAX_VALUE;
+          for (int $c = 0; $c < $book.numElements(); $c++) {
+            org.apache.spark.sql.catalyst.util.ArrayData $cent =
+              $book.getArray($c);
+            double $d = 0.0;
+            for (int $i = 0; $i < $dsub; $i++) {
+              double $x = $vec.getDouble($j * $dsub + $i)
+                - $cent.getDouble($i);
+              $d += $x * $x;
+            }
+            if ($d < $bestD) { $bestD = $d; $best = $c; }
+          }
+          $out[$j] = $best;
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Exact dot product over QUANTIZED (long) vectors — companion of
   * [[SqDistLong]], used for sign-bucket LSH where the HASH must be
   * bit-identical across engines (a double dot product's sign can flip
@@ -305,6 +546,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_dot_long",
         "_FUNC_(a, b) - exact dot product over quantized long vectors"),
       (es: Seq[Expression]) => DotLong(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_sqdist"),
+      info("graft_sqdist", "_FUNC_(a, b) - squared Euclidean distance"),
+      (es: Seq[Expression]) => SqDist(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_pq_encode"),
+      info("graft_pq_encode",
+        "_FUNC_(vec, codebooks) - PQ nearest-centroid codes per subspace"),
+      (es: Seq[Expression]) => PqEncode(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_pq_adc_lit"),
+      info("graft_pq_adc_lit",
+        "_FUNC_(codes, qidx, tables) - ADC against literal query tables"),
+      (es: Seq[Expression]) => PqAdcLit(es(0), es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("graft_pq_adc"),
+      info("graft_pq_adc",
+        "_FUNC_(codes, table) - PQ asymmetric-distance lookup sum"),
+      (es: Seq[Expression]) => PqAdc(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("graft_sortable_bits"),
       info("graft_sortable_bits",
         "_FUNC_(d) - order-preserving long bits of a double"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, QuerySuite, Tables}
 import graft.functions.VectorOps
-import graft.vector.VectorSearch
+import graft.vector.{ProductQuantizer, VectorSearch}
 
 /** Performance-path queries: the same kNN plan through the lambda-fold
   * vector math vs the native codegen expressions, on a corpus inflated
@@ -51,6 +51,10 @@ object BenchSuite extends QuerySuite {
     }
     ivfMemo.filterInPlace { case ((s, _), idx) =>
       if (s eq session) { idx.assigned.unpersist(blocking = true); false }
+      else true
+    }
+    pqMemo.filterInPlace { case ((s, _), me) =>
+      if (s eq session) { me._2.unpersist(blocking = true); false }
       else true
     }
   }
@@ -121,6 +125,34 @@ object BenchSuite extends QuerySuite {
       })
       VectorSearch.searchIvf(index, queries(s, dir), "query_id", "qvec",
         k = 10, nprobe = 2)
+    })
+
+  /** x14 — PQ/ADC approximate kNN on the inflated corpus (the
+    * memory-bound scale path, [[graft.vector.ProductQuantizer]]): the
+    * corpus scan touches m=32 byte codes per row instead of 64 doubles
+    * — at a real 100 TB vector store the PQ index is 16-32× smaller
+    * than the vectors and the ADC scan is bandwidth-bound on codes.
+    * Model + encoded corpus memoized like the IVF index (cold =
+    * train+encode+scan, steady = the ADC scan alone). Approximate
+    * (recall pinned ≥ 0.7 in ProductQuantizerSpec, fixture-probed
+    * 0.84) → bench-only, no oracle; compare steady time against the
+    * exact x02 scan. */
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (ProductQuantizer.PqModel, DataFrame)]
+  private val x14 = GraftQuery(
+    "x14_pq_adc",
+    (s, dir) => {
+      val (model, encoded) = pqMemo.getOrElseUpdate((s, dir), {
+        val m = ProductQuantizer.train(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", m = 32, ncent = 64, iters = 10)
+        val enc = ProductQuantizer
+          .encode(inflated(s, dir), "vec", m)
+          .select("id", "pq_codes")
+          .cache() // the encoded codes ARE the persisted index artifact
+        (m, enc)
+      })
+      ProductQuantizer.search(encoded, "id", "pq_codes",
+        queries(s, dir), "query_id", "qvec", model, k = 10)
     })
 
   /** x04/x05 — the KnnTopK rewrite A/B ([[graft.plans.KnnTopKRewrite]]):
@@ -330,5 +362,5 @@ object BenchSuite extends QuerySuite {
     * point (x09/x10), but excluded from Verify/CORRECTNESS: baselines
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
-    Seq(x01, x03, x05, x06, x09, x10, x12, x13)
+    Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14)
 }

@@ -57,6 +57,10 @@ object BenchSuite extends QuerySuite {
       if (s eq session) { me._2.unpersist(blocking = true); false }
       else true
     }
+    ivfPqMemo.filterInPlace { case ((s, _), me) =>
+      if (s eq session) { me._3.unpersist(blocking = true); false }
+      else true
+    }
   }
 
   private def queries(s: SparkSession, dir: String): DataFrame =
@@ -153,6 +157,30 @@ object BenchSuite extends QuerySuite {
       })
       ProductQuantizer.search(encoded, "id", "pq_codes",
         queries(s, dir), "query_id", "qvec", model, k = 10)
+    })
+
+  /** x15 — IVFPQ (the FAISS architecture; completes the ANN ladder
+    * x02 exact / x03 IVF / x14 PQ): probes scan nprobe/nCells of the
+    * corpus AND each scanned row costs m byte-code lookups. The only
+    * shape where neither the scan set nor the bytes-per-row grows
+    * with the corpus. Approximations compose (ProductQuantizerSpec
+    * pins all-cells parity with the flat ADC scan + pruned recall). */
+  private val ivfPqMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (VectorSearch.IvfIndex, ProductQuantizer.PqModel, DataFrame)]
+  private val x15 = GraftQuery(
+    "x15_ivfpq",
+    (s, dir) => {
+      val (index, model, cells) = ivfPqMemo.getOrElseUpdate((s, dir), {
+        val idx = VectorSearch.buildIvf(inflated(s, dir), "id", "vec", 16)
+        val m = ProductQuantizer.train(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", m = 32, ncent = 64, iters = 10)
+        val enc = ProductQuantizer.encodeIvf(idx, "vec", m)
+          .repartition(col("cell")).cache()
+        (idx, m, enc)
+      })
+      ProductQuantizer.searchIvfPq(index, cells, queries(s, dir),
+        "query_id", "qvec", model, k = 10, nprobe = 2)
     })
 
   /** x04/x05 — the KnnTopK rewrite A/B ([[graft.plans.KnnTopKRewrite]]):
@@ -362,5 +390,5 @@ object BenchSuite extends QuerySuite {
     * point (x09/x10), but excluded from Verify/CORRECTNESS: baselines
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
-    Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14)
+    Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15)
 }

@@ -231,4 +231,51 @@ object ProductQuantizer {
         call_function("graft_sortable_double", col("dkey")).as("dist"),
         col("rank"))
   }
+
+  /** PQ-encode an IVF-assigned corpus: (id, cell, pq_codes) — the
+    * FAISS-style IVFPQ index. Persisted `partitionBy(cell)` this is
+    * BOTH prunable (probes read nprobe cells) and 16-32× smaller than
+    * the vectors (codes only). */
+  def encodeIvf(index: VectorSearch.IvfIndex, vecCol: String,
+      model: PqModel, codeCol: String = "pq_codes"): DataFrame =
+    encode(index.assigned, vecCol, model, codeCol)
+      .select(col("id"), col("cell"), col(codeCol))
+
+  /** IVFPQ search: the query probes its `nprobe` nearest cells
+    * (map-side literal argmin, exactly [[VectorSearch.searchIvf]]) and
+    * ADC-scans only those cells' codes. The two approximations
+    * compose: IVF bounds WHAT is scanned (nprobe/nCells of the
+    * corpus), PQ bounds WHAT EACH ROW COSTS (m byte codes); at 100 TB
+    * this is the only shape where neither the scan set nor the
+    * bytes-per-row grows with the corpus. */
+  def searchIvfPq(index: VectorSearch.IvfIndex, encodedCells: DataFrame,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      model: PqModel, k: Int, nprobe: Int = 1,
+      codeCol: String = "pq_codes"): DataFrame = {
+    val qrows = queries
+      .select(col(qidCol).cast("long").as("qid"),
+        col(qvecCol).cast("array<double>").as("qvec"))
+      .collect() // bounded: the query set is the broadcast side
+    val tablesLit = typedLit(qrows.map(r =>
+      model.lookupTable(r.getSeq[Double](1).toArray).toSeq).toSeq)
+    val qidxLit = typedLit(qrows.map(_.getLong(0)).zipWithIndex.toMap)
+    val qdf = broadcast(queries
+      .select(col(qidCol).cast("long").as("query_id"),
+        col(qvecCol).cast("array<double>").as("qvec"))
+      .withColumn("qidx", element_at(qidxLit, col("query_id")))
+      .withColumn("cell", explode(index.probeCells(col("qvec"), nprobe)))
+      .select("query_id", "qidx", "cell"))
+    val scored = encodedCells
+      .join(qdf, Seq("cell"))
+      .withColumn("dist",
+        call_function("graft_pq_adc_lit", col(codeCol), col("qidx"),
+          tablesLit))
+    graft.ops.Ops.topKPerGroupAgg(
+      scored.withColumn("__dk",
+        call_function("graft_sortable_bits", col("dist"))),
+      Seq("query_id"), col("__dk"), col("id"), k, "dkey", "id", "rank")
+      .select(col("query_id"), col("id"),
+        call_function("graft_sortable_double", col("dkey")).as("dist"),
+        col("rank"))
+  }
 }

@@ -81,4 +81,39 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(plan.contains("partial_topkaggregator"),
       "PQ search lost the grouped bounded-heap aggregate:\n" + plan)
   }
+
+  test("IVFPQ with all cells probed equals the plain PQ scan; pruned " +
+      "probes keep material recall") {
+    val corpus = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val k = 10
+    val index = VectorSearch.buildIvf(corpus, "id", "vec", nCells = 8)
+    val cells = ProductQuantizer.encodeIvf(index, "vec", model)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "id", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+    // nprobe = nCells scans everything → must EQUAL the flat ADC scan
+    val full = rows(ProductQuantizer.searchIvfPq(index, cells, queries,
+      "query_id", "qvec", model, k, nprobe = 8))
+    val flat = rows(ProductQuantizer.search(
+      ProductQuantizer.encode(corpus, "vec", model), "id", "pq_codes",
+      queries, "query_id", "qvec", model, k))
+    assert(full == flat,
+      "all-cells IVFPQ diverged from the flat PQ scan")
+    // pruned probes: recall vs the EXACT neighbors stays material
+    val exact = VectorSearch.knn(corpus, "id", "vec", queries,
+        "query_id", "qvec", k)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pruned = ProductQuantizer.searchIvfPq(index, cells, queries,
+        "query_id", "qvec", model, k, nprobe = 4)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq.map(q =>
+      (pruned.getOrElse(q, Set.empty) & exact(q)).size.toDouble / k)
+      .sum / exact.size
+    assert(recall >= 0.4, f"IVFPQ recall@$k = $recall%.2f below 0.4")
+  }
 }

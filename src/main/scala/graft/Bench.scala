@@ -136,13 +136,18 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
 
-    // full-precision detail file (every query, steady + cold)
+    // full-precision detail file (every query, steady + cold).
+    // Filtered (SPARK_GRAFT_BENCH_ONLY) runs write BENCH_PARTIAL.json:
+    // a targeted iteration must never clobber the committed
+    // full-registry artifact (it did, twice, in round 10).
     val full =
       s"""{"iters":$iters,"sf_dir":"$sfDir","cpus":$cpus,
          |"steady":${jmap(steady, _.toString)},
          |"cold":${jmap(results.map { case (k, ts) => k -> ts.head },
                         _.toString)}}""".stripMargin.replace("\n", "")
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    val detailFile =
+      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
       full.getBytes("UTF-8"))
 
     def r3(d: Double) = f"$d%.3f"

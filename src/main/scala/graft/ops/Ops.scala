@@ -208,6 +208,38 @@ object Ops {
       sortCols: Seq[String]): DataFrame =
     graft.etl.Normalize.zipWithIndexId(df.sort(sortCols.map(col): _*), idCol)
 
+  /** Keyed point-in-interval join via time-bucketing (the generalized
+    * e09 shape; Spark would otherwise plan the non-equi time predicate
+    * as a per-key filter after a row-multiplying join). Each interval
+    * row replicates into the fixed-width buckets it covers (map-side
+    * explode, bounded by span/bucketWidth); each point computes its
+    * single bucket; the join is EQUI on (key, bucket) — shuffle-
+    * partitionable, AQE/skew-handled like any keyed join — and the
+    * exact `start <= t <= end` containment filters after. A point's
+    * bucket intersects a covering interval exactly once, so no
+    * distinct is needed: output = one row per (point, covering
+    * interval), the naive theta-join's answer without its fan-out.
+    *
+    * Pick `bucketWidth` near the typical interval span: intervals
+    * replicate ~span/width times (a 7-day interval over 1-day buckets
+    * is 8 rows), while a too-wide bucket degrades toward the naive
+    * join inside each bucket. Time columns are numeric (unix micros —
+    * cast timestamps with `unix_micros` upstream). */
+  def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
+      key: String, tCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "pointInIntervalJoin: bucketWidth must be > 0")
+    val b = lit(bucketWidth)
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(startCol) / b).cast("long"),
+        floor(col(endCol) / b).cast("long"))))
+    val pt = points.withColumn("__bucket",
+      floor(col(tCol) / b).cast("long"))
+    pt.join(iv, Seq(key, "__bucket"))
+      .filter(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
   /** As-of join (the time-series "most recent right row at or before
     * each left row" operator; DuckDB/kdb `ASOF JOIN`, pandas
     * `merge_asof`). Spark has no native operator; the naive forms are

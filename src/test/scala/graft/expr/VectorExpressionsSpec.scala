@@ -157,4 +157,51 @@ class VectorExpressionsSpec extends SparkSpec {
       assert(DoubleSortableLong(Literal(d)).eval(null) == s)
     }
   }
+
+  test("graft_sqdist equals l2_distance squared; PQ ADC forms agree") {
+    // sqdist == l2^2 (same sequential fold, no sqrt-then-square drift
+    // beyond one rounding of the root)
+    val d = spark.sql(
+      "SELECT graft_sqdist(array(0.0d, 3.0d), array(4.0d, 0.0d)) d")
+      .as[Double].head()
+    assert(d == 25.0)
+    // ADC: codes pick flat-table entries; the generic binary form and
+    // the literal ternary form return identical sums, eval == codegen
+    val codes = Seq(Seq(1, 0, 2))
+    val flat = Seq(10.0, 11.0, 12.0, 20.0, 21.0, 22.0, 30.0, 31.0, 32.0)
+    val df = codes.toDF("codes")
+      .withColumn("t", typedLit(flat))
+      .withColumn("generic", call_function("graft_pq_adc",
+        col("codes"), col("t")))
+      .withColumn("lit_form", call_function("graft_pq_adc_lit",
+        col("codes"), lit(0), typedLit(Seq(flat))))
+    val r = df.select("generic", "lit_form").as[(Double, Double)].head()
+    assert(r._1 == 11.0 + 20.0 + 32.0, s"generic ADC sum ${r._1}")
+    assert(r._1 == r._2, "literal-table ADC diverged from the generic form")
+    // null codes → null (nullIntolerant), both forms
+    val n = codes.toDF("codes")
+      .select(call_function("graft_pq_adc",
+          lit(null).cast("array<int>"), typedLit(flat)).as("a"),
+        call_function("graft_pq_adc_lit",
+          lit(null).cast("array<int>"), lit(0), typedLit(Seq(flat))).as("b"))
+      .head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("graft_pq_encode matches a hand argmin and is codegen-stable") {
+    // 2 subspaces of 2 dims, 2 centroids each
+    val books = Seq(
+      Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)),
+      Seq(Seq(5.0, 5.0), Seq(-5.0, -5.0)))
+    val df = Seq(
+      (1L, Seq(1.0, 1.0, 4.0, 4.0)),   // sub0 -> c0, sub1 -> c0
+      (2L, Seq(9.0, 9.0, -4.0, -6.0)), // sub0 -> c1, sub1 -> c1
+      (3L, Seq(5.0, 5.0, 0.0, 0.0)))   // sub0 equidistant -> lowest idx c0
+      .toDF("id", "vec")
+      .withColumn("codes", call_function("graft_pq_encode",
+        col("vec"), typedLit(books)))
+    val out = df.select("id", "codes").as[(Long, Seq[Int])]
+      .collect().toMap
+    assert(out == Map(1L -> Seq(0, 0), 2L -> Seq(1, 1), 3L -> Seq(0, 0)))
+  }
 }

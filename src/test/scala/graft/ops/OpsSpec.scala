@@ -155,6 +155,26 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("pointInIntervalJoin equals the naive theta join on random data") {
+    val rnd = new scala.util.Random(11)
+    val points = Seq.tabulate(400)(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "pid")
+    val intervals = Seq.tabulate(120) { i =>
+      val s = rnd.nextInt(1000).toLong
+      (rnd.nextInt(8).toLong, s, s + rnd.nextInt(90).toLong, i.toLong)
+    }.toDF("k", "s", "e", "iid")
+    for (width <- Seq(1L, 50L, 64L, 5000L)) {
+      val bucketed = Ops.pointInIntervalJoin(points, intervals,
+        "k", "t", "s", "e", width)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      val naive = points.join(intervals, Seq("k"))
+        .filter($"t" >= $"s" && $"t" <= $"e")
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(bucketed == naive, s"divergence at bucketWidth=$width")
+    }
+  }
+
   test("asofJoin picks the latest right row at or before each left row") {
     val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"),
       (2L, 50L, "e3"), (3L, 7L, "e4"))

@@ -254,12 +254,16 @@ object Ops {
     * multiplication, and the right plan at 100 TB (skewed keys salt
     * exactly like any keyed shuffle).
     *
-    * Semantics: for each left row, the right row with the greatest
-    * `rightTime <= leftTime` and equal key; unmatched left rows keep
-    * null payloads (ASOF LEFT JOIN). Equal times match (right sorts
-    * before left at the same instant). If several right rows share
-    * (key, time) the LAST in (key, time, payload-struct) order wins —
-    * pre-dedupe the right side for a caller-chosen tiebreak.
+    * Semantics (by `direction`, pandas `merge_asof` parity): BACKWARD
+    * (default) matches the right row with the greatest
+    * `rightTime <= leftTime` and equal key; FORWARD the smallest
+    * `rightTime >= leftTime`; NEAREST whichever is closer, exact ties
+    * preferring the backward match. Unmatched left rows keep null
+    * payloads (ASOF LEFT JOIN). Equal times match inclusively in every
+    * direction (right sorts before left at the same instant). If
+    * several right rows share (key, time) the LAST in (key, time,
+    * payload-struct) order wins — pre-dedupe the right side for a
+    * caller-chosen tiebreak. Null left times or keys never match.
     *
     * `tolerance` (pandas `merge_asof(tolerance=...)`): when set, a
     * carried match older than `leftTime - tolerance` is nulled out —
@@ -267,15 +271,26 @@ object Ops {
     * difference (an INTERVAL literal for timestamps, a number for
     * numeric times). The staleness check is per-row post-window, so the
     * plan is unchanged. */
+  sealed trait AsofDirection
+  /** Most recent right at-or-before the left time (the default; DuckDB
+    * ASOF, pandas `direction='backward'`). */
+  case object AsofBackward extends AsofDirection
+  /** First right at-or-after the left time (pandas `'forward'`). */
+  case object AsofForward extends AsofDirection
+  /** Whichever of the two is closer in time; exact ties prefer the
+    * backward (earlier) match (pandas `'nearest'`). */
+  case object AsofNearest extends AsofDirection
+
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightPayload: Seq[String],
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      direction: AsofDirection = AsofBackward): DataFrame = {
     val leftCols = left.columns.toSeq
-    // nest the payload under the matched right time so the tolerance
-    // check can see when the carried match became stale (and payload
-    // field names can never collide with the bookkeeping column)
+    // nest the payload under the matched right time so the tolerance /
+    // nearest checks can see the matched time (and payload field names
+    // can never collide with the bookkeeping column)
     val payload = struct(col(rightTime).as("__rt"),
       struct(rightPayload.map(col): _*).as("__p"))
     val rTagged = right.select(
@@ -287,22 +302,50 @@ object Ops {
         lit(1).as("__tag"),
         lit(null).cast(rTagged.schema("__r").dataType).as("__r")) ++
         leftCols.map(col)): _*)
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__tag"))
+    // backward carry: ascending (time, tag) — rights sort before lefts
+    // at equal time, so the == bound is inclusive. Forward carry: the
+    // mirror — descending time with rights still first at equal time.
+    // Both are ONE window each over the SAME keyed partitioning: the
+    // union shuffles once, nearest pays one extra in-partition sort.
+    val wBwd = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = last(col("__r"), ignoreNulls = true).over(w)
-    val fresh = tolerance match {
-      case Some(tol) => when(
-        col("__asof").isNotNull &&
-          col("__t") - col("__asof").getField("__rt") <= tol,
-        col("__asof").getField("__p"))
-      case None => col("__asof").getField("__p")
+    val wFwd = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwdOk = tolerance match {
+      case Some(tol) => when(col("__bwd").isNotNull &&
+        col("__t") - col("__bwd").getField("__rt") <= tol, col("__bwd"))
+      case None => col("__bwd")
     }
-    rTagged.unionByName(lTagged)
-      .withColumn("__asof", carried)
+    val fwdOk = tolerance match {
+      case Some(tol) => when(col("__fwd").isNotNull &&
+        col("__fwd").getField("__rt") - col("__t") <= tol, col("__fwd"))
+      case None => col("__fwd")
+    }
+    val unioned = rTagged.unionByName(lTagged)
+    val matched = direction match {
+      case AsofBackward => unioned
+        .withColumn("__bwd", last(col("__r"), ignoreNulls = true).over(wBwd))
+        .withColumn("__m", bwdOk)
+      case AsofForward => unioned
+        .withColumn("__fwd", last(col("__r"), ignoreNulls = true).over(wFwd))
+        .withColumn("__m", fwdOk)
+      case AsofNearest => unioned
+        .withColumn("__bwd", last(col("__r"), ignoreNulls = true).over(wBwd))
+        .withColumn("__fwd", last(col("__r"), ignoreNulls = true).over(wFwd))
+        .withColumn("__b", bwdOk).withColumn("__f", fwdOk)
+        .withColumn("__m",
+          when(col("__b").isNull, col("__f"))
+            .when(col("__f").isNull, col("__b"))
+            .when(col("__t") - col("__b").getField("__rt") <=
+              col("__f").getField("__rt") - col("__t"), col("__b"))
+            .otherwise(col("__f")))
+    }
+    matched
       .filter(col("__tag") === 1)
-      .withColumn("__m", fresh)
+      .withColumn("__mp", col("__m").getField("__p"))
       .select(leftCols.map(col) ++
-        rightPayload.map(c => col("__m").getField(c).as(c)): _*)
+        rightPayload.map(c => col("__mp").getField(c).as(c)): _*)
   }
 }

@@ -201,23 +201,41 @@ class OpsSpec extends SparkSpec {
     assert(out == Map("near" -> "r@8", "far" -> null))
   }
 
-  test("asofJoin matches the quadratic reference form on random data") {
+  test("asofJoin matches the quadratic reference form in all directions") {
     val rnd = new scala.util.Random(42)
     val left = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(100).toLong))
       .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
       .toDF("k", "t", "lid")
-    val right = Seq.fill(200)((rnd.nextInt(10).toLong, rnd.nextInt(100).toLong))
+    val rightRows = Seq.fill(200)(
+        (rnd.nextInt(10).toLong, rnd.nextInt(100).toLong))
       .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
       // unique (k, t) per the documented contract (caller pre-dedupes)
       .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
-      .toDF("k", "t", "rid")
-    val fast = Ops.asofJoin(left, right, "k", "k", "t", "t", Seq("rid"))
-      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
-    val slow = left.as[(Long, Long, Long)].collect().map { case (k, t, lid) =>
-      val m = right.as[(Long, Long, Long)].collect()
-        .filter(r => r._1 == k && r._2 <= t)
-      lid -> (if (m.isEmpty) None else Some(m.maxBy(r => (r._2, r._3))._3))
-    }.toMap
-    assert(fast == slow)
+    val right = rightRows.toDF("k", "t", "rid")
+    val leftRows = left.as[(Long, Long, Long)].collect()
+    def slow(dir: Ops.AsofDirection): Map[Long, Option[Long]] =
+      leftRows.map { case (k, t, lid) =>
+        val rs = rightRows.filter(_._1 == k)
+        val bwd = rs.filter(_._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption
+        val fwd = rs.filter(_._2 >= t)
+          .sortBy(r => (r._2, -r._3)).headOption
+        val m = dir match {
+          case Ops.AsofBackward => bwd
+          case Ops.AsofForward => fwd
+          case Ops.AsofNearest => (bwd, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        lid -> m.map(_._3)
+      }.toMap
+    for (dir <- Seq(Ops.AsofBackward, Ops.AsofForward, Ops.AsofNearest)) {
+      val fast = Ops.asofJoin(left, right, "k", "k", "t", "t", Seq("rid"),
+          direction = dir)
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+      assert(fast == slow(dir), s"direction $dir diverged")
+    }
   }
 }

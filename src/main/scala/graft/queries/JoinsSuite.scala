@@ -302,6 +302,40 @@ object JoinsSuite extends QuerySuite {
       FROM events e ASOF LEFT JOIN r
         ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"""))
 
+  /** j11 — FORWARD as-of: each event matched to the user's FIRST order
+    * at or after it (fulfillment-lookahead shape). DuckDB's ASOF JOIN
+    * only binds backward (`>=`), so the oracle uses the negation
+    * trick: forward-asof on t is exactly backward-asof on -t — negate
+    * both sides' times (unix micros), ASOF on the negated axis, report
+    * the original columns. The Spark side runs the same
+    * [[graft.ops.Ops.asofJoin]] plan with `AsofForward` (the mirrored
+    * descending carry window) — same single keyed shuffle as j10. */
+  private val j11 = GraftQuery(
+    "j11_asof_forward",
+    (s, dir) => {
+      val e = Tables(s, dir, "events").select("event_id", "user_id", "ts")
+      val r = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      graft.ops.Ops.asofJoin(e, r,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_orderdate", "o_totalprice"),
+        direction = graft.ops.Ops.AsofForward)
+    },
+    Some("""WITH r AS (
+        SELECT o_custkey, o_orderdate,
+          MAX(o_orderkey) AS o_orderkey,
+          MAX_BY(o_totalprice, o_orderkey) AS o_totalprice,
+          -epoch_us(o_orderdate) AS nt
+        FROM orders GROUP BY o_custkey, o_orderdate),
+      e AS (SELECT event_id, user_id, ts, -epoch_us(ts) AS nt FROM events)
+      SELECT e.event_id, e.user_id, e.ts,
+        r.o_orderkey, r.o_orderdate, r.o_totalprice
+      FROM e ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND e.nt >= r.nt"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(j01, j02, j03, j04, j05, j06, j07, j08, j09, j10)
+    Seq(j01, j02, j03, j04, j05, j06, j07, j08, j09, j10, j11)
 }

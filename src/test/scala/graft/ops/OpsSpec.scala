@@ -191,6 +191,24 @@ class OpsSpec extends SparkSpec {
       "e3" -> "r@49", "e4" -> null))
   }
 
+  test("asofJoin nearest shares ONE exchange across both carry windows") {
+    // the two windows sort opposite ways but partition identically —
+    // a second Exchange would mean the mirror window re-shuffled
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "ev")
+    val right = Seq((1L, 8L, "r")).toDF("k", "t", "payload")
+    val df = Ops.asofJoin(left, right, "k", "k", "t", "t", Seq("payload"),
+      direction = Ops.AsofNearest)
+    df.collect()
+    // count in the FINAL plan only — the AQE plan string repeats the
+    // tree under "== Initial Plan ==", double-counting the exchange
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"nearest as-of re-shuffled:\n$plan")
+    assert("windowspecdefinition".r.findAllIn(plan).size == 2,
+      "nearest lost one of its carry windows")
+  }
+
   test("asofJoin tolerance nulls out stale matches") {
     val left = Seq((1L, 10L, "near"), (1L, 100L, "far")).toDF("k", "t", "ev")
     val right = Seq((1L, 8L, "r@8")).toDF("k", "t", "payload")

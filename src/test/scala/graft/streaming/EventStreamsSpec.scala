@@ -177,6 +177,44 @@ class EventStreamsSpec extends SparkSpec {
       s"streamed ${streamed.count()} rows, expected at least $due")
   }
 
+  test("as-of enrich stays sound under hostile (non-chronological) batching") {
+    // second file holds the EARLIER half of every user's events: the
+    // watermark from batch 1 drops most of batch 2 as late — coverage
+    // legitimately degrades, but every row that IS emitted must still
+    // equal the batch answer (the soundness contract)
+    val dir = Files.createTempDirectory("graft_asof_hostile").toString
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(dir)
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(dir)
+    val purchases = EventStreams.fromFiles(spark, dir)
+      .filter(col("event_type") === "purchase")
+    val signups = EventStreams.fromFiles(spark, dir)
+      .filter(col("event_type") === "signup")
+    runToMemory(EventStreams.asofEnrich(purchases, signups,
+      watermark = "30 minutes").toDF(), "asof_hostile", "append")
+    val streamed = spark.table("asof_hostile")
+    val all = spark.read.parquet(dir)
+    val batch = graft.ops.Ops.asofJoin(
+      all.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id"),
+      all.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("m_ts"), col("event_id"))
+        .groupBy(col("user_id"), col("m_ts"))
+        .agg(max(col("event_id")).as("m_event_id")),
+      "user_id", "user_id", "ts", "m_ts", Seq("m_event_id", "m_ts"))
+    // a streamed match may be missing or STALER than batch (a late
+    // right row never reached the state), but it must never be a row
+    // the batch twin lacks, and never NEWER than the batch match
+    val bad = streamed.alias("s")
+      .join(batch.alias("b"), Seq("user_id", "event_id"), "left")
+      .filter(col("b.ts").isNull ||
+        (col("s.m_ts").isNotNull &&
+          (col("b.m_ts").isNull || col("s.m_ts") > col("b.m_ts"))))
+    assert(bad.count() == 0,
+      "hostile batching produced matches the batch twin disproves")
+    assert(streamed.count() > 0, "nothing emitted under hostile batching")
+  }
+
   test("streaming near-dup detection matches the batch SimHash pairs") {
     import spark.implicits._
     val docDir = Files.createTempDirectory("graft_stream_docs").toString

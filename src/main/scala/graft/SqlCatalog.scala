@@ -43,12 +43,32 @@ object SqlCatalog {
         fn(spark, sfDir).createOrReplaceTempView(name)
       }
 
-  /** One-call setup: tables + query views. Returns the session for
+  /** The typed AGGREGATORS as SQL functions (the scalar expressions
+    * already register through GraftExtensions). Parametric sketches
+    * bind their documented default size — `graft_heavy_hitters` k=64,
+    * `graft_quantile_summary` k=128 — because SQL functions can't
+    * carry constructor parameters; custom sizes stay on the Column
+    * API (`HeavyHitters.heavyHitters(k)`, ...). Idempotent. */
+  def registerAggregates(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.{functions => F, Encoders}
+    spark.udf.register("graft_hll",
+      F.udaf(new graft.functions.HyperLogLog.HllAggregator, Encoders.LONG))
+    spark.udf.register("graft_heavy_hitters",
+      F.udaf(new graft.functions.HeavyHitters.MgAggregator(64),
+        Encoders.LONG))
+    spark.udf.register("graft_quantile_summary",
+      F.udaf(new graft.functions.QuantileSummary.MrlAggregator(128),
+        Encoders.DOUBLE))
+  }
+
+  /** One-call setup: tables + query views + aggregate functions.
+    * Returns the session for
     * `SqlCatalog.install(spark, dir).sql("...")` chaining. */
   def install(spark: SparkSession, sfDir: String,
       only: Set[String] = Set.empty): SparkSession = {
     registerTables(spark, sfDir)
     registerQueryViews(spark, sfDir, only)
+    registerAggregates(spark)
     spark
   }
 

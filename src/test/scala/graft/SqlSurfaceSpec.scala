@@ -69,4 +69,28 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(dups >= 0)
   }
+
+  test("sketch aggregators are SQL-callable and match the Column API") {
+    SqlCatalog.install(spark, dir)
+    // HLL over order keys, pure SQL vs Column API — identical doubles
+    val sqlEst = spark.sql(
+      """SELECT graft_hll(graft_md5_long(CAST(o_orderkey AS STRING), 8)) e
+         FROM orders""").collect().head.getDouble(0)
+    val apiEst = graft.Tables(spark, dir, "orders")
+      .select(graft.functions.HyperLogLog.hll(
+        graft.functions.TextOps.md5Long32(
+          org.apache.spark.sql.functions.col("o_orderkey"))).as("e"))
+      .collect().head.getDouble(0)
+    assert(sqlEst == apiEst)
+    // heavy hitters + quantile summary run from SQL text and return
+    // their structured summaries
+    val hh = spark.sql(
+      """SELECT inline(graft_heavy_hitters(o_custkey % 10)) FROM orders""")
+    assert(hh.count() == 10) // 10 distinct residues fit k=64 -> exact
+    val qs = spark.sql(
+      """SELECT graft_quantile_summary(o_totalprice) s FROM orders""")
+      .selectExpr("aggregate(s, 0L, (a, x) -> a + x.weight) AS mass")
+      .collect().head.getLong(0)
+    assert(qs == graft.Tables(spark, dir, "orders").count())
+  }
 }

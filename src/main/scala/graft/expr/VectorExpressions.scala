@@ -549,6 +549,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_sqdist"),
       info("graft_sqdist", "_FUNC_(a, b) - squared Euclidean distance"),
       (es: Seq[Expression]) => SqDist(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_encode"),
+      info("graft_bpe_encode",
+        "_FUNC_(text, merges) - greedy BPE subword tokenization"),
+      (es: Seq[Expression]) => BpeEncode(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("graft_pq_encode"),
       info("graft_pq_encode",
         "_FUNC_(vec, codebooks) - PQ nearest-centroid codes per subspace"),

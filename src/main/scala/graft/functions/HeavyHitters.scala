@@ -39,11 +39,14 @@ import org.apache.spark.sql.functions.udaf
   */
 object HeavyHitters {
 
-  /** Summary buffer: parallel arrays sorted ascending by item (binary
-    * search on reduce), a cumulative decrement offset `decs` (the
-    * summary-wide over-estimation bound), and the fold count `n`. */
+  /** Summary buffer: parallel arrays sorted ascending by item over
+    * the first `size` entries (binary search on reduce; capacity may
+    * exceed `size` so the per-row path never reallocates), a
+    * cumulative decrement offset `decs` (the summary-wide
+    * over-estimation bound), and the fold count `n`. */
   final case class MgBuffer(
-      items: Array[Long], counts: Array[Long], decs: Long, n: Long)
+      items: Array[Long], counts: Array[Long], size: Int,
+      decs: Long, n: Long)
 
   final case class HeavyHit(item: Long, est: Long, err: Long)
 
@@ -52,78 +55,81 @@ object HeavyHitters {
     require(k >= 1, s"heavyHitters: k must be >= 1, got $k")
 
     override def zero: MgBuffer =
-      MgBuffer(Array.emptyLongArray, Array.emptyLongArray, 0L, 0L)
+      MgBuffer(Array.emptyLongArray, Array.emptyLongArray, 0, 0L, 0L)
 
-    private def find(items: Array[Long], item: Long): Int =
-      java.util.Arrays.binarySearch(items, item)
-
-    /** Drop `v` from every counter, keep the positive ones. Returns the
-      * shrunken buffer with `decs` advanced by `v` — the MG overflow
-      * step: v is chosen so at least one counter zeroes out, and
+    /** In-place: drop `v` from every counter, keep the positive ones
+      * compacted to the front. Returns the new size — the MG overflow
+      * step: v is the min so at least one counter zeroes out, and
       * (k+1) * v mass leaves the summary per overflow, which is what
       * bounds cumulative decrements by n / (k+1). */
-    private def spill(b: MgBuffer, v: Long): MgBuffer = {
-      var kept = 0
-      var i = 0
-      while (i < b.counts.length) {
-        if (b.counts(i) > v) kept += 1
-        i += 1
-      }
-      val items = new Array[Long](kept)
-      val counts = new Array[Long](kept)
+    private def spillInPlace(items: Array[Long], counts: Array[Long],
+        size: Int, v: Long): Int = {
       var j = 0
-      i = 0
-      while (i < b.counts.length) {
-        if (b.counts(i) > v) {
-          items(j) = b.items(i)
-          counts(j) = b.counts(i) - v
+      var i = 0
+      while (i < size) {
+        if (counts(i) > v) {
+          items(j) = items(i)
+          counts(j) = counts(i) - v
           j += 1
         }
         i += 1
       }
-      MgBuffer(items, counts, b.decs + v, b.n)
+      j
     }
 
     override def reduce(b: MgBuffer, boxed: java.lang.Long): MgBuffer = {
       if (boxed == null) return b
       val item = boxed.longValue()
-      val i = find(b.items, item)
+      val i = java.util.Arrays.binarySearch(b.items, 0, b.size, item)
       if (i >= 0) {
+        // hot path (the heavy items, by definition): one probe, one
+        // in-place increment, zero allocation
         b.counts(i) += 1
         b.copy(n = b.n + 1)
       } else {
         val at = -i - 1
-        val sz = b.items.length
-        val items = new Array[Long](sz + 1)
-        val counts = new Array[Long](sz + 1)
-        System.arraycopy(b.items, 0, items, 0, at)
-        System.arraycopy(b.counts, 0, counts, 0, at)
+        // capacity grows to k+1 once, then every insert is an in-place
+        // arraycopy shift
+        val (items, counts) =
+          if (b.size == b.items.length) {
+            val cap = math.min(k + 1, math.max(4, b.items.length * 2))
+            (java.util.Arrays.copyOf(b.items, cap),
+              java.util.Arrays.copyOf(b.counts, cap))
+          } else (b.items, b.counts)
+        System.arraycopy(items, at, items, at + 1, b.size - at)
+        System.arraycopy(counts, at, counts, at + 1, b.size - at)
         items(at) = item
         counts(at) = 1L
-        System.arraycopy(b.items, at, items, at + 1, sz - at)
-        System.arraycopy(b.counts, at, counts, at + 1, sz - at)
-        val grown = MgBuffer(items, counts, b.decs, b.n + 1)
-        if (sz + 1 <= k) grown
-        else spill(grown, grown.counts.min) // k+1 counters: shed the min
+        val size = b.size + 1
+        if (size <= k) MgBuffer(items, counts, size, b.decs, b.n + 1)
+        else {
+          // k+1 counters: shed the min (which is <= the just-inserted 1)
+          var v = Long.MaxValue
+          var j = 0
+          while (j < size) { if (counts(j) < v) v = counts(j); j += 1 }
+          MgBuffer(items, counts, spillInPlace(items, counts, size, v),
+            b.decs + v, b.n + 1)
+        }
       }
     }
 
     override def merge(a: MgBuffer, b: MgBuffer): MgBuffer = {
-      if (b.items.isEmpty)
+      if (b.size == 0)
         return a.copy(decs = a.decs + b.decs, n = a.n + b.n)
-      if (a.items.isEmpty)
+      if (a.size == 0)
         return b.copy(decs = a.decs + b.decs, n = a.n + b.n)
-      // sorted-array merge, summing counts of shared items
-      val items = new Array[Long](a.items.length + b.items.length)
+      // sorted-array merge, summing counts of shared items (merges run
+      // per partition pair, not per row — allocation here is fine)
+      val items = new Array[Long](a.size + b.size)
       val counts = new Array[Long](items.length)
       var ia = 0
       var ib = 0
       var j = 0
-      while (ia < a.items.length || ib < b.items.length) {
-        val takeA = ib == b.items.length ||
-          (ia < a.items.length && a.items(ia) <= b.items(ib))
-        val takeB = ia == a.items.length ||
-          (ib < b.items.length && b.items(ib) <= a.items(ia))
+      while (ia < a.size || ib < b.size) {
+        val takeA = ib == b.size ||
+          (ia < a.size && a.items(ia) <= b.items(ib))
+        val takeB = ia == a.size ||
+          (ib < b.size && b.items(ib) <= a.items(ia))
         items(j) = if (takeA) a.items(ia) else b.items(ib)
         counts(j) =
           (if (takeA) a.counts(ia) else 0L) +
@@ -132,21 +138,22 @@ object HeavyHitters {
         if (takeB) ib += 1
         j += 1
       }
-      val m = MgBuffer(java.util.Arrays.copyOf(items, j),
-        java.util.Arrays.copyOf(counts, j), a.decs + b.decs, a.n + b.n)
-      if (j <= k) m
+      if (j <= k)
+        MgBuffer(items, counts, j, a.decs + b.decs, a.n + b.n)
       else {
         // Agarwal et al. merge: subtract the (k+1)-th largest counter
-        val sorted = java.util.Arrays.copyOf(m.counts, j)
+        val sorted = java.util.Arrays.copyOf(counts, j)
         java.util.Arrays.sort(sorted)
-        spill(m, sorted(j - 1 - k))
+        val v = sorted(j - 1 - k)
+        MgBuffer(items, counts, spillInPlace(items, counts, j, v),
+          a.decs + b.decs + v, a.n + b.n)
       }
     }
 
     /** Deterministic presentation of the (merge-order-dependent)
       * buffer: descending by estimate, items tiebreak ascending. */
     override def finish(b: MgBuffer): Seq[HeavyHit] =
-      Seq.tabulate(b.items.length)(i =>
+      Seq.tabulate(b.size)(i =>
         HeavyHit(b.items(i), b.counts(i), b.decs))
         .sortBy(h => (-h.est, h.item))
 

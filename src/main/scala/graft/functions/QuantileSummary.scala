@@ -20,10 +20,16 @@ import org.apache.spark.sql.functions.udaf
   * without touching raw data — the same rollup contract the HLL
   * register sketches pin in s10.
   *
-  * Structure: level i holds ≤ k values, each standing for 2^i
-  * originals. A full level sorts and keeps alternate values (the
-  * deterministic compaction — lowest-index survivor), pushing them up
-  * one level. Rank error after any merge sequence is bounded by
+  * Hot-path discipline: the level-0 collector is a FIXED-CAPACITY
+  * array mutated in place with a fill counter — `reduce` allocates
+  * NOTHING on the per-row path (one k-sized array per k rows at
+  * compaction time). Level i holds ≤ k values of weight 2^i; a full
+  * level 0 sorts and promotes alternate values (the deterministic
+  * compaction, lowest-index survivor); upper-level overflow cascades
+  * the same way, leaving one value behind when a run is odd so count
+  * mass is conserved exactly.
+  *
+  * Rank error after any merge sequence is bounded by
   * Σ_levels 2^(i-1) · (compactions at level i) ≤ ~log2(n/k) · n / k;
   * the spec pins an empirical rank-error budget under hostile
   * partitionings rather than a fixed byte image (buffer contents are
@@ -34,14 +40,19 @@ import org.apache.spark.sql.functions.udaf
   */
 object QuantileSummary {
 
-  /** levels(i) = sorted values of weight 2^i; n = total items folded. */
-  final case class MrlBuffer(levels: Array[Array[Double]], n: Long)
+  /** `l0` = fixed-capacity unsorted collector (first `l0n` entries
+    * valid, weight 1); `upper(i)` = sorted values of weight 2^(i+1);
+    * `n` = total items folded. */
+  final case class MrlBuffer(l0: Array[Double], l0n: Int,
+      upper: Array[Array[Double]], n: Long)
 
   /** One weighted sample point of the finished summary. */
   final case class WeightedValue(value: Double, weight: Long)
 
   /** Sorted-merge two sorted arrays. */
   private def merge2(a: Array[Double], b: Array[Double]): Array[Double] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
     val out = new Array[Double](a.length + b.length)
     var ia = 0
     var ib = 0
@@ -56,17 +67,15 @@ object QuantileSummary {
     out
   }
 
-  /** Keep alternate values of the first `even` entries of a sorted
-    * array (even indices — the deterministic MRL compaction). Count
-    * mass is exact: m survivors at double weight stand for 2m
-    * originals. */
+  /** Alternate values of the first `even` entries of a sorted array
+    * (even indices — the deterministic MRL compaction). Count mass is
+    * exact: m survivors at double weight stand for 2m originals. */
   private def compact(sorted: Array[Double], even: Int): Array[Double] =
     Array.tabulate(even / 2)(i => sorted(2 * i))
 
-  /** Cascade compaction: any level over `k` halves upward until all
-    * levels fit. An odd item count leaves its LAST (largest) value
-    * behind at the level — compacting an odd run would silently drop
-    * 2^i of count mass. Levels are kept sorted throughout. */
+  /** Cascade compaction over the UPPER levels: any level over `k`
+    * halves upward; an odd item count leaves its LAST (largest) value
+    * behind (compacting an odd run would drop 2^i of count mass). */
   private def normalize(levels: Array[Array[Double]], k: Int)
       : Array[Array[Double]] = {
     val ls = scala.collection.mutable.ArrayBuffer(levels.toSeq: _*)
@@ -86,51 +95,79 @@ object QuantileSummary {
     ls.toArray
   }
 
+  /** Merge `promoted` (weight-2 values) into the upper-level stack and
+    * re-normalize. */
+  private def promoteUp(upper: Array[Array[Double]],
+      promoted: Array[Double], k: Int): Array[Array[Double]] = {
+    val base = if (upper.isEmpty) Array(promoted)
+      else upper.updated(0, merge2(upper(0), promoted))
+    normalize(base, k)
+  }
+
   final class MrlAggregator(k: Int)
       extends Aggregator[java.lang.Double, MrlBuffer, Seq[WeightedValue]] {
     require(k >= 2 && k % 2 == 0,
       s"quantileSummary: k must be even and >= 2, got $k")
 
-    override def zero: MrlBuffer = MrlBuffer(Array(Array.emptyDoubleArray), 0L)
+    override def zero: MrlBuffer =
+      MrlBuffer(Array.emptyDoubleArray, 0, Array.empty, 0L)
 
     override def reduce(b: MrlBuffer, boxed: java.lang.Double): MrlBuffer = {
       if (boxed == null) return b
-      // level 0 collects unsorted; sort only at compaction time
-      val l0 = b.levels(0) :+ boxed.doubleValue()
-      if (l0.length <= k)
-        MrlBuffer(b.levels.updated(0, l0), b.n + 1)
+      // in-place fill of the fixed-capacity collector: no per-row
+      // allocation (the copyOf fires once, and again only after a
+      // merge() handed back a trimmed l0)
+      val l0 = if (b.l0n == b.l0.length)
+        java.util.Arrays.copyOf(b.l0, math.max(k, b.l0n + 1))
+      else b.l0
+      l0(b.l0n) = boxed.doubleValue()
+      if (b.l0n + 1 < k)
+        MrlBuffer(l0, b.l0n + 1, b.upper, b.n + 1)
       else {
-        java.util.Arrays.sort(l0)
-        MrlBuffer(normalize(b.levels.updated(0, l0), k), b.n + 1)
+        // full (k is even): sort, promote alternates, reuse the array
+        java.util.Arrays.sort(l0, 0, k)
+        val promoted = compact(l0, k)
+        MrlBuffer(l0, 0, promoteUp(b.upper, promoted, k), b.n + 1)
       }
     }
 
     override def merge(a: MrlBuffer, b: MrlBuffer): MrlBuffer = {
       if (b.n == 0) return a
       if (a.n == 0) return b
-      val depth = math.max(a.levels.length, b.levels.length)
-      val merged = Array.tabulate(depth) { i =>
-        val la = if (i < a.levels.length) a.levels(i)
-          else Array.emptyDoubleArray
-        val lb = if (i < b.levels.length) b.levels(i)
-          else Array.emptyDoubleArray
-        if (i == 0) { // level 0 may be unsorted on either side
-          val c = la ++ lb
-          java.util.Arrays.sort(c)
-          c
-        } else merge2(la, lb)
+      val depth = math.max(a.upper.length, b.upper.length)
+      var upper = Array.tabulate(depth) { i =>
+        merge2(
+          if (i < a.upper.length) a.upper(i) else Array.emptyDoubleArray,
+          if (i < b.upper.length) b.upper(i) else Array.emptyDoubleArray)
       }
-      MrlBuffer(normalize(merged, k), a.n + b.n)
+      val combined = new Array[Double](a.l0n + b.l0n)
+      System.arraycopy(a.l0, 0, combined, 0, a.l0n)
+      System.arraycopy(b.l0, 0, combined, a.l0n, b.l0n)
+      if (combined.length <= k)
+        MrlBuffer(combined, combined.length, normalize(upper, k),
+          a.n + b.n)
+      else {
+        // both sides were < k, so combined < 2k: one compaction fits
+        java.util.Arrays.sort(combined)
+        val even = combined.length & ~1
+        val promoted = compact(combined, even)
+        val leftover = if (combined.length % 2 == 1)
+          Array(combined(combined.length - 1))
+        else Array.emptyDoubleArray
+        upper = promoteUp(upper, promoted, k)
+        MrlBuffer(leftover, leftover.length, upper, a.n + b.n)
+      }
     }
 
     /** Deterministic presentation of the (merge-order-dependent)
       * buffer: the weighted sample sorted by value. */
     override def finish(b: MrlBuffer): Seq[WeightedValue] = {
-      val l0 = b.levels(0).clone()
+      val l0 = java.util.Arrays.copyOf(b.l0, b.l0n)
       java.util.Arrays.sort(l0)
-      val all = b.levels.zipWithIndex.flatMap { case (vals, i) =>
-        (if (i == 0) l0 else vals).map(v => WeightedValue(v, 1L << i))
-      }
+      val all = l0.map(WeightedValue(_, 1L)) ++
+        b.upper.zipWithIndex.flatMap { case (vals, i) =>
+          vals.map(v => WeightedValue(v, 1L << (i + 1)))
+        }
       all.sortBy(w => (w.value, w.weight)).toSeq
     }
 

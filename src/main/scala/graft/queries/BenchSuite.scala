@@ -183,6 +183,26 @@ object BenchSuite extends QuerySuite {
         "query_id", "qvec", model, k = 10, nprobe = 2)
     })
 
+  /** x16 — BPE encode throughput: tokenize the documents corpus with a
+    * model trained on it (memoized — training is the one-time cost,
+    * the per-round number is the encode projection). Output is the
+    * per-doc subword count + the reassembled char count, so the whole
+    * token stream materializes. */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.ops.BpeTrainer.BpeModel]
+  private val x16 = GraftQuery(
+    "x16_bpe_encode",
+    (s, dir) => {
+      val model = bpeMemo.getOrElseUpdate((s, dir),
+        graft.ops.BpeTrainer.train(Tables(s, dir, "documents"), "text",
+          nMerges = 200, maxVocab = 20000))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), model.encodeCol(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_subwords"),
+          aggregate(transform(col("toks"), t => length(t)),
+            lit(0L), (a, x) => a + x).as("n_chars"))
+    })
+
   /** x04/x05 — the KnnTopK rewrite A/B ([[graft.plans.KnnTopKRewrite]]):
     * the INLINE pgvector idiom `orderBy(l2_distance(vec, q)).limit(k)`,
     * where stock Spark's TakeOrderedAndProject re-evaluates the distance
@@ -390,5 +410,5 @@ object BenchSuite extends QuerySuite {
     * point (x09/x10), but excluded from Verify/CORRECTNESS: baselines
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
-    Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15)
+    Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16)
 }

@@ -63,6 +63,24 @@ object EventStreams {
         graft.functions.TextOps.md5Long32(col("user_id"))).as("est_users"))
       .select(col("window.start").as("win_start"), col("est_users"))
 
+  /** Windowed heavy hitters: the Misra-Gries candidate summary as a
+    * streaming aggregate — per event-time window, the top user
+    * CANDIDATES with their MG bounds. The buffer merges associatively,
+    * so micro-batch boundaries behave exactly like partition
+    * boundaries: the emitted summary satisfies the same under/over
+    * bounds and >n/(k+1) recall as the batch aggregate (contents may
+    * differ — the property, not the bytes, is the contract, same as
+    * the batch stance). State per window is ONE bounded buffer. */
+  def windowedHeavyHitters(events: DataFrame, k: Int = 16,
+      windowLen: String = "1 day", watermark: String = "2 hours")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.HeavyHitters.heavyHitters(k)(col("user_id"))
+        .as("hh"))
+      .select(col("window.start").as("win_start"), col("hh"))
+
   /** Streaming dedup by key within the watermark horizon (D2 as a
     * stream; state is bounded by the watermark). */
   def dedupStream(events: DataFrame, watermark: String = "2 hours")

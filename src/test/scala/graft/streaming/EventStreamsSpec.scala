@@ -72,6 +72,41 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming windowed heavy hitters keep the MG guarantees") {
+    import spark.implicits._
+    val stream = EventStreams.fromFiles(spark, srcDir)
+    val k = 16
+    runToMemory(EventStreams.windowedHeavyHitters(stream, k, "1 day"),
+      "hh_win", "append")
+    val streamed = spark.table("hh_win")
+      .selectExpr("win_start", "inline(hh)")
+      .as[(java.sql.Timestamp, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(streamed.nonEmpty)
+    // per emitted window: est <= true <= est + err against the exact
+    // batch counts, and the error stays inside n/(k+1) — micro-batch
+    // merge boundaries must not weaken the batch-side bounds
+    val truth = spark.read.parquet(srcDir)
+      .groupBy(window(col("ts"), "1 day").getField("start").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    streamed.foreach { case (w, hits) =>
+      val exact = truth(w)
+      val n = exact.values.sum
+      hits.foreach { case (_, item, est, err) =>
+        val t = exact(item)
+        assert(est <= t && t <= est + err, s"window $w item $item")
+        assert(err <= n / (k + 1), s"window $w err $err over budget")
+      }
+      val kept = hits.map(_._2).toSet
+      exact.filter(_._2 > n / (k + 1)).keys.foreach(i =>
+        assert(kept(i), s"window $w lost heavy user $i"))
+    }
+  }
+
   test("streaming dedup drops within-watermark duplicate keys") {
     // duplicate every event by unioning the source with itself
     val dir = Files.createTempDirectory("graft_stream_dup").toString

@@ -269,73 +269,132 @@ object JoinsSuite extends QuerySuite {
       SELECT o_orderpriority, COUNT(*) AS n, 'except_all' AS op
       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1"""))
 
+  /** Shared as-of fixture pairing (j10/j11/j12): orders folded into
+    * the events month. The raw tables are time-DISJOINT (orders
+    * 1995-2001, events 2024) — raw backward would degenerate to
+    * "each user's last order ever" and forward to all-null. The fold
+    * `o_ts = 2024-01-01 + (epoch_us(o_orderdate) mod 30 days)` is
+    * integer-exact in both engines (pmod on positive micros), scatters
+    * the right side across the left's range (sf0.01: backward matches
+    * ~90%, forward ~87% — both null paths real), and dedupes to one
+    * row per (custkey, o_ts) with a max-orderkey tiebreak. */
+  private def asofFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val e = Tables(s, dir, "events").select("event_id", "user_id", "ts")
+    val r = Tables(s, dir, "orders")
+      .withColumn("o_ts", timestamp_micros(
+        unix_micros(lit("2024-01-01 00:00:00").cast("timestamp")) +
+          pmod(unix_micros(col("o_orderdate").cast("timestamp")),
+            lit(2592000000000L))))
+      .groupBy(col("o_custkey"), col("o_ts"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    (e, r)
+  }
+
+  private val asofRightSql = """
+        SELECT o_custkey,
+          make_timestamp(epoch_us(TIMESTAMP '2024-01-01')
+            + epoch_us(o_orderdate) % 2592000000000) AS o_ts,
+          MAX(o_orderkey) AS o_orderkey,
+          MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+        FROM orders GROUP BY 1, 2"""
+
   /** j10 — AS-OF join: each event matched to the user's most recent
-    * order at or before the event time (DuckDB `ASOF JOIN`; Spark has
-    * no native operator). Runs through [[graft.ops.Ops.asofJoin]]'s
-    * union+carry-forward plan — one exchange per side on the key, one
-    * per-partition sort, zero pair multiplication (the range-theta-join
-    * form multiplies every event by every earlier order before pruning;
-    * at 100 TB that's the difference between a sort-merge-join profile
-    * and a quadratic one). The right side pre-dedupes to one row per
-    * (custkey, orderdate) with a max-orderkey tiebreak so the as-of
-    * pick is total-order deterministic in both engines. */
+    * order-activity timestamp at or before the event (DuckDB `ASOF
+    * JOIN`; Spark has no native operator). Runs through
+    * [[graft.ops.Ops.asofJoin]]'s union+carry-forward plan — one
+    * exchange per side on the key, one per-partition sort, zero pair
+    * multiplication (the range-theta form multiplies every event by
+    * every earlier order before pruning; at 100 TB that's the
+    * difference between a sort-merge-join profile and a quadratic
+    * one). Right side from [[asofFixture]] (time-folded + deduped). */
   private val j10 = GraftQuery(
     "j10_asof_join",
     (s, dir) => {
-      val e = Tables(s, dir, "events").select("event_id", "user_id", "ts")
-      val r = Tables(s, dir, "orders")
-        .groupBy(col("o_custkey"), col("o_orderdate"))
-        .agg(max(col("o_orderkey")).as("o_orderkey"),
-          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      val (e, r) = asofFixture(s, dir)
       graft.ops.Ops.asofJoin(e, r,
         leftKey = "user_id", rightKey = "o_custkey",
-        leftTime = "ts", rightTime = "o_orderdate",
-        rightPayload = Seq("o_orderkey", "o_orderdate", "o_totalprice"))
+        leftTime = "ts", rightTime = "o_ts",
+        rightPayload = Seq("o_orderkey", "o_ts", "o_totalprice"))
     },
-    Some("""WITH r AS (
-        SELECT o_custkey, o_orderdate,
-          MAX(o_orderkey) AS o_orderkey,
-          MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
-        FROM orders GROUP BY 1, 2)
+    Some(s"""WITH r AS ($asofRightSql)
       SELECT e.event_id, e.user_id, e.ts,
-        r.o_orderkey, r.o_orderdate, r.o_totalprice
+        r.o_orderkey, r.o_ts, r.o_totalprice
       FROM events e ASOF LEFT JOIN r
-        ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"""))
+        ON e.user_id = r.o_custkey AND e.ts >= r.o_ts"""))
 
-  /** j11 — FORWARD as-of: each event matched to the user's FIRST order
-    * at or after it (fulfillment-lookahead shape). DuckDB's ASOF JOIN
-    * only binds backward (`>=`), so the oracle uses the negation
-    * trick: forward-asof on t is exactly backward-asof on -t — negate
-    * both sides' times (unix micros), ASOF on the negated axis, report
-    * the original columns. The Spark side runs the same
+  /** j11 — FORWARD as-of: each event matched to the user's FIRST
+    * order-activity at or after it (fulfillment-lookahead shape).
+    * DuckDB's ASOF JOIN only binds backward (`>=`), so the oracle uses
+    * the negation trick: forward-asof on t is exactly backward-asof on
+    * -t — negate both sides' times (epoch micros), ASOF on the negated
+    * axis, report the original columns. The Spark side runs the same
     * [[graft.ops.Ops.asofJoin]] plan with `AsofForward` (the mirrored
     * descending carry window) — same single keyed shuffle as j10. */
   private val j11 = GraftQuery(
     "j11_asof_forward",
     (s, dir) => {
-      val e = Tables(s, dir, "events").select("event_id", "user_id", "ts")
-      val r = Tables(s, dir, "orders")
-        .groupBy(col("o_custkey"), col("o_orderdate"))
-        .agg(max(col("o_orderkey")).as("o_orderkey"),
-          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      val (e, r) = asofFixture(s, dir)
       graft.ops.Ops.asofJoin(e, r,
         leftKey = "user_id", rightKey = "o_custkey",
-        leftTime = "ts", rightTime = "o_orderdate",
-        rightPayload = Seq("o_orderkey", "o_orderdate", "o_totalprice"),
+        leftTime = "ts", rightTime = "o_ts",
+        rightPayload = Seq("o_orderkey", "o_ts", "o_totalprice"),
         direction = graft.ops.Ops.AsofForward)
     },
-    Some("""WITH r AS (
-        SELECT o_custkey, o_orderdate,
-          MAX(o_orderkey) AS o_orderkey,
-          MAX_BY(o_totalprice, o_orderkey) AS o_totalprice,
-          -epoch_us(o_orderdate) AS nt
-        FROM orders GROUP BY o_custkey, o_orderdate),
+    Some(s"""WITH r0 AS ($asofRightSql),
+      r AS (SELECT *, -epoch_us(o_ts) AS nt FROM r0),
       e AS (SELECT event_id, user_id, ts, -epoch_us(ts) AS nt FROM events)
       SELECT e.event_id, e.user_id, e.ts,
-        r.o_orderkey, r.o_orderdate, r.o_totalprice
+        r.o_orderkey, r.o_ts, r.o_totalprice
       FROM e ASOF LEFT JOIN r
         ON e.user_id = r.o_custkey AND e.nt >= r.nt"""))
 
+  /** j12 — NEAREST as-of: each event matched to the user's closest
+    * order-activity in time, either direction, exact ties preferring
+    * the earlier one (pandas `merge_asof(direction='nearest')`). The
+    * oracle composes DuckDB's two one-directional ASOF JOINs (backward
+    * native, forward via j11's negation trick) and picks the closer
+    * per event — while the Spark plan computes BOTH carries off ONE
+    * keyed shuffle (two in-partition sorts, no re-shuffle; pinned in
+    * OpsSpec). */
+  private val j12 = GraftQuery(
+    "j12_asof_nearest",
+    (s, dir) => {
+      val (e, r) = asofFixture(s, dir)
+      graft.ops.Ops.asofJoin(e, r,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_ts",
+        rightPayload = Seq("o_orderkey", "o_ts", "o_totalprice"),
+        direction = graft.ops.Ops.AsofNearest)
+    },
+    Some(s"""WITH r0 AS ($asofRightSql),
+      r AS (SELECT *, -epoch_us(o_ts) AS nt FROM r0),
+      e AS (SELECT event_id, user_id, ts, -epoch_us(ts) AS nt FROM events),
+      b AS (
+        SELECT e.event_id, e.user_id, e.ts, r.o_orderkey AS b_key,
+          r.o_ts AS b_ts, r.o_totalprice AS b_price
+        FROM events e ASOF LEFT JOIN r0 r
+          ON e.user_id = r.o_custkey AND e.ts >= r.o_ts),
+      f AS (
+        SELECT e.event_id, r.o_orderkey AS f_key,
+          r.o_ts AS f_ts, r.o_totalprice AS f_price
+        FROM e ASOF LEFT JOIN r
+          ON e.user_id = r.o_custkey AND e.nt >= r.nt),
+      n AS (
+        SELECT b.event_id, b.user_id, b.ts,
+          CASE WHEN b_key IS NULL OR (f_key IS NOT NULL AND
+                 epoch_us(b.ts) - epoch_us(b_ts)
+                   > epoch_us(f_ts) - epoch_us(b.ts))
+               THEN FALSE ELSE TRUE END AS take_b,
+          b_key, b_ts, b_price, f_key, f_ts, f_price
+        FROM b JOIN f USING (event_id))
+      SELECT event_id, user_id, ts,
+        CASE WHEN take_b THEN b_key ELSE f_key END AS o_orderkey,
+        CASE WHEN take_b THEN b_ts ELSE f_ts END AS o_ts,
+        CASE WHEN take_b THEN b_price ELSE f_price END AS o_totalprice
+      FROM n"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(j01, j02, j03, j04, j05, j06, j07, j08, j09, j10, j11)
+    Seq(j01, j02, j03, j04, j05, j06, j07, j08, j09, j10, j11, j12)
 }

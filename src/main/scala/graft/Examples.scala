@@ -102,6 +102,42 @@ object Examples {
     println("audio: see graft.multimodal.Audio — WAV/PCM16 decode, " +
       "quarantine, frame RMS/ZCR (AudioSpec drives it end-to-end)")
 
+    // --- as-of join (round 10): nearest order activity per event ---
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "ts")
+    val sig = Tables(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("m_ts"),
+        col("event_id").as("m_event_id"))
+      .groupBy("user_id", "m_ts").agg(max("m_event_id").as("m_event_id"))
+    val asof = graft.ops.Ops.asofJoin(ev, sig, "user_id", "user_id",
+      "ts", "m_ts", Seq("m_event_id", "m_ts"),
+      direction = graft.ops.Ops.AsofNearest)
+    println(s"as-of nearest: ${asof.filter(col("m_event_id").isNotNull)
+      .count()} of ${asof.count()} events matched a signup")
+
+    // --- product quantization (round 10): 16x-smaller ANN index ---
+    val pq = graft.vector.ProductQuantizer.train(
+      Tables(spark, "/root/testdata/sf0.001", "embeddings"),
+      "vec_id", "embedding", m = 16, ncent = 32, iters = 5)
+    val encoded = graft.vector.ProductQuantizer.encode(
+      emb.withColumnRenamed("vec", "v"), "v", pq)
+    val ann = graft.vector.ProductQuantizer.search(
+      encoded.select(col("vec_id").as("id"), col("pq_codes")),
+      "id", "pq_codes", emb.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec")),
+      "query_id", "qvec", pq, k = 3)
+    println(s"pq adc: ${ann.count()} results; codes are ${pq.m} bytes " +
+      s"per vector vs ${pq.dim * 4} raw")
+
+    // --- BPE tokenizer induction (round 10) ---
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val bpe = graft.ops.BpeTrainer.train(corpus, "text", nMerges = 50)
+    val toks = corpus.select(explode(bpe.encodeCol(col("text"))).as("t"))
+    println(s"bpe: 50 merges learned; corpus tokenizes to " +
+      s"${toks.count()} subwords (first merges: " +
+      s"${bpe.merges.take(5).mkString(" ")})")
+
     spark.stop()
   }
 }

@@ -395,6 +395,37 @@ object JoinsSuite extends QuerySuite {
         CASE WHEN take_b THEN b_price ELSE f_price END AS o_totalprice
       FROM n"""))
 
+  /** j13 — as-of with a TOLERANCE bound (pandas
+    * `merge_asof(tolerance=...)`): the backward match is kept only
+    * when it is at most 12 hours stale, else null. The Spark side is
+    * j10's plan plus a per-row post-window check (no plan change); the
+    * oracle post-filters DuckDB's ASOF the same way. Exercises both
+    * outcomes at sf0.01 (most matches are fresher than 12h on the
+    * folded fixture, a real fraction are not). */
+  private val j13 = GraftQuery(
+    "j13_asof_tolerance",
+    (s, dir) => {
+      val (e, r) = asofFixture(s, dir)
+      graft.ops.Ops.asofJoin(e, r,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_ts",
+        rightPayload = Seq("o_orderkey", "o_ts", "o_totalprice"),
+        tolerance = Some(expr("INTERVAL 12 HOURS")))
+    },
+    Some(s"""WITH r AS ($asofRightSql),
+      m AS (
+        SELECT e.event_id, e.user_id, e.ts,
+          r.o_orderkey, r.o_ts, r.o_totalprice
+        FROM events e ASOF LEFT JOIN r
+          ON e.user_id = r.o_custkey AND e.ts >= r.o_ts)
+      SELECT event_id, user_id, ts,
+        CASE WHEN ts - o_ts <= INTERVAL 12 HOUR THEN o_orderkey END
+          AS o_orderkey,
+        CASE WHEN ts - o_ts <= INTERVAL 12 HOUR THEN o_ts END AS o_ts,
+        CASE WHEN ts - o_ts <= INTERVAL 12 HOUR THEN o_totalprice END
+          AS o_totalprice
+      FROM m"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(j01, j02, j03, j04, j05, j06, j07, j08, j09, j10, j11, j12)
+    Seq(j01, j02, j03, j04, j05, j06, j07, j08, j09, j10, j11, j12, j13)
 }

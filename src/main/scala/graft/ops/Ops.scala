@@ -286,31 +286,49 @@ object Ops {
       leftTime: String, rightTime: String,
       rightPayload: Seq[String],
       tolerance: Option[Column] = None,
+      direction: AsofDirection = AsofBackward): DataFrame =
+    asofJoinBy(left, right, Seq(leftKey), Seq(rightKey), leftTime,
+      rightTime, rightPayload, tolerance, direction)
+
+  /** Multi-key as-of (pandas `merge_asof(by=[...])`): identical
+    * semantics to [[asofJoin]] with a composite equality key — the
+    * union shuffles once on ALL key columns, everything else is
+    * unchanged. `leftKeys` and `rightKeys` pair positionally. */
+  def asofJoinBy(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String],
+      tolerance: Option[Column] = None,
       direction: AsofDirection = AsofBackward): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      s"asofJoinBy: key lists must pair up ($leftKeys vs $rightKeys)")
     val leftCols = left.columns.toSeq
+    val kCols = leftKeys.indices.map(i => s"__k$i")
     // nest the payload under the matched right time so the tolerance /
     // nearest checks can see the matched time (and payload field names
     // can never collide with the bookkeeping column)
     val payload = struct(col(rightTime).as("__rt"),
       struct(rightPayload.map(col): _*).as("__p"))
     val rTagged = right.select(
-      (Seq(col(rightKey).as("__k"), col(rightTime).as("__t"),
-        lit(0).as("__tag"), payload.as("__r")) ++
+      (rightKeys.zip(kCols).map { case (k, a) => col(k).as(a) } ++
+        Seq(col(rightTime).as("__t"),
+          lit(0).as("__tag"), payload.as("__r")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val lTagged = left.select(
-      (Seq(col(leftKey).as("__k"), col(leftTime).as("__t"),
-        lit(1).as("__tag"),
-        lit(null).cast(rTagged.schema("__r").dataType).as("__r")) ++
+      (leftKeys.zip(kCols).map { case (k, a) => col(k).as(a) } ++
+        Seq(col(leftTime).as("__t"),
+          lit(1).as("__tag"),
+          lit(null).cast(rTagged.schema("__r").dataType).as("__r")) ++
         leftCols.map(col)): _*)
     // backward carry: ascending (time, tag) — rights sort before lefts
     // at equal time, so the == bound is inclusive. Forward carry: the
     // mirror — descending time with rights still first at equal time.
     // Both are ONE window each over the SAME keyed partitioning: the
     // union shuffles once, nearest pays one extra in-partition sort.
-    val wBwd = Window.partitionBy(col("__k"))
+    val wBwd = Window.partitionBy(kCols.map(col): _*)
       .orderBy(col("__t").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = Window.partitionBy(col("__k"))
+    val wFwd = Window.partitionBy(kCols.map(col): _*)
       .orderBy(col("__t").desc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bwdOk = tolerance match {

@@ -209,6 +209,30 @@ class OpsSpec extends SparkSpec {
       "nearest lost one of its carry windows")
   }
 
+  test("asofJoinBy composites keys and matches the quadratic form") {
+    val rnd = new scala.util.Random(5)
+    val left = Seq.fill(200)((rnd.nextInt(4).toLong, rnd.nextInt(3),
+        rnd.nextInt(60).toLong))
+      .zipWithIndex.map { case ((k1, k2, t), i) => (k1, k2, t, i.toLong) }
+      .toDF("k1", "k2", "t", "lid")
+    val right = Seq.fill(120)((rnd.nextInt(5).toLong, rnd.nextInt(3),
+        rnd.nextInt(60).toLong))
+      .zipWithIndex.map { case ((k1, k2, t), i) => (k1, k2, t, i.toLong) }
+      .groupBy(r => (r._1, r._2, r._3)).map(_._2.maxBy(_._4)).toSeq
+      .toDF("g1", "g2", "rt", "rid")
+    val fast = Ops.asofJoinBy(left, right, Seq("k1", "k2"),
+        Seq("g1", "g2"), "t", "rt", Seq("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    val rrows = right.as[(Long, Int, Long, Long)].collect()
+    val slow = left.as[(Long, Int, Long, Long)].collect()
+      .map { case (k1, k2, t, lid) =>
+        val m = rrows.filter(r => r._1 == k1 && r._2 == k2 && r._3 <= t)
+        lid -> (if (m.isEmpty) None
+          else Some(m.maxBy(r => (r._3, r._4))._4))
+      }.toMap
+    assert(fast == slow)
+  }
+
   test("asofJoin tolerance nulls out stale matches") {
     val left = Seq((1L, 10L, "near"), (1L, 100L, "far")).toDF("k", "t", "ev")
     val right = Seq((1L, 8L, "r@8")).toDF("k", "t", "payload")

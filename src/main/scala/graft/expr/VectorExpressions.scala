@@ -286,11 +286,24 @@ case class PqAdc(left: Expression, right: Expression)
     val table = b.asInstanceOf[ArrayData]
     val n = codes.numElements()
     if (n == 0) return 0.0
+    // contract checks (interpreted path only — the codegen hot loop
+    // stays branch-free): a table that is not m uniform blocks, or a
+    // code outside [0, ncent), would otherwise silently read the
+    // wrong block's entry. PqModel enforces uniform codebooks at
+    // train time; this catches hand-built tables/codes.
+    if (table.numElements() % n != 0)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc: table length ${table.numElements()} is not a " +
+          s"multiple of the code count $n (flat m*ncent layout expected)")
     val ncent = table.numElements() / n
     var acc = 0.0
     var j = 0
     while (j < n) {
-      acc += table.getDouble(j * ncent + codes.getInt(j))
+      val c = codes.getInt(j)
+      if (c < 0 || c >= ncent)
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: code $c at subspace $j outside [0, $ncent)")
+      acc += table.getDouble(j * ncent + c)
       j += 1
     }
     acc

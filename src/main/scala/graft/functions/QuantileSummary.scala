@@ -124,10 +124,17 @@ object QuantileSummary {
       if (b.l0n + 1 < k)
         MrlBuffer(l0, b.l0n + 1, b.upper, b.n + 1)
       else {
-        // full (k is even): sort, promote alternates, reuse the array
-        java.util.Arrays.sort(l0, 0, k)
-        val promoted = compact(l0, k)
-        MrlBuffer(l0, 0, promoteUp(b.upper, promoted, k), b.n + 1)
+        // full: sort, promote alternates, reuse the array. The merge
+        // invariant keeps l0n < k so m == k (even) here, but sort and
+        // compact over m — not the constant k — so a buffer that
+        // somehow arrived overfull loses no value silently.
+        val m = b.l0n + 1
+        java.util.Arrays.sort(l0, 0, m)
+        val even = m & ~1
+        val promoted = compact(l0, even)
+        val leftoverN = m - even
+        if (leftoverN == 1) l0(0) = l0(m - 1)
+        MrlBuffer(l0, leftoverN, promoteUp(b.upper, promoted, k), b.n + 1)
       }
     }
 
@@ -143,7 +150,10 @@ object QuantileSummary {
       val combined = new Array[Double](a.l0n + b.l0n)
       System.arraycopy(a.l0, 0, combined, 0, a.l0n)
       System.arraycopy(b.l0, 0, combined, a.l0n, b.l0n)
-      if (combined.length <= k)
+      // strict <: a returned buffer must keep l0n < k (the reduce
+      // fast path writes at index l0n assuming room), so a combined
+      // level-0 of exactly k compacts eagerly below
+      if (combined.length < k)
         MrlBuffer(combined, combined.length, normalize(upper, k),
           a.n + b.n)
       else {

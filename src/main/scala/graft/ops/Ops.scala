@@ -262,8 +262,12 @@ object Ops {
     * payloads (ASOF LEFT JOIN). Equal times match inclusively in every
     * direction (right sorts before left at the same instant). If
     * several right rows share (key, time) the LAST in (key, time,
-    * payload-struct) order wins — pre-dedupe the right side for a
-    * caller-chosen tiebreak. Null left times or keys never match.
+    * payload-struct) order wins, deterministically — unless the
+    * payload type is not orderable (contains a map), in which case the
+    * winner is arbitrary and the right side must be pre-deduped for a
+    * caller-chosen tiebreak. Null left times or keys never match
+    * (null-keyed/timed left rows keep null payloads); null right
+    * times or keys are dropped before the union.
     *
     * `tolerance` (pandas `merge_asof(tolerance=...)`): when set, a
     * carried match older than `leftTime - tolerance` is nulled out —
@@ -309,7 +313,15 @@ object Ops {
     // can never collide with the bookkeeping column)
     val payload = struct(col(rightTime).as("__rt"),
       struct(rightPayload.map(col): _*).as("__p"))
-    val rTagged = right.select(
+    // null right keys/times can never be matched ("null ... never
+    // match", scaladoc): without this filter Window.partitionBy groups
+    // null keys together (SQL windows treat null as a regular group
+    // value) and a null right time sorts NULLS FIRST in the asc window,
+    // so its payload would be carried as a spurious backward match.
+    val rClean = right.filter(
+      (rightKeys.map(col(_).isNotNull) :+ col(rightTime).isNotNull)
+        .reduce(_ && _))
+    val rTagged = rClean.select(
       (rightKeys.zip(kCols).map { case (k, a) => col(k).as(a) } ++
         Seq(col(rightTime).as("__t"),
           lit(0).as("__tag"), payload.as("__r")) ++
@@ -325,11 +337,20 @@ object Ops {
     // mirror — descending time with rights still first at equal time.
     // Both are ONE window each over the SAME keyed partitioning: the
     // union shuffles once, nearest pays one extra in-partition sort.
+    // duplicate right (key, time) rows: the LAST in (key, time,
+    // payload-struct) order wins, deterministically — __r joins the
+    // window order as the final term when the payload type is
+    // orderable (a map-typed payload falls back to the documented
+    // "pre-dedupe required" caveat rather than failing analysis).
+    val rOrderable = org.apache.spark.sql.catalyst.expressions
+      .RowOrdering.isOrderable(rTagged.schema("__r").dataType)
+    val tieTerms: Seq[Column] =
+      if (rOrderable) Seq(col("__r").asc_nulls_first) else Nil
     val wBwd = Window.partitionBy(kCols.map(col): _*)
-      .orderBy(col("__t").asc, col("__tag").asc)
+      .orderBy(col("__t").asc +: col("__tag").asc +: tieTerms: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = Window.partitionBy(kCols.map(col): _*)
-      .orderBy(col("__t").desc, col("__tag").asc)
+      .orderBy(col("__t").desc +: col("__tag").asc +: tieTerms: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bwdOk = tolerance match {
       case Some(tol) => when(col("__bwd").isNotNull &&
@@ -360,9 +381,15 @@ object Ops {
               col("__f").getField("__rt") - col("__t"), col("__b"))
             .otherwise(col("__f")))
     }
+    // null LEFT keys/times never match either: a null left time sorts
+    // last in the desc window (NULLS LAST) and would otherwise pick up
+    // a carried forward match. Null left rows stay in the output with
+    // null payload (left-join semantics), so guard rather than filter.
+    val leftValid =
+      (kCols.map(col(_).isNotNull) :+ col("__t").isNotNull).reduce(_ && _)
     matched
       .filter(col("__tag") === 1)
-      .withColumn("__mp", col("__m").getField("__p"))
+      .withColumn("__mp", when(leftValid, col("__m")).getField("__p"))
       .select(leftCols.map(col) ++
         rightPayload.map(c => col("__mp").getField(c).as(c)): _*)
   }

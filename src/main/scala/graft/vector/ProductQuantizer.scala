@@ -42,6 +42,13 @@ object ProductQuantizer {
   final case class PqModel(
       dim: Int, m: Int, codebooks: Array[Array[Array[Double]]]) {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
+    // the flat lookupTable layout (j*ncent+c) and PqAdc's per-row
+    // ncent = table.length/m inference both assume ONE codebook size;
+    // train() pads to uniform length, so a violation here means a
+    // hand-built model — fail loudly instead of misindexing distances
+    require(codebooks.forall(_.length == codebooks(0).length),
+      s"PqModel: per-subspace codebook sizes must be uniform, got " +
+        codebooks.map(_.length).mkString(","))
     val dsub: Int = dim / m
     def ncent: Int = codebooks(0).length
 
@@ -179,7 +186,19 @@ object ProductQuantizer {
       kmeans(sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub,
         (j + 1) * dsub)), ncent, iters)
     }
-    PqModel(dim, m, codebooks)
+    // kmeans seeds from DISTINCT subvectors, so a low-diversity sample
+    // can leave subspaces with fewer centroids than others. The flat
+    // ADC table layout (and PqAdc's table.length/m inference) requires
+    // one uniform ncent — pad short codebooks by duplicating their
+    // last centroid: duplicates sit at higher indices and encodeOne's
+    // strict `<` tiebreak never selects them, so encodes, decodes and
+    // distances are unchanged.
+    val maxLen = codebooks.map(_.length).max
+    val uniform = codebooks.map { cb =>
+      if (cb.length == maxLen) cb
+      else cb ++ Array.fill(maxLen - cb.length)(cb.last.clone())
+    }
+    PqModel(dim, m, uniform)
   }
 
   /** Encode the corpus: one map-side projection adding `codeCol`

@@ -55,6 +55,24 @@ class QuantileSummarySpec extends SparkSpec {
     }
   }
 
+  test("merge keeps level-0 strictly under k, and a reduce after a " +
+      "full-k merge loses no mass") {
+    // direct aggregator driving: merge two half-full buffers into a
+    // combined level-0 of exactly k, then keep reducing — before the
+    // round-11 fix the merged buffer had l0n == k and the next reduce
+    // wrote past the sorted range, silently dropping one value
+    val agg = new QuantileSummary.MrlAggregator(4)
+    def fill(vals: Seq[Double]) =
+      vals.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    val merged = agg.merge(fill(Seq(1.0, 2.0)), fill(Seq(3.0, 4.0)))
+    assert(merged.l0n < 4, s"merge left level-0 at ${merged.l0n} == k")
+    val after = Seq(5.0, 6.0, 7.0).foldLeft(merged)((b, v) => agg.reduce(b, v))
+    val s = agg.finish(after)
+    assert(s.map(_.weight).sum == 7L,
+      s"summary mass ${s.map(_.weight).sum} != 7 values reduced")
+    assert(after.n == 7L)
+  }
+
   test("per-group summaries aggregate independently") {
     val df = (Seq.tabulate(100)(i => ("a", i.toDouble)) ++
       Seq.tabulate(50)(i => ("b", 1000.0 + i))).toDF("g", "v")

@@ -280,4 +280,49 @@ class OpsSpec extends SparkSpec {
       assert(fast == slow(dir), s"direction $dir diverged")
     }
   }
+
+  test("asofJoin null keys/times never match, in any direction") {
+    // doc contract: null LEFT key or time -> null payload (the row
+    // stays, ASOF LEFT JOIN); null RIGHT key or time -> that right row
+    // is unmatchable. Without the guards, null keys group together in
+    // the carry window and a null right time sorts first in the asc
+    // window, producing spurious matches.
+    val left = Seq(
+      (Option(1L), Option(10L), "ok"),
+      (Option.empty[Long], Option(10L), "nullkey"),
+      (Option(1L), Option.empty[Long], "nulltime"),
+      (Option.empty[Long], Option.empty[Long], "nullboth"))
+      .toDF("k", "t", "ev")
+    val right = Seq(
+      (Option(1L), Option(5L), "r@5"),
+      (Option.empty[Long], Option(1L), "r-nullkey"),
+      (Option(1L), Option.empty[Long], "r-nulltime"))
+      .toDF("k", "t", "payload")
+    for (dir <- Seq(Ops.AsofBackward, Ops.AsofForward, Ops.AsofNearest)) {
+      val out = Ops.asofJoin(left, right, "k", "k", "t", "t",
+          Seq("payload"), direction = dir)
+        .select("ev", "payload").as[(String, String)].collect().toMap
+      val expectOk = if (dir == Ops.AsofForward) null else "r@5"
+      assert(out == Map("ok" -> expectOk, "nullkey" -> null,
+        "nulltime" -> null, "nullboth" -> null),
+        s"direction $dir null semantics diverged: $out")
+    }
+  }
+
+  test("asofJoin duplicate right (key,time) rows tiebreak deterministically") {
+    // doc contract: the LAST in (key, time, payload-struct) order wins
+    // duplicates at the left's own time: equal times match inclusively
+    // in every direction, so the same tiebreak is exercised by all three
+    val left = Seq((1L, 5L, "e")).toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, "aaa"), (1L, 5L, "zzz"), (1L, 5L, "mmm"))
+      .toDF("k", "t", "payload")
+    for (dir <- Seq(Ops.AsofBackward, Ops.AsofForward, Ops.AsofNearest)) {
+      // repartition shuffles the right side differently across runs of
+      // the union; the window tiebreak must still pick "zzz"
+      val out = Ops.asofJoin(left, right.repartition(7), "k", "k",
+          "t", "t", Seq("payload"), direction = dir)
+        .select("payload").as[String].collect().toSeq
+      assert(out == Seq("zzz"), s"direction $dir picked $out")
+    }
+  }
 }

@@ -38,6 +38,32 @@ class ProductQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("low-diversity subspaces pad to uniform codebook length") {
+    // subspace 0 of these vectors has only TWO distinct subvectors
+    // while subspace 1 has eight — kmeans seeds from distinct
+    // subvectors, so without padding codebooks(0) would be shorter
+    // than codebooks(1) and the flat ADC table layout would misindex
+    val vecs = Seq.tabulate(16)(i =>
+      (i.toLong, Seq((i % 2).toDouble, (i % 2).toDouble,
+        (i % 8).toDouble, (i * 3 % 8).toDouble)))
+      .toDF("id", "vec")
+    val m = ProductQuantizer.train(vecs, "id", "vec", m = 2, ncent = 8,
+      sampleN = 16, iters = 3)
+    assert(m.codebooks.forall(_.length == m.ncent),
+      s"ragged codebooks: ${m.codebooks.map(_.length).toSeq}")
+    // padded duplicates never win an encode (strict < tiebreak): every
+    // code stays inside the pre-padding range of distinct seeds
+    val codes = vecs.as[(Long, Seq[Double])].collect()
+      .map { case (_, v) => m.encodeOne(v.toArray) }
+    assert(codes.forall(c => c(0) < 2), "padding centroid won an encode")
+    // a hand-built ragged model fails loudly instead of misindexing
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.PqModel(4, 2, Array(
+        Array(Array(0.0, 0.0)),
+        Array(Array(0.0, 0.0), Array(1.0, 1.0))))
+    }
+  }
+
   test("quantization reduces distortion far below the global-mean baseline") {
     val vecs = emb.select(col("embedding").cast("array<double>"))
       .as[Seq[Double]].collect().map(_.toArray)

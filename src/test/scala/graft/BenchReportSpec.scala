@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Contract pins for the bench artifact writer (VERDICT r10 items 1/2/4:
+  * the artifact must carry the per-iteration evidence, and a zombie
+  * worker must taint subsequent entries IN the artifact). Parsed with
+  * json4s (ships with Spark) so well-formedness is asserted by a real
+  * parser, not string matching. */
+class BenchReportSpec extends AnyFunSuite {
+  import BenchReport._
+
+  private def iter(sec: Double, gcMs: Long = 10, tainted: Boolean = false) =
+    Iter(sec = sec, gcMs = gcMs, gcN = 2, cpuMs = 900, heapMb = 512,
+      storageMb = 64, load = 3.5, tainted = tainted)
+
+  private val results = Seq(
+    QueryResult("q_fast", Seq(iter(1.5), iter(0.5), iter(0.6))),
+    QueryResult("q_flaky", Seq(iter(-1.0), iter(2.0), iter(-1.0))),
+    QueryResult("q_wedged", Seq(iter(-2.0), iter(-2.0, tainted = true))),
+    QueryResult("q_after_zombie",
+      Seq(iter(0.3, tainted = true), iter(0.3, tainted = true))))
+
+  test("steadyOf: min over successes; -2 beats -1 when all fail") {
+    assert(steadyOf(Seq(1.5, 0.5, 0.6)) == 0.5)
+    assert(steadyOf(Seq(-1.0, 2.0, -1.0)) == 2.0)
+    assert(steadyOf(Seq(-1.0, -1.0)) == -1.0)
+    assert(steadyOf(Seq(-1.0, -2.0)) == -2.0)
+  }
+
+  test("fullJson carries all iteration times and telemetry per query") {
+    val doc = JsonMethods.parse(
+      fullJson(3, "/root/testdata/sf0.1", "32", results))
+    // legacy shape earlier tooling reads
+    assert((doc \ "steady" \ "q_fast") == JDouble(0.5))
+    assert((doc \ "cold" \ "q_fast") == JDouble(1.5))
+    assert((doc \ "sf_dir") == JString("/root/testdata/sf0.1"))
+    // the round-11 evidence block
+    val d = doc \ "detail" \ "q_fast"
+    assert((d \ "times") == JArray(List(JDouble(1.5), JDouble(0.5),
+      JDouble(0.6))))
+    assert((d \ "gc_ms") == JArray(List(JInt(10), JInt(10), JInt(10))))
+    assert((d \ "cpu_ms").asInstanceOf[JArray].arr.length == 3)
+    assert((d \ "load") == JArray(List(JDouble(3.5), JDouble(3.5),
+      JDouble(3.5))))
+    assert((d \ "storage_mb").asInstanceOf[JArray].arr.length == 3)
+    assert((d \ "tainted") == JBool(false))
+    // env snapshot present with sane values
+    assert((doc \ "env" \ "host_cores").asInstanceOf[JInt].num.toInt > 0)
+  }
+
+  test("a zombie taints its own and subsequent entries") {
+    val doc = JsonMethods.parse(fullJson(2, "d", "4", results))
+    assert((doc \ "detail" \ "q_wedged" \ "tainted") == JBool(true))
+    assert((doc \ "detail" \ "q_after_zombie" \ "tainted") == JBool(true))
+    assert((doc \ "detail" \ "q_fast" \ "tainted") == JBool(false))
+  }
+
+  test("headline line is compact, excludes A/B baselines from the " +
+      "engine total, and counts failures/taints") {
+    val line = headlineJson(results :+
+        QueryResult("x_ab_baseline", Seq(iter(100.0))),
+      3, "0.1", Seq("q_fast", "q_flaky"), Set("x_ab_baseline"))
+    assert(line.length < 1000, s"headline line too long: ${line.length}")
+    val doc = JsonMethods.parse(line)
+    // 0.5 + 2.0 + 0 + 0.3 (q_after_zombie counted; negatives clamp 0)
+    assert((doc \ "value") == JDouble(2.8))
+    assert((doc \ "total_with_ab_baselines") == JDouble(102.8))
+    assert((doc \ "failed") == JInt(0))
+    assert((doc \ "timed_out") == JInt(1))
+    assert((doc \ "tainted") == JInt(2))
+    assert((doc \ "queries" \ "q_fast") == JDouble(0.5))
+  }
+
+  test("JSON string escaping survives hostile names") {
+    val doc = JsonMethods.parse(fullJson(1, "dir\"with\\quote", "4",
+      Seq(QueryResult("q\"x", Seq(iter(1.0))))))
+    assert((doc \ "sf_dir") == JString("dir\"with\\quote"))
+    assert((doc \ "steady" \ "q\"x") == JDouble(1.0))
+  }
+}

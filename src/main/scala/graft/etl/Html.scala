@@ -1,0 +1,355 @@
+package graft.etl
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal tolerant HTML parser + CSS-selector subset — the in-engine
+  * substrate for the config-driven product field extractor
+  * ([[ProductExtract]]; ref `scripts/extract/products_scraping.py:
+  * 392-561`, which parses with BeautifulSoup/html5lib). No external
+  * parser ships in this environment, so this is a small spec-subset
+  * implementation: tolerant tag soup, void/raw-text elements, entity
+  * decoding, and the selector forms the reference's
+  * `utils/webs_config.yml` actually uses (`tag`, `.class`, `#id`,
+  * `tag.class`, descendant chains like
+  * `p.price span.woocommerce-Price-amount bdi`).
+  *
+  * Deliberately NOT a full HTML5 tree-construction algorithm: no
+  * foster parenting, no active formatting elements, only the
+  * implicit-close rules (`p`/`li`/`tr`/`td`/`th`/`option`) that real
+  * product pages rely on. Corrupt input never throws — unmatched
+  * closes are ignored, unclosed tags close at EOF — so the extractor's
+  * quarantine path only fires on *semantic* failures, matching the
+  * reference's behavior where html5lib also never throws.
+  */
+object Html {
+
+  sealed trait Node
+  final case class TextNode(data: String) extends Node
+
+  final case class Elem(
+      tag: String,
+      attrs: Map[String, String],
+      children: Vector[Node]) extends Node {
+
+    def attr(name: String): Option[String] = attrs.get(name.toLowerCase)
+
+    def classes: Set[String] =
+      attr("class").map(_.split("\\s+").filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+
+    /** All descendant elements, document order (self excluded). */
+    def descendants: Iterator[Elem] =
+      children.iterator.flatMap {
+        case e: Elem => Iterator.single(e) ++ e.descendants
+        case _ => Iterator.empty
+      }
+
+    /** bs4 `.text`: concatenation of every descendant text node. */
+    def text: String = {
+      val sb = new StringBuilder
+      def walk(n: Node): Unit = n match {
+        case TextNode(d) => sb.append(d)
+        case e: Elem => e.children.foreach(walk)
+      }
+      children.foreach(walk)
+      sb.toString
+    }
+
+    /** bs4 `.get_text(strip=True)`: each text chunk stripped, empties
+      * dropped, joined with no separator. */
+    def textStripped: String = {
+      val parts = ArrayBuffer.empty[String]
+      def walk(n: Node): Unit = n match {
+        case TextNode(d) => val s = d.trim; if (s.nonEmpty) parts += s
+        case e: Elem => e.children.foreach(walk)
+      }
+      children.foreach(walk)
+      parts.mkString("")
+    }
+
+    /** Direct child TEXT content only (no descendants) — for the
+      * reference's `'...' in tag` direct-contents membership check. */
+    def directTexts: Seq[String] =
+      children.collect { case TextNode(d) => d }
+
+    /** bs4 `find(tag)`: first descendant with this tag, doc order. */
+    def findFirst(tagName: String): Option[Elem] = {
+      val t = tagName.toLowerCase
+      descendants.find(_.tag == t)
+    }
+
+    /** bs4 `find_all(tag)`: every descendant with this tag, doc order. */
+    def findAll(tagName: String): Seq[Elem] = {
+      val t = tagName.toLowerCase
+      descendants.filter(_.tag == t).toSeq
+    }
+
+    /** bs4 `find('meta', {'property': p})`. */
+    def findMeta(property: String): Option[Elem] =
+      descendants.find(e =>
+        e.tag == "meta" && e.attr("property").contains(property))
+
+    /** CSS select, document order (bs4 `select`): descendants of this
+      * element matching the chain, where a multi-part chain's ancestor
+      * selectors may match this element or any ancestor within its
+      * subtree. */
+    def select(css: String): Seq[Elem] = {
+      val chain = Selector.parse(css)
+      val out = ArrayBuffer.empty[Elem]
+      def walk(e: Elem, ancestors: List[Elem]): Unit =
+        e.children.foreach {
+          case c: Elem =>
+            if (Selector.matches(chain, c, e :: ancestors)) out += c
+            walk(c, e :: ancestors)
+          case _ => ()
+        }
+      walk(this, Nil)
+      out.toSeq
+    }
+
+    /** bs4 `select_one`: first document-order match. */
+    def selectOne(css: String): Option[Elem] = select(css).headOption
+  }
+
+  /** One compound selector (`tag.cls1.cls2#id`); `None` fields match
+    * anything. */
+  final case class Simple(
+      tag: Option[String], id: Option[String], classes: Seq[String]) {
+    def matchesElem(e: Elem): Boolean =
+      tag.forall(_ == e.tag) &&
+        id.forall(i => e.attr("id").contains(i)) &&
+        classes.forall(e.classes.contains)
+  }
+
+  object Selector {
+    /** Space-separated descendant chain of simple selectors. Unsupported
+      * CSS (child `>`, pseudo-classes, attributes `[..]`) throws — a
+      * selector silently matching nothing would be a config-debugging
+      * trap. */
+    def parse(css: String): Seq[Simple] = {
+      val parts = css.trim.split("\\s+").filter(_.nonEmpty)
+      require(parts.nonEmpty, s"empty selector: '$css'")
+      parts.toSeq.map { p =>
+        require(!p.contains(">") && !p.contains("[") && !p.contains(":"),
+          s"unsupported CSS feature in '$p' (subset: tag, .class, #id, " +
+            "descendant chains)")
+        var tag: Option[String] = None
+        var id: Option[String] = None
+        val classes = ArrayBuffer.empty[String]
+        var rest = p
+        val lead = rest.takeWhile(c => c != '.' && c != '#')
+        if (lead.nonEmpty) { tag = Some(lead.toLowerCase); rest = rest.drop(lead.length) }
+        while (rest.nonEmpty) {
+          val marker = rest.head
+          rest = rest.tail
+          val name = rest.takeWhile(c => c != '.' && c != '#')
+          rest = rest.drop(name.length)
+          require(name.nonEmpty, s"dangling '$marker' in selector '$p'")
+          if (marker == '.') classes += name else id = Some(name)
+        }
+        Simple(tag, id, classes.toSeq)
+      }
+    }
+
+    /** `e` matches the chain's last simple selector, and the remaining
+      * selectors match some subsequence of `ancestors`
+      * (nearest-first), in order — the descendant combinator. Greedy
+      * nearest-first matching is sufficient because ancestors form a
+      * single chain. */
+    def matches(chain: Seq[Simple], e: Elem, ancestors: List[Elem])
+        : Boolean = {
+      if (!chain.last.matchesElem(e)) return false
+      var remaining = chain.dropRight(1).reverse // nearest-ancestor first
+      var anc = ancestors
+      while (remaining.nonEmpty && anc.nonEmpty) {
+        if (remaining.head.matchesElem(anc.head))
+          remaining = remaining.tail
+        anc = anc.tail
+      }
+      remaining.isEmpty
+    }
+  }
+
+  // ---- parsing ----
+
+  private val VoidTags = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr")
+
+  /** Elements whose content is raw text until the matching close tag. */
+  private val RawText = Set("script", "style", "textarea", "title")
+
+  /** p/li/option/tr/td/th implicitly close a same-tag predecessor. */
+  private val SelfClosing = Set("p", "li", "option", "tr", "td", "th")
+
+  private val NamedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> "\u00a0", "copy" -> "©",
+    "reg" -> "®", "hellip" -> "…", "ndash" -> "–",
+    "mdash" -> "—")
+
+  def decodeEntities(s: String): String = {
+    if (!s.contains('&')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val body = s.substring(i + 1, semi)
+          val rep: Option[String] =
+            if (body.startsWith("#x") || body.startsWith("#X"))
+              scala.util.Try(Integer.parseInt(body.drop(2), 16))
+                .toOption.map(Character.toChars(_).mkString)
+            else if (body.startsWith("#"))
+              scala.util.Try(body.drop(1).toInt)
+                .toOption.map(Character.toChars(_).mkString)
+            else NamedEntities.get(body)
+          rep match {
+            case Some(r) => sb.append(r); i = semi + 1
+            case None => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private final class Builder(val tag: String,
+      val attrs: Map[String, String]) {
+    val children = ArrayBuffer.empty[Node]
+    def finish(): Elem = Elem(tag, attrs, children.toVector)
+  }
+
+  /** Parse tag soup into a tree under a synthetic `[root]` element.
+    * Never throws on malformed input. */
+  def parse(html: String): Elem = {
+    val s = if (html == null) "" else html
+    val root = new Builder("[root]", Map.empty)
+    val stack = ArrayBuffer(root)
+    def top = stack.last
+    def addText(raw: String): Unit =
+      if (raw.nonEmpty) top.children += TextNode(decodeEntities(raw))
+    def closeTag(t: String): Unit = {
+      val idx = stack.lastIndexWhere(_.tag == t)
+      if (idx > 0) { // never pop the synthetic root
+        while (stack.length > idx) {
+          val b = stack.remove(stack.length - 1)
+          stack.last.children += b.finish()
+        }
+      } // unmatched close: ignored (html5lib drops it too)
+    }
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) { addText(s.substring(i)); i = n }
+      else {
+        addText(s.substring(i, lt))
+        if (lt + 1 >= n) { addText("<"); i = n }
+        else s.charAt(lt + 1) match {
+          case '!' =>
+            // comment, doctype or CDATA — skip to the proper terminator
+            if (s.startsWith("<!--", lt)) {
+              val end = s.indexOf("-->", lt + 4)
+              i = if (end < 0) n else end + 3
+            } else {
+              val end = s.indexOf('>', lt)
+              i = if (end < 0) n else end + 1
+            }
+          case '?' => // processing instruction
+            val end = s.indexOf('>', lt)
+            i = if (end < 0) n else end + 1
+          case '/' =>
+            val end = s.indexOf('>', lt)
+            if (end < 0) i = n
+            else {
+              closeTag(s.substring(lt + 2, end).trim.toLowerCase)
+              i = end + 1
+            }
+          case c if c.isLetter =>
+            val (elemEnd, tag, attrs, selfClosed) = parseTag(s, lt)
+            i = elemEnd
+            if (SelfClosing(tag) && top.tag == tag) closeTag(tag)
+            if (VoidTags(tag) || selfClosed)
+              top.children += Elem(tag, attrs, Vector.empty)
+            else if (RawText(tag)) {
+              // raw content until the case-insensitive close tag
+              val close = "</" + tag
+              val idx = s.toLowerCase.indexOf(close, i)
+              val (content, next) =
+                if (idx < 0) (s.substring(i), n)
+                else {
+                  val gt = s.indexOf('>', idx)
+                  (s.substring(i, idx), if (gt < 0) n else gt + 1)
+                }
+              top.children += Elem(tag, attrs,
+                if (content.isEmpty) Vector.empty
+                else Vector(TextNode(content)))
+              i = next
+            } else stack += new Builder(tag, attrs)
+          case _ => // stray '<' — literal text
+            addText("<")
+            i = lt + 1
+        }
+      }
+    }
+    while (stack.length > 1) { // unclosed tags close at EOF
+      val b = stack.remove(stack.length - 1)
+      stack.last.children += b.finish()
+    }
+    root.finish()
+  }
+
+  /** Parse one open tag starting at `lt` ('<'). Returns (index after
+    * '>', tag, attrs, selfClosed). */
+  private def parseTag(s: String, lt: Int)
+      : (Int, String, Map[String, String], Boolean) = {
+    var i = lt + 1
+    val n = s.length
+    val tagStart = i
+    while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-')) i += 1
+    val tag = s.substring(tagStart, i).toLowerCase
+    val attrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var selfClosed = false
+    var done = false
+    while (!done && i < n) {
+      while (i < n && s.charAt(i).isWhitespace) i += 1
+      if (i >= n) done = true
+      else s.charAt(i) match {
+        case '>' => i += 1; done = true
+        case '/' =>
+          if (i + 1 < n && s.charAt(i + 1) == '>') {
+            selfClosed = true; i += 2; done = true
+          } else i += 1
+        case _ =>
+          val nameStart = i
+          while (i < n && !s.charAt(i).isWhitespace &&
+            s.charAt(i) != '=' && s.charAt(i) != '>' &&
+            s.charAt(i) != '/') i += 1
+          val name = s.substring(nameStart, i).toLowerCase
+          while (i < n && s.charAt(i).isWhitespace) i += 1
+          var value = ""
+          if (i < n && s.charAt(i) == '=') {
+            i += 1
+            while (i < n && s.charAt(i).isWhitespace) i += 1
+            if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
+              val q = s.charAt(i)
+              val end = s.indexOf(q, i + 1)
+              if (end < 0) { value = s.substring(i + 1); i = n }
+              else { value = s.substring(i + 1, end); i = end + 1 }
+            } else {
+              val vs = i
+              while (i < n && !s.charAt(i).isWhitespace &&
+                s.charAt(i) != '>') i += 1
+              value = s.substring(vs, i)
+            }
+          }
+          if (name.nonEmpty && !attrs.contains(name))
+            attrs(name) = decodeEntities(value)
+      }
+    }
+    (i, tag, attrs.toMap, selfClosed)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit pins for the tolerant HTML parser + CSS subset that backs
+  * [[ProductExtract]]. Expectations mirror BeautifulSoup/html5lib
+  * behavior on the same snippets (the reference parses with html5lib,
+  * `products_scraping.py:371`). */
+class HtmlSpec extends AnyFunSuite {
+  import Html._
+
+  test("basic nesting, attributes and text") {
+    val doc = parse(
+      """<div class="a b" id=main><p>hello <b>world</b></p></div>""")
+    val div = doc.selectOne("div").get
+    assert(div.classes == Set("a", "b"))
+    assert(div.attr("id").contains("main"))
+    assert(div.text == "hello world")
+    assert(doc.selectOne("b").get.text == "world")
+  }
+
+  test("void elements never swallow siblings") {
+    val doc = parse("<div><img src=x.png><span>after</span></div>")
+    val div = doc.selectOne("div").get
+    assert(div.findFirst("img").flatMap(_.attr("src")).contains("x.png"))
+    assert(div.findFirst("span").map(_.text).contains("after"))
+    // img has no children — span is its SIBLING
+    assert(doc.selectOne("img").get.children.isEmpty)
+  }
+
+  test("raw-text elements: script content is opaque text") {
+    val doc = parse(
+      "<script>if (a < b) { x = '<div>'; }</script><p>t</p>")
+    assert(doc.selectOne("script").get.text.contains("a < b"))
+    assert(doc.select("div").isEmpty) // the '<div>' inside script is text
+    assert(doc.selectOne("p").get.text == "t")
+  }
+
+  test("entity decoding in text and attributes") {
+    val doc = parse(
+      """<p title="A &amp; B">x &lt; y&#33; gi&#225; 5&nbsp;&#x20ab;</p>""")
+    val p = doc.selectOne("p").get
+    assert(p.attr("title").contains("A & B"))
+    assert(p.text == "x < y! gi\u00e1 5\u00a0\u20ab")
+  }
+
+  test("unmatched close tags are ignored; unclosed tags close at EOF") {
+    val doc = parse("<div><span>a</b></span><p>tail")
+    assert(doc.selectOne("span").get.text == "a")
+    assert(doc.selectOne("p").get.text == "tail")
+  }
+
+  test("li implicitly closes a previous li") {
+    val doc = parse("<ul><li>one<li>two<li>three</ul>")
+    assert(doc.select("li").map(_.text.trim) == Seq("one", "two", "three"))
+  }
+
+  test("descendant chains match through intermediate levels") {
+    val doc = parse(
+      """<p class="price">from <span class="woocommerce-Price-amount">
+        |<bdi>125,000<span>&#8363;</span></bdi></span></p>""".stripMargin)
+    val hit = doc.selectOne("p.price span.woocommerce-Price-amount bdi")
+    assert(hit.isDefined)
+    assert(hit.get.textStripped == "125,000₫")
+    // chain order matters: reversed ancestors must NOT match
+    assert(doc.selectOne("bdi p.price").isEmpty)
+  }
+
+  test("select returns document order; select_one is the first") {
+    val doc = parse(
+      """<div class=c><i>1</i></div><div class=c><i>2</i></div>""")
+    assert(doc.select(".c").map(_.text) == Seq("1", "2"))
+    assert(doc.selectOne(".c").get.text == "1")
+  }
+
+  test("tag.class and #id compound selectors") {
+    val doc = parse(
+      """<a class="d-block x">link</a><span class=d-block>no</span>
+        |<div id=gal class=wrap>g</div>""".stripMargin)
+    assert(doc.selectOne("a.d-block").get.text == "link")
+    assert(doc.select("#gal").map(_.text) == Seq("g"))
+    assert(doc.selectOne("div#gal.wrap").get.text == "g")
+  }
+
+  test("unsupported CSS features fail loudly, not silently-empty") {
+    val doc = parse("<a>x</a>")
+    intercept[IllegalArgumentException](doc.select("a > b"))
+    intercept[IllegalArgumentException](doc.select("a:contains(Next)"))
+    intercept[IllegalArgumentException](doc.select("a[href]"))
+  }
+
+  test("get_text(strip=True) strips chunks and joins without separator") {
+    val doc = parse("<p>  125.000\n  <b> VND </b>\n</p>")
+    assert(doc.selectOne("p").get.textStripped == "125.000VND")
+    // .text keeps raw whitespace
+    assert(doc.selectOne("p").get.text.contains("\n"))
+  }
+
+  test("comments and doctype are skipped; truncated input never throws") {
+    val doc = parse(
+      "<!DOCTYPE html><!-- <div>not real</div> --><p>ok</p><div class=")
+    assert(doc.select("div").size <= 1) // comment div NOT parsed
+    assert(doc.selectOne("p").get.text == "ok")
+    assert(parse("").select("p").isEmpty)
+    assert(parse(null).select("p").isEmpty)
+  }
+}

@@ -498,6 +498,150 @@ object VectorSuite extends QuerySuite {
       FROM d QUALIFY rnk <= 5"""))
   }
 
+  // ---- v13: the degraded external-inference lifecycle, end-to-end ----
+
+  /** Deterministic "flaky endpoint" client for v13: per-input md5
+    * decides failure, so the degraded paths are a pure function of the
+    * data and DuckDB can replay them row-wise. Exercised through the
+    * REAL operators (LlmFill retry→fallback, ExternalEmbedder
+    * shape-check/retry→zero-vector) at batchSize=1, where per-batch
+    * degradation == per-row and is therefore SQL-expressible. */
+  object FlakyClient extends graft.embed.InferenceClient {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+    /** 16-dim signed feature hashing — the v01 embedder on `split(t,
+      * " ")` tokens, as integer-valued floats (exact in fp32). */
+    def featureHash16(t: String): Array[Float] = {
+      val v = new Array[Float](16)
+      t.split(" ", -1).foreach { tok =>
+        val h = TextOps.md5Long60Jvm(tok)
+        v((h % 16).toInt) += (if (h % 32 < 16) 1f else -1f)
+      }
+      v
+    }
+
+    override def embed(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map { t =>
+        md5hex(t).charAt(0) match {
+          case '0' | '1' => throw new RuntimeException("endpoint down")
+          case '2' => new Array[Float](8) // wrong shape → rejected
+          case _ => featureHash16(t)
+        }
+      }
+
+    override def complete(prompts: Seq[String]): Seq[String] =
+      prompts.map { p =>
+        val h = md5hex(p)
+        if ("012345".contains(h.charAt(31)))
+          throw new RuntimeException("llm down")
+        else "gen:" + h.substring(0, 8)
+      }
+  }
+
+  object FlakyTransport extends graft.embed.InferenceTransport {
+    override def cacheKey: String = "v13-flaky"
+    override def connect(): graft.embed.InferenceClient = FlakyClient
+  }
+
+  /** v13 — the reference's full external-inference lifecycle (§3.3)
+    * with its degraded paths, as ONE oracle-paired plan: LlmFill of
+    * missing descriptions (fill-only-missing + empty-string fallback
+    * after retries, ref `generate_mock_data.py:42-65`) → batched
+    * external embedding (zero-vector fallback on thrown AND misshapen
+    * responses, ref `generate_embeddings.py:268-272`) → store build
+    * (failed rows excluded, observable as absence) →
+    * [[graft.embed.EmbeddingPipeline.search]] top-k with catalog
+    * join-back. All failure predicates are md5-of-input, so DuckDB
+    * replays the exact degradation row-wise. */
+  private val v13 = {
+    val QueryText = "fresh strawberry cream cake" // md5 head '8': embeds
+    val K = 8
+    val qvec = FlakyClient.featureHash16(QueryText)
+    val qvecSql = qvec.map(_.toLong).mkString("[", ", ", "]")
+    // v01's DuckDB twin of md5Long60 over the tokens of `col`
+    def hashSql(col: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(1,16), i ->
+           CAST(strpos('0123456789abcdef', substring(md5($col),i,1)) - 1
+             AS BIGINT))), (a,b) -> a*16+b)"""
+    val dims16 = (0 until 16)
+      .map(i => s"CAST(SUM(CASE WHEN dim=$i THEN f ELSE 0 END) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    GraftQuery(
+      "v13_degraded_pipeline",
+      (s, dir) => {
+        import graft.embed.{EmbeddingPipeline, ExternalEmbedder, LlmFill}
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+          // a deterministically-holey description column: ~1/7 empty,
+          // ~1/11 null — the two "missing" shapes LlmFill must fill
+          .withColumn("description",
+            when(col("doc_id") % 7 === 0, lit(""))
+              .when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("orig_"), col("lang"))))
+        val filled = LlmFill.fillMissing(docs, "description",
+          concat(lit("describe:"), col("doc_id").cast("string")),
+          FlakyTransport, batchSize = 1, maxAttempts = 2)
+        // embed text+description so the FILL is visible in distances
+        val toEmbed = filled.select(
+          col("doc_id").cast("string").as("product_code"),
+          concat_ws(" ", col("text"), col("description")).as("text"))
+        val store = EmbeddingPipeline.embedDocuments(
+            toEmbed, ExternalEmbedder(FlakyTransport, dim = 16,
+              maxAttempts = 2), batchSize = 1)
+          // zero vectors (thrown OR misshapen endpoint responses) are
+          // not indexable — their absence from the result set is the
+          // oracle-visible trace of the fallback
+          .filter(exists(col("embedding"), x => x =!= 0f))
+        val catalog = filled.select(
+          col("doc_id").cast("string").as("product_code"),
+          col("description"), col("lang"))
+        EmbeddingPipeline.search(store, catalog, QueryText,
+            ExternalEmbedder(FlakyTransport, dim = 16), K)
+          // rank is tie-order-dependent (internal hash id); the SET of
+          // hits is the deterministic contract — project it away
+          .select(col("product_code"), col("description"), col("lang"),
+            col("dist"), col("score"))
+      },
+      Some(s"""WITH docs AS (
+        SELECT doc_id, text, lang,
+          CASE WHEN doc_id % 7 = 0 THEN ''
+               WHEN doc_id % 11 = 0 THEN NULL
+               ELSE 'orig_' || lang END AS description,
+          'describe:' || CAST(doc_id AS VARCHAR) AS prompt
+        FROM documents),
+      filled AS (
+        SELECT doc_id, text, lang,
+          CASE WHEN description IS NULL OR description = '' THEN
+            CASE WHEN substring(md5(prompt),32,1) IN
+                   ('0','1','2','3','4','5')
+              THEN '' ELSE 'gen:' || substring(md5(prompt),1,8) END
+          ELSE description END AS description
+        FROM docs),
+      ft AS (SELECT doc_id, description, lang,
+          concat_ws(' ', text, description) AS full_text FROM filled),
+      live AS (SELECT * FROM ft
+        WHERE substring(md5(full_text),1,1) NOT IN ('0','1','2')),
+      words AS (SELECT doc_id, unnest(string_split(full_text,' ')) AS w
+        FROM live),
+      feats AS (SELECT doc_id, h % 16 AS dim,
+          SUM(CASE WHEN h % 32 < 16 THEN 1 ELSE -1 END) AS f
+        FROM (SELECT doc_id, ${hashSql("w")} AS h FROM words)
+        GROUP BY 1, 2),
+      vecs AS (SELECT doc_id, $dims16 AS v FROM feats GROUP BY doc_id),
+      scored AS (SELECT doc_id,
+          sqrt(CAST(list_sum(list_transform(range(1,17),
+            i -> (v[i] - ($qvecSql)[i]) * (v[i] - ($qvecSql)[i])))
+            AS DOUBLE)) AS dist
+        FROM vecs)
+      SELECT CAST(s.doc_id AS VARCHAR) AS product_code, f.description,
+        f.lang, s.dist, 1.0 - s.dist AS score
+      FROM scored s JOIN filled f ON f.doc_id = s.doc_id
+      QUALIFY row_number() OVER (ORDER BY s.dist, s.doc_id) <= $K"""))
+  }
+
   override val suite: Seq[GraftQuery] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13)
 }

@@ -36,6 +36,22 @@ object EventStreams {
       format: String = "parquet"): DataFrame =
     spark.readStream.schema(eventSchema).format(format).load(path)
 
+  /** File-source stream over a driver-generated `sfDir`'s events
+    * parquet, with the same timestamp normalization [[graft.Tables]]
+    * applies on the batch path (the fixture's ts encoding has drifted
+    * across driver regenerations — read with the file's OWN schema,
+    * then cast to TimestampType, an identity on the micros under the
+    * pinned UTC session timezone). */
+  def eventsFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the file SOURCE requires a directory path — point it at the sf
+    // dir and glob-filter down to the events file
+    spark.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", col("ts").cast(TimestampType))
+  }
+
   /** Watermarked tumbling-window aggregation (streaming twin of e01):
     * counts + sums per (window, event_type). */
   def windowedAgg(events: DataFrame, windowLen: String = "1 hour",

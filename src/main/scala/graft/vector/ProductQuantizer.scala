@@ -260,6 +260,22 @@ object ProductQuantizer {
     encode(index.assigned, vecCol, model, codeCol)
       .select(col("id"), col("cell"), col(codeCol))
 
+  /** Persist the IVFPQ index: (id, pq_codes) `partitionBy(cell)` —
+    * the FAISS IVFPQ layout as a lake table. Composes the two 100 TB
+    * properties in ONE artifact: probes read `nprobe` DIRECTORIES
+    * ([[searchIvfPq]]'s static cell filter → parquet PartitionFilters)
+    * and each row costs m bytes (codes, no vectors). Same layout
+    * contract as [[VectorSearch.writeIvfIndexed]]. */
+  def writeIvfPq(index: VectorSearch.IvfIndex, vecCol: String,
+      model: PqModel, path: String, codeCol: String = "pq_codes"): Unit =
+    encodeIvf(index, vecCol, model, codeCol)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Read a [[writeIvfPq]] layout back for [[searchIvfPq]]. */
+  def readIvfPq(spark: org.apache.spark.sql.SparkSession, path: String)
+      : DataFrame =
+    spark.read.parquet(path)
+
   /** IVFPQ search: the query probes its `nprobe` nearest cells
     * (map-side literal argmin, exactly [[VectorSearch.searchIvf]]) and
     * ADC-scans only those cells' codes. The two approximations
@@ -275,6 +291,29 @@ object ProductQuantizer {
       .select(col(qidCol).cast("long").as("qid"),
         col(qvecCol).cast("array<double>").as("qvec"))
       .collect() // bounded: the query set is the broadcast side
+    // STATIC cell pruning (round 11): the probe cells are a pure
+    // driver-side function of (query set × centroids) — both already
+    // in hand — so restrict the corpus BEFORE the join with a literal
+    // IN filter. Over a [[writeIvfPq]] layout this plans as real
+    // PartitionFilters (read nprobe directories, not the corpus);
+    // in-memory it is a no-op-cost row filter. The driver twin
+    // ([[graft.plans.KnnIvfCatalog.probeCells]]) orders by
+    // (squared distance, cell) — identical order to the expression
+    // form's (sqrt distance, cell), so the filter set is EXACTLY the
+    // joined set, never a semantic change.
+    val meta = graft.plans.KnnIvfCatalog.IvfMeta(index.centroids, nprobe)
+    val probed: Seq[Long] = qrows.toSeq
+      .flatMap(r => graft.plans.KnnIvfCatalog.probeCells(
+        meta, r.getSeq[Double](1))).distinct
+    // literals must match the column's type — a widening cast around
+    // the partition column would defeat partition pruning (parquet
+    // partition discovery infers INT for small cell ids)
+    val cellLits: Seq[Any] =
+      encodedCells.schema("cell").dataType match {
+        case org.apache.spark.sql.types.IntegerType => probed.map(_.toInt)
+        case _ => probed
+      }
+    val prunedCells = encodedCells.filter(col("cell").isInCollection(cellLits))
     val tablesLit = typedLit(qrows.map(r =>
       model.lookupTable(r.getSeq[Double](1).toArray).toSeq).toSeq)
     val qidxLit = typedLit(qrows.map(_.getLong(0)).zipWithIndex.toMap)
@@ -284,7 +323,7 @@ object ProductQuantizer {
       .withColumn("qidx", element_at(qidxLit, col("query_id")))
       .withColumn("cell", explode(index.probeCells(col("qvec"), nprobe)))
       .select("query_id", "qidx", "cell"))
-    val scored = encodedCells
+    val scored = prunedCells
       .join(qdf, Seq("cell"))
       .withColumn("dist",
         call_function("graft_pq_adc_lit", col(codeCol), col("qidx"),

@@ -142,4 +142,39 @@ class ProductQuantizerSpec extends SparkSpec {
       .sum / exact.size
     assert(recall >= 0.4, f"IVFPQ recall@$k = $recall%.2f below 0.4")
   }
+
+  test("persisted IVFPQ layout: partition pruning AND the ADC literal " +
+      "in ONE executed plan, results identical to in-memory") {
+    val corpus = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val queries = corpus.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val k = 10
+    val index = VectorSearch.buildIvf(corpus, "id", "vec", nCells = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq").toString
+    ProductQuantizer.writeIvfPq(index, "vec", model, dir)
+    val onDisk = ProductQuantizer.readIvfPq(spark, dir)
+    val hits = ProductQuantizer.searchIvfPq(index, onDisk, queries,
+      "query_id", "qvec", model, k, nprobe = 2)
+    val got = hits.select("query_id", "id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val mem = ProductQuantizer.searchIvfPq(index,
+        ProductQuantizer.encodeIvf(index, "vec", model), queries,
+        "query_id", "qvec", model, k, nprobe = 2)
+      .select("query_id", "id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(got == mem, "persisted IVFPQ diverged from in-memory")
+    // the r10 stretch contract: the probe's static cell filter reaches
+    // the parquet scan as PartitionFilters (probes read nprobe
+    // directories) while the distance is the primitive-table ADC
+    // literal — both in the SAME executed plan
+    val plan = hits.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("""PartitionFilters: \[[^\]]*cell#\d+ (IN|=)""".r
+      .findFirstIn(plan).isDefined,
+      "cell probe did not become a parquet partition filter:\n" + plan)
+    assert(plan.contains("graft_pq_adc_lit"),
+      "ADC literal lookup missing from the pruned plan:\n" + plan)
+  }
 }

@@ -431,7 +431,112 @@ object FunctionsSuite extends QuerySuite {
         FROM documents)
       SELECT doc_id, unnest(arr) AS tok FROM t"""))
 
+  /** f20 — the config-driven HTML product extractor
+    * ([[graft.etl.ProductExtract]], ref `products_scraping.py:392-621`)
+    * oracle-paired: product pages are SYNTHESIZED relationally from
+    * `part` (so DuckDB can compute the expected inverse directly),
+    * then Spark round-trips them through the REAL operator — the
+    * tolerant HTML parser, CSS descendant chains, entity decoding,
+    * price cleanup, image alt/_optimized rules, the category skip-tag
+    * and URL fallback, the og: meta fallback, and quarantine (absent
+    * rows) — and the hash compare proves the parse inverts the
+    * construction field-for-field. Three page shapes by partkey:
+    * %97=0 unparseable (quarantined → absent), %10=0 og:-only (meta
+    * path), %13=5 no-category (URL path fallback), else full HTML. */
+  private val f20 = {
+    import graft.etl.ProductExtract._
+    val site = SiteConfig("shopx", "https://shop.example.com/",
+      DetailSelectors(
+        name = Some(".entry-title"),
+        code = Some(".sku"),
+        description = Seq(".short-desc"),
+        unitPrice = Some("p.price span.amount bdi"),
+        imageSelector = Some(".gallery"),
+        detailImage = Some(".slide"),
+        originalCategory = Some(".posted_in"),
+        categoryTag = Some("a")))
+    GraftQuery(
+      "f20_html_extract",
+      (s, dir) => {
+        val part = Tables(s, dir, "part")
+        val url = concat(lit("https://shop.example.com/"),
+          lower(col("p_type")), lit("/item-"), col("p_partkey"), lit("/"))
+        val caturl = concat(lit("https://shop.example.com/collections/"),
+          lower(col("p_type")))
+        val price = (col("p_partkey") * 100 + 99).cast("long")
+        val catBlock = concat(
+          lit("""<span class="posted_in">"""),
+          lit("<a>Sản phẩm nổi bật</a>"),
+          concat_ws("", transform(split(col("p_name"), " "),
+            w => concat(lit("<a>"), w, lit("</a>")))),
+          lit("</span>"))
+        val fullHtml = concat(
+          lit("""<html><body><h1 class="entry-title"> """),
+          col("p_name"), lit(" </h1>"),
+          lit("""<div class="short-desc">"""), col("p_type"),
+          lit(" &amp; "), col("p_name"), lit("</div>"),
+          lit("""<p class="price"><span class="amount"><bdi>"""),
+          price, lit(""" &#8363;</bdi></span></p>"""),
+          lit("""<span class="sku">"""), col("p_brand"), lit("</span>"),
+          lit("""<div class="gallery"><div class="slide">"""),
+          lit("""<img src="//cdn.shop.example.com/img/item-"""),
+          col("p_partkey"), lit("""_optimized.jpg" alt="item-"""),
+          col("p_partkey"), lit("""_optimized.jpg"></div></div>"""),
+          when(col("p_partkey") % 13 === 5, lit("")).otherwise(catBlock),
+          lit("</body></html>"))
+        val metaHtml = concat(
+          lit("""<html><head><meta property="og:title" content="OG """),
+          col("p_name"), lit("\">"),
+          lit("""<meta property="og:price:amount" content=""""),
+          (col("p_partkey") * 7 % 1000).cast("long"), lit(",500\">"),
+          lit("""<meta property="og:image" content="https://cdn.shop.example.com/og/"""),
+          col("p_partkey"), lit(""".png"></head><body></body></html>"""))
+        val pages = part.select(
+          url.as("url"), caturl.as("category_url"),
+          when(col("p_partkey") % 97 === 0, lit("<p>broken</p>"))
+            .when(col("p_partkey") % 10 === 0, metaHtml)
+            .otherwise(fullHtml).as("html"))
+        productsFromHtml(pages, site,
+            categoryUrlCol = Some("category_url"))
+          .toDF()
+      },
+      Some("""WITH p AS (
+        SELECT p_partkey AS pk, p_name, p_type, p_brand,
+          'https://shop.example.com/' || lower(p_type) || '/item-' ||
+            CAST(p_partkey AS VARCHAR) || '/' AS url,
+          lower(p_type) AS cat_slug
+        FROM part WHERE p_partkey % 97 <> 0)
+      SELECT * FROM (
+        SELECT
+          'OG ' || p_name AS product_name,
+          url AS product_url,
+          'shopx' AS product_band,
+          [cat_slug] AS category_name,
+          ['https://cdn.shop.example.com/og/' || CAST(pk AS VARCHAR)
+            || '.png'] AS product_image,
+          ['og ' || p_name] AS product_image_name,
+          '' AS product_code,
+          '' AS product_description,
+          CAST(pk * 7 % 1000 AS BIGINT) * 1000 + 500
+            AS product_unit_price
+        FROM p WHERE pk % 10 = 0
+        UNION ALL
+        SELECT
+          p_name AS product_name,
+          url AS product_url,
+          'shopx' AS product_band,
+          CASE WHEN pk % 13 = 5 THEN [cat_slug]
+               ELSE string_split(p_name, ' ') END AS category_name,
+          ['https://cdn.shop.example.com/img/item-' ||
+            CAST(pk AS VARCHAR) || '_optimized.jpg'] AS product_image,
+          ['item-' || CAST(pk AS VARCHAR)] AS product_image_name,
+          p_brand AS product_code,
+          p_type || ' & ' || p_name AS product_description,
+          CAST(pk AS BIGINT) * 100 + 99 AS product_unit_price
+        FROM p WHERE pk % 10 <> 0)"""))
+  }
+
   override val suite: Seq[GraftQuery] = Seq(
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13, f14,
-    f15, f16, f17, f18, f19)
+    f15, f16, f17, f18, f19, f20)
 }

@@ -321,13 +321,30 @@ object ProductExtract {
     * dropped (use [[productsFromHtmlSplit]] to keep them). */
   def productsFromHtml(pages: DataFrame, site: SiteConfig,
       urlCol: String = "url", htmlCol: String = "html",
-      categoryUrlCol: Option[String] = None): Dataset[ProductInfo] =
-    productsFromHtmlSplit(pages, site, urlCol, htmlCol, categoryUrlCol)._1
+      categoryUrlCol: Option[String] = None): Dataset[ProductInfo] = {
+    // single-consumer path: flatMap straight through — no cache (the
+    // split variant caches because BOTH sides re-read the parse; here
+    // caching would pin the whole parsed corpus for nothing at scale)
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val catCol = categoryUrlCol.map(col).getOrElse(col(urlCol))
+    pages
+      .select(col(urlCol).cast("string").as("url"),
+        col(htmlCol).cast("string").as("html"),
+        catCol.cast("string").as("category_url"))
+      .as[(String, String, String)]
+      .flatMap { case (url, html, catUrl) =>
+        extractRow(html, url, catUrl, site).toOption
+      }
+  }
 
   /** As [[productsFromHtml]], with the rejects kept: (products,
     * quarantine(url, error)). ONE parse per page (the parse dominates
     * cost): attempts are tagged then cached and split, mirroring
-    * [[graft.multimodal.Multimodal.decodeImagesSplit]]. */
+    * [[graft.multimodal.Multimodal.decodeImagesSplit]]. The cache is
+    * MEMORY_AND_DISK (spills, never OOMs); consume both sides, then
+    * `.unpersist()` either returned frame's underlying cache in
+    * long-lived sessions. */
   def productsFromHtmlSplit(pages: DataFrame, site: SiteConfig,
       urlCol: String = "url", htmlCol: String = "html",
       categoryUrlCol: Option[String] = None)

@@ -96,6 +96,57 @@ class HtmlSpec extends AnyFunSuite {
     assert(doc.selectOne("p").get.text.contains("\n"))
   }
 
+  test("render→parse round-trips random trees (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def forAllG[A](g: Gen[A], n: Int = 30)(f: A => Unit): Unit =
+      (1 to n).foreach(i =>
+        g.apply(Gen.Parameters.default, Seed(7L + i)).foreach(f))
+    val tagGen = Gen.oneOf("div", "span", "section", "article", "b", "em")
+    // text draws include the chars that MUST round-trip through
+    // entity escaping (& < > ") plus Vietnamese/currency codepoints
+    val textGen = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("abcxyz &<>\"'áđ₫ộ".toSeq)).map(_.mkString))
+    val attrGen = Gen.mapOfN(2, Gen.zip(
+      Gen.oneOf("class", "id", "title", "data-x"), textGen))
+    def nodeGen(depth: Int): Gen[Html.Node] =
+      if (depth == 0) textGen.map(Html.TextNode)
+      else Gen.frequency(
+        3 -> textGen.map(Html.TextNode),
+        2 -> elemGen(depth - 1))
+    def elemGen(depth: Int): Gen[Html.Elem] = for {
+      tag <- tagGen
+      attrs <- attrGen
+      n <- Gen.choose(0, 3)
+      kids <- Gen.listOfN(n, nodeGen(depth))
+    } yield Html.Elem(tag, attrs,
+      // adjacent text nodes merge on parse — normalize the generated
+      // tree the same way so equality is structural
+      kids.foldLeft(Vector.empty[Html.Node]) {
+        case (acc :+ Html.TextNode(a), Html.TextNode(b)) =>
+          acc :+ Html.TextNode(a + b)
+        case (acc, k) => acc :+ k
+      })
+    def esc(s: String) = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+    def render(n: Html.Node): String = n match {
+      case Html.TextNode(d) => esc(d)
+      case Html.Elem(t, attrs, kids) =>
+        val a = attrs.map { case (k, v) =>
+          s""" $k="${esc(v).replace("\"", "&quot;")}"""" }.mkString
+        s"<$t$a>${kids.map(render).mkString}</$t>"
+    }
+    forAllG(elemGen(3)) { tree =>
+      val parsed = parse(render(tree)).children
+      assert(parsed == Vector(tree),
+        s"round-trip diverged for ${render(tree)}")
+    }
+  }
+
   test("comments and doctype are skipped; truncated input never throws") {
     val doc = parse(
       "<!DOCTYPE html><!-- <div>not real</div> --><p>ok</p><div class=")

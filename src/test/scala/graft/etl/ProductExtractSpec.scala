@@ -249,5 +249,13 @@ class ProductExtractSpec extends SparkSpec {
     val planAboveCache = goods.queryExecution.executedPlan.toString
       .split("InMemoryRelation")(0)
     assert(!planAboveCache.contains("Exchange"), planAboveCache)
+    // the single-consumer path must NOT cache at all (pinning the
+    // parsed corpus in storage for one pass would be a 100 TB bug)
+    val direct = productsFromHtml(pages, site("breadtalk"),
+      categoryUrlCol = Some("category_url"))
+    assert(direct.collect().length == 1)
+    val dplan = direct.queryExecution.executedPlan.toString
+    assert(!dplan.contains("InMemoryRelation") &&
+      !dplan.contains("Exchange"), dplan)
   }
 }

@@ -311,6 +311,96 @@ object ProductExtract {
         Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
+  // ---- menu / category-URL extraction (menus_crawling.py) ----
+
+  /** Minimal `urljoin(base, url)` — the cases the reference hits
+    * (`menus_crawling.py:47`): absolute URLs pass through,
+    * protocol-relative take the base's scheme, root-relative take
+    * scheme+host, others resolve against the base's directory. */
+  private[etl] def urlJoin(base: String, url: String): String = {
+    if (url.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*")) return url
+    val schemeEnd = base.indexOf("://")
+    val scheme = if (schemeEnd < 0) "https" else base.substring(0, schemeEnd)
+    if (url.startsWith("//")) return s"$scheme:$url"
+    val hostStart = if (schemeEnd < 0) 0 else schemeEnd + 3
+    val pathStart = base.indexOf('/', hostStart)
+    val root = if (pathStart < 0) base else base.substring(0, pathStart)
+    if (url.startsWith("/")) return root + url
+    val dir = if (pathStart < 0) base + "/"
+      else base.substring(0, base.lastIndexOf('/') + 1)
+    dir + url
+  }
+
+  /** `scrape_website`'s PARSE half (`menus_crawling.py:22-57`): menu
+    * containers = elements with `tagName` whose class list regex-
+    * matches `menuSelector` (bs4 `attrs={"class": re.compile(...)}`
+    * — search against each class token); every descendant `<a href>`
+    * yields a URL; a `#`-href falls back to `data-url` (absent →
+    * KeyError in the reference, which only catches HTTPError, so the
+    * page is fatal — quarantined here); keep URLs containing
+    * `filterKeyword` (or all when "None"); non-https URLs resolve
+    * against the page URL (an absolute http:// URL passes urljoin
+    * unchanged — reference behavior). The reference then "removes
+    * parent categories" via `is_parent_category` (`:12-19`) — a DEAD
+    * filter: every URL's own path matches itself in the list, so the
+    * function always returns False and everything is kept; mirrored
+    * as the no-op it is, cited here rather than silently fixed.
+    * Returns the DISTINCT urls in first-seen document order (the
+    * reference returns a Python set — unordered; a deterministic
+    * engine needs an order, and document order is the stable choice). */
+  def menuUrls(html: String, pageUrl: String, tagName: String,
+      menuSelector: String, filterKeyword: Option[String])
+      : Either[String, Seq[String]] =
+    try {
+      val bs = Html.parse(html)
+      val re = java.util.regex.Pattern.compile(menuSelector)
+      val menus = bs.descendants.filter(e =>
+        e.tag == tagName.toLowerCase &&
+          e.classes.exists(c => re.matcher(c).find())).toSeq
+      val out = ArrayBuffer.empty[String]
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      menus.foreach { menu =>
+        menu.findAll("a").filter(_.attr("href").isDefined).foreach { a =>
+          val href = a.attr("href").get
+          val url0 =
+            if (href.startsWith("#"))
+              a.attr("data-url").getOrElse(
+                throw new NoSuchElementException(
+                  s"#-href anchor without data-url on $pageUrl"))
+            else href
+          if (filterKeyword.forall(url0.contains)) {
+            val url = if (url0.startsWith("https://")) url0
+              else urlJoin(pageUrl, url0)
+            if (seen.add(url)) out += url
+          }
+        }
+      }
+      Right(out.toSeq)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  /** Spark operator: (url, html) menu pages → one row per discovered
+    * category URL. Map-side flatMap, no shuffle; unparseable pages
+    * are dropped (quarantine them upstream via [[menuUrls]] if the
+    * rejects are wanted). */
+  def menuUrlsFromPages(pages: DataFrame, tagName: String,
+      menuSelector: String, filterKeyword: Option[String],
+      urlCol: String = "url", htmlCol: String = "html"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .select(col(urlCol).cast("string").as("url"),
+        col(htmlCol).cast("string").as("html"))
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        menuUrls(html, url, tagName, menuSelector, filterKeyword)
+          .toOption.toSeq.flatten.map(u => (url, u))
+      }
+      .toDF("url", "category_url")
+  }
+
   // ---- the Spark operator ----
 
   /** Parse a frame of fetched pages into product rows. Input columns:

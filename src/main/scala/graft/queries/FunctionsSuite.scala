@@ -536,7 +536,56 @@ object FunctionsSuite extends QuerySuite {
         FROM p WHERE pk % 10 <> 0)"""))
   }
 
+  /** f21 — menu/category-URL extraction
+    * ([[graft.etl.ProductExtract.menuUrls]], ref `menus_crawling.py:
+    * 22-57`) oracle-paired like f20: one nav page per region built
+    * relationally from `nation`, then parsed back by the real
+    * operator. Covers class-regex container matching (with a decoy
+    * `menu`-class list that must NOT match the `sub-menu` pattern),
+    * the `#`-href → data-url fallback, keyword filtering, root-
+    * relative urljoin, and the absolute-http:// pass-through. */
+  private val f21 = GraftQuery(
+    "f21_menu_extract",
+    (s, dir) => {
+      val nat = Tables(s, dir, "nation")
+      val link = concat(lit("<li><a href=\"/product-category/"),
+        regexp_replace(lower(col("n_name")), " ", "-"),
+        lit("/\">"), col("n_name"), lit("</a></li>"))
+      val pages = nat
+        .groupBy(col("n_regionkey").as("rk"))
+        .agg(concat_ws("", sort_array(collect_list(link))).as("links"))
+        .select(
+          concat(lit("https://shop.example.com/menu/r"), col("rk"))
+            .as("url"),
+          concat(
+            lit("<nav><ul class=\"sub-menu extra\">"), col("links"),
+            lit("<li><a href=\"#\" data-url=\"https://ext.example.com/" +
+              "product-category/special-"), col("rk"),
+            lit("\">S</a></li>"),
+            lit("<li><a href=\"/about\">About</a></li>"),
+            lit("<li><a href=\"http://legacy.example.com/" +
+              "product-category/old-"), col("rk"), lit("\">Old</a></li>"),
+            lit("</ul></nav><ul class=\"menu\"><li>" +
+              "<a href=\"/product-category/decoy/\">D</a></li></ul>"))
+            .as("html"))
+      graft.etl.ProductExtract.menuUrlsFromPages(
+        pages, "ul", "sub-menu", Some("product-category"))
+    },
+    Some("""WITH regions AS (SELECT DISTINCT n_regionkey AS rk FROM nation),
+      base AS (SELECT 'https://shop.example.com/menu/r' ||
+        CAST(rk AS VARCHAR) AS url, rk FROM regions)
+    SELECT b.url,
+      'https://shop.example.com/product-category/' ||
+        replace(lower(n.n_name), ' ', '-') || '/' AS category_url
+    FROM base b JOIN nation n ON n.n_regionkey = b.rk
+    UNION ALL
+    SELECT url, 'https://ext.example.com/product-category/special-' ||
+      CAST(rk AS VARCHAR) FROM base
+    UNION ALL
+    SELECT url, 'http://legacy.example.com/product-category/old-' ||
+      CAST(rk AS VARCHAR) FROM base"""))
+
   override val suite: Seq[GraftQuery] = Seq(
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13, f14,
-    f15, f16, f17, f18, f19, f20)
+    f15, f16, f17, f18, f19, f20, f21)
 }

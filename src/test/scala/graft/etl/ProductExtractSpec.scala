@@ -225,6 +225,45 @@ class ProductExtractSpec extends SparkSpec {
     assert(p.product_name == "Named")
   }
 
+  test("menuUrls: class-regex containers, data-url fallback, keyword " +
+      "filter, urljoin, dedup, and the missing-data-url fatal path") {
+    val html =
+      """<nav><ul class="sub-menu wide">
+        |  <li><a href="/product-category/banh-mi/">Bánh mì</a></li>
+        |  <li><a href="/product-category/banh-mi/">dup</a></li>
+        |  <li><a href="#" data-url="https://x.com/product-category/tab1">T</a></li>
+        |  <li><a href="/about">about</a></li>
+        |  <li><a href="http://old.x.com/product-category/legacy">L</a></li>
+        |  <li><a>no href</a></li>
+        |</ul></nav>
+        |<ul class="menu"><a href="/product-category/decoy/">D</a></ul>"""
+        .stripMargin
+    val got = ProductExtract.menuUrls(html, "https://shop.x.com/home",
+      "ul", "sub-menu", Some("product-category"))
+    // dedup keeps first; /about filtered; decoy container ('menu' does
+    // not regex-match 'sub-menu'); http:// absolute passes unchanged
+    assert(got == Right(Seq(
+      "https://shop.x.com/product-category/banh-mi/",
+      "https://x.com/product-category/tab1",
+      "http://old.x.com/product-category/legacy")))
+    // 'sub-menu-x' DOES regex-search-match 'sub-menu' (bs4 re.search)
+    val fuzzy = ProductExtract.menuUrls(
+      """<ul class="sub-menu-x"><a href="/product-category/a">A</a></ul>""",
+      "https://s.com/p", "ul", "sub-menu", Some("product-category"))
+    assert(fuzzy == Right(Seq("https://s.com/product-category/a")))
+    // '#'-href without data-url: KeyError in the reference (fatal for
+    // the page — only HTTPError is caught there) → Left here
+    val bad = ProductExtract.menuUrls(
+      """<ul class="sub-menu"><a href="#">x</a></ul>""",
+      "https://s.com/p", "ul", "sub-menu", None)
+    assert(bad.isLeft && bad.swap.toOption.get.contains("data-url"))
+    // keyword None (the YAML "None" string) keeps everything
+    val all = ProductExtract.menuUrls(
+      """<ul class="sub-menu"><a href="rel/path">x</a></ul>""",
+      "https://s.com/base/page", "ul", "sub-menu", None)
+    assert(all == Right(Seq("https://s.com/base/rel/path")))
+  }
+
   test("Spark operator: one map pass, goods + quarantine split") {
     val spark0 = spark
     import spark0.implicits._

@@ -381,6 +381,65 @@ object ProductExtract {
         Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
+  /** `_crawl_each_page`'s product-card URL harvest
+    * (`products_scraping.py:316-360`): cards = elements with
+    * `productTag` whose class list regex-matches `productSelector`
+    * with its dots stripped (`class_=re.compile(selector.replace(
+    * ".",""))`, `:322-324`); the URL is the card's own `href`, falling
+    * back to the first descendant `<a>`'s (`:331-335`); hrefless cards
+    * are skipped and counted (`:350-353`); URLs containing
+    * `skipUrlPattern` are dropped BEFORE absolutization (`:337-340`);
+    * non-https URLs resolve against the site root with its trailing
+    * slash stripped (`:344-348`). Order and duplicates are preserved —
+    * the reference fetches every card in list order. */
+  def productCardUrls(html: String, productTag: String,
+      productSelector: String, skipUrlPattern: Option[String],
+      websitePath: String): Either[String, Seq[String]] =
+    try {
+      val bs = Html.parse(html)
+      val re = java.util.regex.Pattern
+        .compile(productSelector.replace(".", ""))
+      val base = websitePath.reverse.dropWhile(_ == '/').reverse
+      val urls = bs.descendants
+        .filter(e => e.tag == productTag.toLowerCase &&
+          e.classes.exists(c => re.matcher(c).find()))
+        .flatMap { card =>
+          // Python falsy: an EMPTY card href also falls through to the
+          // inner anchor; an empty anchor href is then skipped
+          card.attr("href").filter(_.nonEmpty)
+            .orElse(card.findFirst("a").flatMap(_.attr("href")))
+            .filter(_.nonEmpty)
+            .filterNot(u => skipUrlPattern.exists(u.contains))
+            .map(u => if (u.startsWith("https://")) u else urlJoin(base, u))
+        }
+        .toSeq
+      Right(urls)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  /** Spark operator twin of [[productCardUrls]] over (url, html)
+    * listing pages: one row per discovered product URL, in card
+    * order. Map-side, no shuffle. */
+  def productCardUrlsFromPages(pages: DataFrame, productTag: String,
+      productSelector: String, skipUrlPattern: Option[String],
+      websitePath: String,
+      urlCol: String = "url", htmlCol: String = "html"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .select(col(urlCol).cast("string").as("url"),
+        col(htmlCol).cast("string").as("html"))
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        productCardUrls(html, productTag, productSelector,
+            skipUrlPattern, websitePath)
+          .toOption.toSeq.flatten.map(u => (url, u))
+      }
+      .toDF("url", "product_url")
+  }
+
   /** Spark operator: (url, html) menu pages → one row per discovered
     * category URL. Map-side flatMap, no shuffle; unparseable pages
     * are dropped (quarantine them upstream via [[menuUrls]] if the

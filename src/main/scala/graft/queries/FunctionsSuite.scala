@@ -585,7 +585,55 @@ object FunctionsSuite extends QuerySuite {
     SELECT url, 'http://legacy.example.com/product-category/old-' ||
       CAST(rk AS VARCHAR) FROM base"""))
 
+  /** f22 — listing-page product-card URL harvest
+    * ([[graft.etl.ProductExtract.productCardUrls]], ref
+    * `products_scraping.py:316-360`), oracle-paired like f20/f21:
+    * listing pages built relationally from `supplier` (one per
+    * nation). Covers dot-stripped class-regex card matching, the
+    * card-own-href vs inner-anchor fallback, hrefless-card skip,
+    * skip_url_patterns, and root-relative absolutization. */
+  private val f22 = GraftQuery(
+    "f22_card_extract",
+    (s, dir) => {
+      val sup = Tables(s, dir, "supplier")
+      val card = concat(
+        lit("<div class=\"product-block\"><a href=\"/product/s-"),
+        col("s_suppkey"), lit("/\">"), col("s_name"), lit("</a></div>"))
+      val pages = sup
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(concat_ws("", sort_array(collect_list(card))).as("cards"))
+        .select(
+          concat(lit("https://shop.example.com/list/n"), col("nk"))
+            .as("url"),
+          concat(
+            lit("<main>"), col("cards"),
+            // skip-pattern card, hrefless card (no output), and a
+            // card whose OWN href attribute is taken before any
+            // inner anchor
+            lit("<div class=\"product-block\">" +
+              "<a href=\"/danh-muc/all/\">all</a></div>"),
+            lit("<div class=\"product-block\">no link</div>"),
+            lit("<div class=\"product-block\" " +
+              "href=\"https://vip.example.com/s/n"), col("nk"),
+            lit("\"><a href=\"/ignored\">v</a></div></main>"))
+            .as("html"))
+      graft.etl.ProductExtract.productCardUrlsFromPages(
+        pages, "div", ".product-block", Some("danh-muc"),
+        "https://shop.example.com/")
+    },
+    Some("""WITH pages AS (
+      SELECT DISTINCT s_nationkey AS nk FROM supplier),
+    base AS (SELECT 'https://shop.example.com/list/n' ||
+      CAST(nk AS VARCHAR) AS url, nk FROM pages)
+    SELECT b.url,
+      'https://shop.example.com/product/s-' ||
+        CAST(s.s_suppkey AS VARCHAR) || '/' AS product_url
+    FROM base b JOIN supplier s ON s.s_nationkey = b.nk
+    UNION ALL
+    SELECT url, 'https://vip.example.com/s/n' || CAST(nk AS VARCHAR)
+    FROM base"""))
+
   override val suite: Seq[GraftQuery] = Seq(
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13, f14,
-    f15, f16, f17, f18, f19, f20, f21)
+    f15, f16, f17, f18, f19, f20, f21, f22)
 }

@@ -264,6 +264,26 @@ class ProductExtractSpec extends SparkSpec {
     assert(all == Right(Seq("https://s.com/base/rel/path")))
   }
 
+  test("productCardUrls: own-href precedence, inner-anchor fallback, " +
+      "skip patterns, duplicates preserved") {
+    val html =
+      """<div class="product-block" href="/direct"><a href="/inner">i</a></div>
+        |<div class="product-block"><a href="/product/a/">A</a></div>
+        |<div class="product-block"><a href="/product/a/">A again</a></div>
+        |<div class="product-block"><a href="/danh-muc/skip/">S</a></div>
+        |<div class="product-block">no link</div>
+        |<div class="other"><a href="/product/decoy/">D</a></div>"""
+        .stripMargin
+    val got = ProductExtract.productCardUrls(html, "div",
+      ".product-block", Some("danh-muc"), "https://shop.x.com/")
+    // own href wins over the inner anchor (`:331-335` only falls back
+    // when the card itself has none); dupes kept in card order
+    assert(got == Right(Seq(
+      "https://shop.x.com/direct",
+      "https://shop.x.com/product/a/",
+      "https://shop.x.com/product/a/")))
+  }
+
   test("Spark operator: one map pass, goods + quarantine split") {
     val spark0 = spark
     import spark0.implicits._

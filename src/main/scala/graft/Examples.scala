@@ -130,6 +130,51 @@ object Examples {
     println(s"pq adc: ${ann.count()} results; codes are ${pq.m} bytes " +
       s"per vector vs ${pq.dim * 4} raw")
 
+    // --- HTML extraction (round 11): the crawl's pure parse half ---
+    import graft.etl.ProductExtract
+    val site = ProductExtract.SiteConfig("demo", "https://shop.example.com/",
+      ProductExtract.DetailSelectors(
+        name = Some(".entry-title"), code = None,
+        description = Seq(".short-desc"),
+        unitPrice = Some("p.price bdi"),
+        imageSelector = Some(".gallery"), detailImage = Some(".slide"),
+        originalCategory = Some(".posted_in"), categoryTag = Some("a")))
+    import spark.implicits._
+    val pages = Seq(
+      ("https://shop.example.com/cakes/tiramisu/",
+        """<h1 class="entry-title">Tiramisu</h1>
+          |<p class="price"><bdi>85,000 &#8363;</bdi></p>
+          |<div class="gallery"><div class="slide">
+          |<img src="//cdn.example.com/tiramisu.jpg" alt="tiramisu.jpg">
+          |</div></div>
+          |<span class="posted_in"><a>Bánh ngọt</a></span>""".stripMargin),
+      ("https://shop.example.com/broken", "<p>not a product page</p>"))
+      .toDF("url", "html")
+    val (prods, rejected) = ProductExtract.productsFromHtmlSplit(pages, site)
+    println(s"html extract: ${prods.count()} products, " +
+      s"${rejected.count()} quarantined")
+    prods.select("product_name", "product_unit_price", "category_name",
+      "product_image").show(false)
+
+    // --- degraded external inference (round 11, oracled as v13) ---
+    println("external inference: LlmFill + ExternalEmbedder degraded " +
+      "paths run end-to-end under the v13 oracle (see VectorSuite)")
+
+    // --- persisted IVFPQ (round 11): pruned directories of byte codes ---
+    val ivf = graft.vector.VectorSearch.buildIvf(
+      emb.select(col("vec_id").as("id"), col("vec")), "id", "vec", 4)
+    val ivfpqDir = Files.createTempDirectory("graft_ex_ivfpq").toString
+    graft.vector.ProductQuantizer.writeIvfPq(ivf, "vec", pq, ivfpqDir)
+    val hits = graft.vector.ProductQuantizer.searchIvfPq(ivf,
+      graft.vector.ProductQuantizer.readIvfPq(spark, ivfpqDir),
+      emb.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec")),
+      "query_id", "qvec", pq, k = 3, nprobe = 2)
+    val pruned = hits.queryExecution.executedPlan.toString
+      .contains("PartitionFilters")
+    println(s"ivfpq: ${hits.count()} hits; partition-pruned=$pruned " +
+      s"(probes read nprobe directories of ${pq.m}-byte codes)")
+
     // --- BPE tokenizer induction (round 10) ---
     val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
     val bpe = graft.ops.BpeTrainer.train(corpus, "text", nMerges = 50)

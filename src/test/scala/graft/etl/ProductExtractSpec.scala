@@ -284,6 +284,36 @@ class ProductExtractSpec extends SparkSpec {
       "https://shop.x.com/product/a/")))
   }
 
+  test("incremental extraction: pages stream through transformSink " +
+      "into an append product table") {
+    // the reference's crawl loop accumulates an append-mode CSV
+    // (test_products_scraping.py:38-49); the streaming twin runs the
+    // SAME pure extractor per micro-batch via foreachBatch
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)]
+    mem.addData(
+      ("https://breadtalkvietnam.com/product/ok/", breadtalkHtml,
+        "https://breadtalkvietnam.com/cat/banh-mi/"),
+      ("https://breadtalkvietnam.com/broken", "<p>x</p>", "c"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-extract-out").toString + "/t"
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft-extract-cp").toString
+    val q = graft.streaming.EventStreams.transformSink(
+      mem.toDF.toDF("url", "html", "category_url"),
+      batch => productsFromHtml(batch, site("breadtalk"),
+        categoryUrlCol = Some("category_url")).toDF(),
+      out, cp)
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 1)
+    assert(got.select("product_name").as[String].collect().toSeq ==
+      Seq("Bánh mì hoa cúc"))
+  }
+
   test("Spark operator: one map pass, goods + quarantine split") {
     val spark0 = spark
     import spark0.implicits._

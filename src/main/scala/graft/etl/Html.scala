@@ -111,28 +111,43 @@ object Html {
     def selectOne(css: String): Option[Elem] = select(css).headOption
   }
 
-  /** One compound selector (`tag.cls1.cls2#id`); `None` fields match
-    * anything. */
+  /** One compound selector (`tag.cls1.cls2#id:contains(text)`);
+    * `None` fields match anything. `contains` is soupsieve's
+    * `:contains()`/`:-soup-contains()` — substring match against the
+    * element's full text (the reference's igloo pagination selector
+    * `a.page-link:contains(Next)`). */
   final case class Simple(
-      tag: Option[String], id: Option[String], classes: Seq[String]) {
+      tag: Option[String], id: Option[String], classes: Seq[String],
+      contains: Option[String] = None) {
     def matchesElem(e: Elem): Boolean =
       tag.forall(_ == e.tag) &&
         id.forall(i => e.attr("id").contains(i)) &&
-        classes.forall(e.classes.contains)
+        classes.forall(e.classes.contains) &&
+        contains.forall(t => e.text.contains(t))
   }
 
   object Selector {
     /** Space-separated descendant chain of simple selectors. Unsupported
-      * CSS (child `>`, pseudo-classes, attributes `[..]`) throws — a
-      * selector silently matching nothing would be a config-debugging
-      * trap. */
+      * CSS (child `>`, pseudo-classes other than `:contains`,
+      * attributes `[..]`) throws — a selector silently matching
+      * nothing would be a config-debugging trap. */
     def parse(css: String): Seq[Simple] = {
       val parts = css.trim.split("\\s+").filter(_.nonEmpty)
       require(parts.nonEmpty, s"empty selector: '$css'")
-      parts.toSeq.map { p =>
+      parts.toSeq.map { p0 =>
+        // peel one trailing :contains(...) before the feature gate
+        val (p, contains) = {
+          val m = """^(.*):contains\(([^)]*)\)$""".r
+          p0 match {
+            case m(head, text) =>
+              (head, Some(text.stripPrefix("\"").stripSuffix("\"")
+                .stripPrefix("'").stripSuffix("'")))
+            case _ => (p0, None)
+          }
+        }
         require(!p.contains(">") && !p.contains("[") && !p.contains(":"),
-          s"unsupported CSS feature in '$p' (subset: tag, .class, #id, " +
-            "descendant chains)")
+          s"unsupported CSS feature in '$p0' (subset: tag, .class, #id, " +
+            ":contains, descendant chains)")
         var tag: Option[String] = None
         var id: Option[String] = None
         val classes = ArrayBuffer.empty[String]
@@ -147,7 +162,7 @@ object Html {
           require(name.nonEmpty, s"dangling '$marker' in selector '$p'")
           if (marker == '.') classes += name else id = Some(name)
         }
-        Simple(tag, id, classes.toSeq)
+        Simple(tag, id, classes.toSeq, contains)
       }
     }
 

@@ -311,6 +311,15 @@ object ProductExtract {
         Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
+  /** `_crawl_pagination`'s pure half (`products_scraping.py:240-244`):
+    * the next-page link under the configured `next_selector` — the
+    * raw `href`, NOT absolutized (the reference feeds it straight
+    * back to `requests.get`), `None` when the selector misses or the
+    * element has no href (both end the reference's loop). Supports
+    * the configs' `:contains(Next)` form via the selector subset. */
+  def nextPageUrl(html: String, nextSelector: String): Option[String] =
+    Html.parse(html).selectOne(nextSelector).flatMap(_.attr("href"))
+
   // ---- menu / category-URL extraction (menus_crawling.py) ----
 
   /** Minimal `urljoin(base, url)` — the cases the reference hits

@@ -85,8 +85,21 @@ class HtmlSpec extends AnyFunSuite {
   test("unsupported CSS features fail loudly, not silently-empty") {
     val doc = parse("<a>x</a>")
     intercept[IllegalArgumentException](doc.select("a > b"))
-    intercept[IllegalArgumentException](doc.select("a:contains(Next)"))
+    intercept[IllegalArgumentException](doc.select("a:hover"))
     intercept[IllegalArgumentException](doc.select("a[href]"))
+  }
+
+  test(":contains matches element text (igloo pagination selector)") {
+    val doc = parse(
+      """<a class="page-link" href="/p/1">Prev</a>
+        |<a class="page-link" href="/p/3">Next</a>
+        |<a class="other" href="/x">Next</a>""".stripMargin)
+    val hit = doc.selectOne("a.page-link:contains(Next)")
+    assert(hit.flatMap(_.attr("href")).contains("/p/3"))
+    assert(doc.selectOne("a.page-link:contains(Last)").isEmpty)
+    // quoted form too
+    assert(doc.selectOne("""a:contains("Prev")""")
+      .flatMap(_.attr("href")).contains("/p/1"))
   }
 
   test("get_text(strip=True) strips chunks and joins without separator") {

@@ -264,6 +264,23 @@ class ProductExtractSpec extends SparkSpec {
     assert(all == Right(Seq("https://s.com/base/rel/path")))
   }
 
+  test("nextPageUrl: raw href of the next-selector hit; None ends " +
+      "the pagination loop") {
+    val html =
+      """<nav><a class="next" href="/page/2/">»</a></nav>
+        |<a class="page-link" href="/list?p=9">Next</a>""".stripMargin
+    // breadtalk config: ".next"
+    assert(ProductExtract.nextPageUrl(html, ".next")
+      .contains("/page/2/"))
+    // igloo config: a.page-link:contains(Next)
+    assert(ProductExtract.nextPageUrl(html, "a.page-link:contains(Next)")
+      .contains("/list?p=9"))
+    assert(ProductExtract.nextPageUrl("<p>last page</p>", ".next").isEmpty)
+    // hit without href also ends the loop (`next_page.get('href')` None)
+    assert(ProductExtract.nextPageUrl("""<a class="next">x</a>""",
+      ".next").isEmpty)
+  }
+
   test("productCardUrls: own-href precedence, inner-anchor fallback, " +
       "skip patterns, duplicates preserved") {
     val html =

@@ -410,7 +410,75 @@ object TextSuite extends QuerySuite {
       FROM chunked GROUP BY 1, 2"""))
   }
 
+  /** t12 — PII scrub ([[graft.ops.PiiScrub]]): deterministic PII is
+    * seeded into the (digit-free) corpus by doc_id residue — email /
+    * phone / IPv4 / card, some docs carrying several kinds — then the
+    * REAL operator counts and redacts. The patterns live in the
+    * Java-regex ∩ RE2 common subset, so DuckDB runs the IDENTICAL
+    * patterns (regexp_extract_all lengths + chained 'g' replaces in
+    * the same contract order) and the redacted text hash-matches
+    * bit-for-bit. Pure per-row projection — scan-parallel, zero
+    * shuffle below the presentation sort. */
+  private val t12 = {
+    // the exact pattern strings, shared verbatim with the oracle text
+    val pats = graft.ops.PiiScrub.patterns
+    def sqlCount(p: String) =
+      s"CAST(len(regexp_extract_all(pii_text, '$p')) AS BIGINT)"
+    val sqlRedact = pats.foldLeft("pii_text") { case (acc, (_, p, r)) =>
+      s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+    GraftQuery(
+      "t12_pii_scrub",
+      (s, dir) => {
+        val seeded = Tables(s, dir, "documents")
+          .select(col("doc_id"), concat(
+            col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact u"), col("doc_id"), lit("@shop"),
+                col("doc_id") % 7, lit(".com"))).otherwise(lit("")),
+            when(col("doc_id") % 4 === 1,
+              concat(lit(" tel +84 "), col("doc_id") % 900 + 100,
+                lit(" "), col("doc_id") % 9000 + 1000)).otherwise(lit("")),
+            when(col("doc_id") % 5 === 2,
+              concat(lit(" host 10."), col("doc_id") % 256,
+                lit(".0."), col("doc_id") % 100)).otherwise(lit("")),
+            when(col("doc_id") % 6 === 3,
+              concat(lit(" pay 4111-1111-1111-"),
+                col("doc_id") % 9000 + 1000)).otherwise(lit("")))
+            .as("pii_text"))
+        graft.ops.PiiScrub.scrub(seeded, "pii_text")
+          .filter(col("n_email") + col("n_card") + col("n_ip") +
+            col("n_phone") > 0)
+          .select(col("doc_id"), col("n_email"), col("n_card"),
+            col("n_ip"), col("n_phone"),
+            md5(col("pii_text_redacted")).as("redacted_md5"))
+      },
+      Some(s"""WITH seeded AS (
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 3 = 0 THEN ' contact u' ||
+               CAST(doc_id AS VARCHAR) || '@shop' ||
+               CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+          || CASE WHEN doc_id % 4 = 1 THEN ' tel +84 ' ||
+               CAST(doc_id % 900 + 100 AS VARCHAR) || ' ' ||
+               CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+          || CASE WHEN doc_id % 5 = 2 THEN ' host 10.' ||
+               CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+               CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+          || CASE WHEN doc_id % 6 = 3 THEN ' pay 4111-1111-1111-' ||
+               CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+          AS pii_text
+        FROM documents)
+      SELECT doc_id,
+        ${sqlCount(pats(0)._2)} AS n_email,
+        ${sqlCount(pats(1)._2)} AS n_card,
+        ${sqlCount(pats(2)._2)} AS n_ip,
+        ${sqlCount(pats(3)._2)} AS n_phone,
+        md5($sqlRedact) AS redacted_md5
+      FROM seeded
+      WHERE ${pats.map(p => sqlCount(p._2)).mkString(" + ")} > 0"""))
+  }
+
   override val suite: Seq[GraftQuery] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 
 }

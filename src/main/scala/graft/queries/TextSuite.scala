@@ -478,7 +478,51 @@ object TextSuite extends QuerySuite {
       WHERE ${pats.map(p => sqlCount(p._2)).mkString(" + ")} > 0"""))
   }
 
+  /** t13 — repetition-based quality gates (the Gopher §A1.1-style
+    * repetitious-text filters every corpus curation runs, adapted to
+    * token granularity since the fixture has no line breaks): per doc,
+    * the top-unigram fraction, top-bigram fraction, and the fraction
+    * of bigram mass in bigrams occurring more than once, plus the
+    * keep/drop flag. Fractions are ONE double division of two exact
+    * longs — bit-reproducible cross-engine. Plan: explode → two keyed
+    * partial-aggregating groupBys (doc_id×token / doc_id×bigram) →
+    * per-doc rollup → join on doc_id; every shuffle keys on the
+    * high-cardinality doc_id, so the shape holds at corpus scale. */
+  private val t13 = GraftQuery(
+    "t13_repetition_gates",
+    (s, dir) =>
+      graft.ops.RepetitionGates.signals(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("ws")),
+        "doc_id", "ws"),
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    uni AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_uni,
+        CAST(SUM(c) AS BIGINT) AS n_uni
+      FROM (SELECT doc_id, w, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+            GROUP BY 1, 2) GROUP BY doc_id),
+    bi AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bi,
+        CAST(SUM(c) AS BIGINT) AS n_bi,
+        CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bi
+      FROM (SELECT doc_id, b, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(list_transform(
+                range(1, len(ws)),
+                i -> array_to_string(list_slice(ws, i, i+1), ' '))) AS b
+              FROM toks)
+            GROUP BY 1, 2) GROUP BY doc_id)
+    SELECT uni.doc_id,
+      CAST(top_uni AS DOUBLE) / CAST(n_uni AS DOUBLE) AS top_uni_frac,
+      CAST(top_bi AS DOUBLE) / CAST(n_bi AS DOUBLE) AS top_bi_frac,
+      CAST(dup_bi AS DOUBLE) / CAST(n_bi AS DOUBLE) AS dup_bi_frac,
+      (CAST(top_uni AS DOUBLE) / CAST(n_uni AS DOUBLE) <= 0.30
+       AND CAST(top_bi AS DOUBLE) / CAST(n_bi AS DOUBLE) <= 0.18
+       AND CAST(dup_bi AS DOUBLE) / CAST(n_bi AS DOUBLE) <= 0.40) AS keep
+    FROM uni JOIN bi ON uni.doc_id = bi.doc_id"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The fixture corpus passes every gate (t13's oracle shows 100%
+  * keep), so the DROP branches are pinned here on constructed
+  * repetitious documents. */
+class RepetitionGatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gate(docs: (Long, Seq[String])*): Map[Long, (Boolean,
+      Double, Double, Double)] =
+    RepetitionGates.signals(docs.toSeq.toDF("id", "ws"), "id", "ws")
+      .select("id", "keep", "top_uni_frac", "top_bi_frac", "dup_bi_frac")
+      .as[(Long, Boolean, Double, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("spam-shaped repetition fails; diverse text passes") {
+    val out = gate(
+      // 10x the same token: top_uni = 1.0, every bigram duplicated
+      1L -> Seq.fill(10)("buy"),
+      // diverse: 12 distinct tokens, all unigrams/bigrams unique
+      2L -> Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l"),
+      // one dominant phrase repeated among filler: "cheap deal" x6
+      3L -> (Seq.fill(6)(Seq("cheap", "deal")).flatten ++
+        Seq("x1", "x2", "x3", "x4", "x5", "x6")))
+    assert(!out(1L)._1, s"all-same-token doc kept: ${out(1L)}")
+    assert(out(1L)._2 == 1.0 && out(1L)._4 == 1.0)
+    assert(out(2L)._1, s"diverse doc dropped: ${out(2L)}")
+    assert(out(2L)._3 == 1.0 / 11.0) // 11 unique bigrams, top = 1
+    assert(!out(3L)._1, s"dominant-phrase doc kept: ${out(3L)}")
+    // "cheap deal" occurs 6x among 17 bigrams
+    assert(math.abs(out(3L)._3 - 6.0 / 17.0) < 1e-15)
+  }
+
+  test("sub-2-token docs drop out (no bigram signal), any partitioning") {
+    val out = RepetitionGates.signals(
+      Seq((1L, Seq("only")), (2L, Seq("two", "words")))
+        .toDF("id", "ws").repartition(5), "id", "ws")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(2L))
+  }
+
+  test("custom thresholds move the gate") {
+    val strict = RepetitionGates.signals(
+      Seq((1L, Seq("a", "b", "a", "c", "a", "d"))).toDF("id", "ws"),
+      "id", "ws", RepetitionGates.Thresholds(topUnigram = 0.2))
+      .select("keep").as[Boolean].head()
+    assert(!strict) // top_uni 3/6 = 0.5 > 0.2
+  }
+}

@@ -477,6 +477,32 @@ object CurationSuite extends QuerySuite {
          // COUNT(*) <= 280000) AS keep
     FROM documents GROUP BY source"""))
 
+  /** c12 — deterministic train/val/test split
+    * ([[graft.ops.Sampling.hashSplit]]): md5-bucket assignment per
+    * doc_id (content-addressed — stable under re-runs, incremental
+    * ingest, and any partitioning, unlike `rand()` splits), with the
+    * per-(split, lang) counts that a leakage audit reads. Pure
+    * projection + one map-side combined groupBy. */
+  private val c12 = GraftQuery(
+    "c12_hash_split",
+    (s, dir) =>
+      graft.ops.Sampling.hashSplit(
+        Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"),
+          min("bucket").as("min_bucket"), max("bucket").as("max_bucket")),
+    Some(s"""WITH b AS (
+      SELECT lang, ${duckH60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+      lang, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(MIN(bucket) AS BIGINT) AS min_bucket,
+      CAST(MAX(bucket) AS BIGINT) AS max_bucket
+    FROM b GROUP BY 1, 2"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11)
+    Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12)
 }

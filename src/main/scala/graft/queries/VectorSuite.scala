@@ -642,6 +642,59 @@ object VectorSuite extends QuerySuite {
       QUALIFY row_number() OVER (ORDER BY s.dist, s.doc_id) <= $K"""))
   }
 
+  /** v14 — IVF-cell-BLOCKED embedding near-dup (the corpus-scale form
+    * of v05, which samples; north-star dedup family): every vector is
+    * assigned to its nearest of 8 seed cells (the v06/v07 broadcast
+    * argmin — map-side, no corpus shuffle beyond the cell groupBy),
+    * and cosine verification runs ONLY within cells — the same
+    * candidates-not-all-pairs stance as the text LSH path (d03/d04),
+    * with cell granularity standing in for bands. At 100 TB the cell
+    * count scales with the corpus and a hot cell caps exactly like a
+    * hot LSH bucket ([[graft.ops.Blocking]]). Recall trade-off is the
+    * standard blocked-dedup one: near-dups straddling a cell boundary
+    * are missed; multiprobe (assign to top-2 cells) is the knob. */
+  private val v14 = GraftQuery(
+    "v14_blocked_neardup",
+    (s, dir) => {
+      val cents = emb(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("qv").as("cent_qv"))
+      val assigned = emb(s, dir).select(col("vec_id"), col("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("d2",
+          aggregate(zip_with(col("qv"), col("cent_qv"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+        .groupBy(col("vec_id"), col("qv"))
+        .agg(min(struct(col("d2"), col("cent_id"))).as("nn"))
+        .select(col("vec_id"), col("qv"), col("nn.cent_id").as("cell"))
+      val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+        col("qv").as("a_qv"))
+      val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+        col("qv").as("b_qv"))
+      a.join(b, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos", cosineQ(col("a_qv"), col("b_qv")))
+        .filter(col("cos") > 0.3)
+        .select(col("cell"), col("a_id"), col("b_id"), col("cos"))
+    },
+    Some(s"""WITH q AS ($qvSql),
+    assign AS (
+      SELECT v.vec_id, v.qv, c.vec_id AS cell
+      FROM q v, q c WHERE c.vec_id < 8
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 1+len(v.qv)),
+          i -> (v.qv[i]-c.qv[i])*(v.qv[i]-c.qv[i]))) AS BIGINT),
+        c.vec_id) = 1)
+    SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id,
+      CAST(list_sum(list_transform(range(1, 1+len(a.qv)),
+          i -> a.qv[i]*b.qv[i])) AS BIGINT)::DOUBLE /
+        (sqrt(CAST(list_sum(list_transform(a.qv, x -> x*x)) AS BIGINT)::DOUBLE)
+       * sqrt(CAST(list_sum(list_transform(b.qv, x -> x*x)) AS BIGINT)::DOUBLE))
+        AS cos
+    FROM assign a JOIN assign b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE cos > 0.3"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13)
+    Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
+      v14)
 }

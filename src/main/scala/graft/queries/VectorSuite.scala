@@ -656,23 +656,31 @@ object VectorSuite extends QuerySuite {
   private val v14 = GraftQuery(
     "v14_blocked_neardup",
     (s, dir) => {
+      // codegen integer distance/dot throughout (the x01-vs-x02
+      // lesson: the zip_with lambda fold is ~10x the flat generated
+      // loop on a pair-heavy plan), and each vector's sum-of-squares
+      // is computed ONCE at assignment, not once per pair
       val cents = emb(s, dir).filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent_id"), col("qv").as("cent_qv"))
       val assigned = emb(s, dir).select(col("vec_id"), col("qv"))
         .crossJoin(broadcast(cents))
         .withColumn("d2",
-          aggregate(zip_with(col("qv"), col("cent_qv"),
-            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+          call_function("graft_sqdist_long", col("qv"), col("cent_qv")))
         .groupBy(col("vec_id"), col("qv"))
         .agg(min(struct(col("d2"), col("cent_id"))).as("nn"))
-        .select(col("vec_id"), col("qv"), col("nn.cent_id").as("cell"))
+        .select(col("vec_id"), col("qv"), col("nn.cent_id").as("cell"),
+          call_function("graft_dot_long", col("qv"), col("qv")).as("ss"))
       val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
-        col("qv").as("a_qv"))
+        col("qv").as("a_qv"), col("ss").as("a_ss"))
       val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
-        col("qv").as("b_qv"))
+        col("qv").as("b_qv"), col("ss").as("b_ss"))
       a.join(b, Seq("cell"))
         .filter(col("a_id") < col("b_id"))
-        .withColumn("cos", cosineQ(col("a_qv"), col("b_qv")))
+        .withColumn("cos",
+          call_function("graft_dot_long", col("a_qv"), col("b_qv"))
+            .cast("double") /
+            (sqrt(col("a_ss").cast("double")) *
+              sqrt(col("b_ss").cast("double"))))
         .filter(col("cos") > 0.3)
         .select(col("cell"), col("a_id"), col("b_id"), col("cos"))
     },

@@ -23,6 +23,12 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Html {
 
+  /** Locale-independent ASCII-ish lowercase: tag/attr names must not
+    * go through the default locale (Turkish 'I' -> dotless 'ı' breaks
+    * every comparison against the lowercase tables). */
+  private[etl] def lc(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+
   sealed trait Node
   final case class TextNode(data: String) extends Node
 
@@ -31,7 +37,7 @@ object Html {
       attrs: Map[String, String],
       children: Vector[Node]) extends Node {
 
-    def attr(name: String): Option[String] = attrs.get(name.toLowerCase)
+    def attr(name: String): Option[String] = attrs.get(lc(name))
 
     def classes: Set[String] =
       attr("class").map(_.split("\\s+").filter(_.nonEmpty).toSet)
@@ -74,13 +80,13 @@ object Html {
 
     /** bs4 `find(tag)`: first descendant with this tag, doc order. */
     def findFirst(tagName: String): Option[Elem] = {
-      val t = tagName.toLowerCase
+      val t = lc(tagName)
       descendants.find(_.tag == t)
     }
 
     /** bs4 `find_all(tag)`: every descendant with this tag, doc order. */
     def findAll(tagName: String): Seq[Elem] = {
-      val t = tagName.toLowerCase
+      val t = lc(tagName)
       descendants.filter(_.tag == t).toSeq
     }
 
@@ -127,19 +133,30 @@ object Html {
   }
 
   object Selector {
+    private val ContainsRe = """^(.*):contains\(([^)]*)\)$""".r
+
+    // selectors are config constants evaluated once per ROW in the
+    // extractor's Dataset.map — memoize the parsed chains (bounded by
+    // the distinct selector strings a config can hold). TrieMap:
+    // executor tasks share the cache lock-free.
+    private val parsed =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[Simple]]
+
     /** Space-separated descendant chain of simple selectors. Unsupported
       * CSS (child `>`, pseudo-classes other than `:contains`,
       * attributes `[..]`) throws — a selector silently matching
       * nothing would be a config-debugging trap. */
-    def parse(css: String): Seq[Simple] = {
+    def parse(css: String): Seq[Simple] =
+      parsed.getOrElseUpdate(css, parseUncached(css))
+
+    private def parseUncached(css: String): Seq[Simple] = {
       val parts = css.trim.split("\\s+").filter(_.nonEmpty)
       require(parts.nonEmpty, s"empty selector: '$css'")
       parts.toSeq.map { p0 =>
         // peel one trailing :contains(...) before the feature gate
         val (p, contains) = {
-          val m = """^(.*):contains\(([^)]*)\)$""".r
           p0 match {
-            case m(head, text) =>
+            case ContainsRe(head, text) =>
               (head, Some(text.stripPrefix("\"").stripSuffix("\"")
                 .stripPrefix("'").stripSuffix("'")))
             case _ => (p0, None)
@@ -153,7 +170,7 @@ object Html {
         val classes = ArrayBuffer.empty[String]
         var rest = p
         val lead = rest.takeWhile(c => c != '.' && c != '#')
-        if (lead.nonEmpty) { tag = Some(lead.toLowerCase); rest = rest.drop(lead.length) }
+        if (lead.nonEmpty) { tag = Some(lc(lead)); rest = rest.drop(lead.length) }
         while (rest.nonEmpty) {
           val marker = rest.head
           rest = rest.tail
@@ -213,13 +230,17 @@ object Html {
         val semi = s.indexOf(';', i + 1)
         if (semi > i && semi - i <= 10) {
           val body = s.substring(i + 1, semi)
+          // toChars stays INSIDE the Try: an out-of-range reference
+          // (&#x110000;, &#-1;) parses as an int but is not a valid
+          // code point, and "corrupt input never throws" is the parse
+          // contract — keep it literal text instead
           val rep: Option[String] =
             if (body.startsWith("#x") || body.startsWith("#X"))
-              scala.util.Try(Integer.parseInt(body.drop(2), 16))
-                .toOption.map(Character.toChars(_).mkString)
+              scala.util.Try(Character.toChars(
+                Integer.parseInt(body.drop(2), 16)).mkString).toOption
             else if (body.startsWith("#"))
-              scala.util.Try(body.drop(1).toInt)
-                .toOption.map(Character.toChars(_).mkString)
+              scala.util.Try(Character.toChars(body.drop(1).toInt)
+                .mkString).toOption
             else NamedEntities.get(body)
           rep match {
             case Some(r) => sb.append(r); i = semi + 1
@@ -280,7 +301,7 @@ object Html {
             val end = s.indexOf('>', lt)
             if (end < 0) i = n
             else {
-              closeTag(s.substring(lt + 2, end).trim.toLowerCase)
+              closeTag(lc(s.substring(lt + 2, end).trim))
               i = end + 1
             }
           case c if c.isLetter =>
@@ -290,9 +311,25 @@ object Html {
             if (VoidTags(tag) || selfClosed)
               top.children += Elem(tag, attrs, Vector.empty)
             else if (RawText(tag)) {
-              // raw content until the case-insensitive close tag
+              // raw content until the case-insensitive close tag. Scan
+              // with regionMatches on the ORIGINAL string — an
+              // s.toLowerCase copy can change LENGTH (U+0130 'İ'
+              // lowercases to 2 chars) and misalign every offset after
+              // it. html5lib only closes on "</tag" followed by a
+              // delimiter, so "</scripts>" inside a script must NOT
+              // terminate it.
               val close = "</" + tag
-              val idx = s.toLowerCase.indexOf(close, i)
+              var idx = -1
+              var j = i
+              while (idx < 0 && j <= n - close.length) {
+                if (s.regionMatches(true, j, close, 0, close.length)) {
+                  val after = j + close.length
+                  if (after >= n || s.charAt(after) == '>' ||
+                    s.charAt(after) == '/' || s.charAt(after).isWhitespace)
+                    idx = j
+                  else j += 1
+                } else j += 1
+              }
               val (content, next) =
                 if (idx < 0) (s.substring(i), n)
                 else {
@@ -325,7 +362,7 @@ object Html {
     val n = s.length
     val tagStart = i
     while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-')) i += 1
-    val tag = s.substring(tagStart, i).toLowerCase
+    val tag = lc(s.substring(tagStart, i))
     val attrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var selfClosed = false
     var done = false
@@ -343,7 +380,7 @@ object Html {
           while (i < n && !s.charAt(i).isWhitespace &&
             s.charAt(i) != '=' && s.charAt(i) != '>' &&
             s.charAt(i) != '/') i += 1
-          val name = s.substring(nameStart, i).toLowerCase
+          val name = lc(s.substring(nameStart, i))
           while (i < n && s.charAt(i).isWhitespace) i += 1
           var value = ""
           if (i < n && s.charAt(i) == '=') {

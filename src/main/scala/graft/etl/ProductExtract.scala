@@ -289,7 +289,7 @@ object ProductExtract {
       product_band = site.websiteName,
       category_name = Seq(category),
       product_image = metaImage.toSeq,
-      product_image_name = if (name.nonEmpty) Seq(name.toLowerCase) else Nil,
+      product_image_name = if (name.nonEmpty) Seq(name.toLowerCase(java.util.Locale.ROOT)) else Nil,
       product_code = "",
       product_description = "", // `:600` commented out in the reference
       product_unit_price = price)
@@ -340,6 +340,14 @@ object ProductExtract {
     dir + url
   }
 
+  // class-regex patterns are config constants matched once per page
+  // row — memoize the compiled forms (TrieMap: executor tasks share
+  // the cache lock-free)
+  private val classPatterns = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.regex.Pattern]
+  private def classPattern(p: String): java.util.regex.Pattern =
+    classPatterns.getOrElseUpdate(p, java.util.regex.Pattern.compile(p))
+
   /** `scrape_website`'s PARSE half (`menus_crawling.py:22-57`): menu
     * containers = elements with `tagName` whose class list regex-
     * matches `menuSelector` (bs4 `attrs={"class": re.compile(...)}`
@@ -362,9 +370,9 @@ object ProductExtract {
       : Either[String, Seq[String]] =
     try {
       val bs = Html.parse(html)
-      val re = java.util.regex.Pattern.compile(menuSelector)
+      val re = classPattern(menuSelector)
       val menus = bs.descendants.filter(e =>
-        e.tag == tagName.toLowerCase &&
+        e.tag == Html.lc(tagName) &&
           e.classes.exists(c => re.matcher(c).find())).toSeq
       val out = ArrayBuffer.empty[String]
       val seen = scala.collection.mutable.HashSet.empty[String]
@@ -406,11 +414,10 @@ object ProductExtract {
       websitePath: String): Either[String, Seq[String]] =
     try {
       val bs = Html.parse(html)
-      val re = java.util.regex.Pattern
-        .compile(productSelector.replace(".", ""))
+      val re = classPattern(productSelector.replace(".", ""))
       val base = websitePath.reverse.dropWhile(_ == '/').reverse
       val urls = bs.descendants
-        .filter(e => e.tag == productTag.toLowerCase &&
+        .filter(e => e.tag == Html.lc(productTag) &&
           e.classes.exists(c => re.matcher(c).find()))
         .flatMap { card =>
           // Python falsy: an EMPTY card href also falls through to the

@@ -286,11 +286,14 @@ case class PqAdc(left: Expression, right: Expression)
     val table = b.asInstanceOf[ArrayData]
     val n = codes.numElements()
     if (n == 0) return 0.0
-    // contract checks (interpreted path only — the codegen hot loop
-    // stays branch-free): a table that is not m uniform blocks, or a
-    // code outside [0, ncent), would otherwise silently read the
-    // wrong block's entry. PqModel enforces uniform codebooks at
-    // train time; this catches hand-built tables/codes.
+    // contract checks — interpreted path ONLY, a deliberate asymmetry:
+    // the codegen hot loop (the 100 TB scan path) stays branch-free,
+    // so a malformed hand-built table/code evaluated under whole-stage
+    // codegen still misindexes silently. That trade is acceptable
+    // because every in-repo producer (PqModel.lookupTable + encode,
+    // uniformity REQUIREd at construction) satisfies the contract by
+    // construction; the checks exist to catch hand-assembled inputs,
+    // which surface through interpreted eval in tests/REPL use first.
     if (table.numElements() % n != 0)
       throw new IllegalArgumentException(
         s"graft_pq_adc: table length ${table.numElements()} is not a " +

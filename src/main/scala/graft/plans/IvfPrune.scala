@@ -54,7 +54,15 @@ object KnnIvfCatalog {
   /** The query's nprobe nearest cells, computed driver-side. A
     * dimension mismatch between query and centroids means the plan is
     * being pruned with the WRONG index — fail loudly rather than
-    * truncate the distance loop and return silently wrong cells. */
+    * truncate the distance loop and return silently wrong cells.
+    *
+    * Ordering term is sqrt(ss) — the SAME value the expression forms
+    * (graft_l2_distance / IvfIndex.cellCandidates) sort by. Sorting
+    * raw squared sums here would be monotone-equivalent EXCEPT when
+    * sqrt collapses two squared distances a few ulps apart into equal
+    * doubles: the expression then falls to its cell-id tiebreak while
+    * a squared-sum sort still ranks them strictly, and a divergent
+    * cell set at the nprobe cutoff silently drops probed candidates. */
   def probeCells(meta: IvfMeta, q: Seq[Double]): Seq[Long] =
     meta.centroids
       .map { case (cell, c) =>
@@ -64,7 +72,7 @@ object KnnIvfCatalog {
         var ss = 0.0
         var i = 0
         while (i < c.length) { val d = c(i) - q(i); ss += d * d; i += 1 }
-        (ss, cell)
+        (math.sqrt(ss), cell)
       }
       .sortBy(identity)
       .take(meta.nprobe)

@@ -160,6 +160,23 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("raw-text close detection: no offset drift past 'İ', no early " +
+      "close on longer tag names, out-of-range entities stay literal") {
+    // U+0130 lowercases to TWO chars — a lowercased-copy scan would
+    // misalign every offset after it and corrupt the rest of the doc
+    val doc = parse("<p>İstanbul</p><script>x</script><b>after</b>")
+    assert(doc.selectOne("b").map(_.text).contains("after"))
+    assert(doc.selectOne("script").map(_.text).contains("x"))
+    // "</scripts>" inside a script is CONTENT (html5lib requires a
+    // delimiter after the tag name), "</SCRIPT>" closes case-insensitively
+    val doc2 = parse("""<script>a = "</scripts>";</SCRIPT><p>t</p>""")
+    assert(doc2.selectOne("script").get.text.contains("</scripts>"))
+    assert(doc2.selectOne("p").map(_.text).contains("t"))
+    // numeric reference beyond U+10FFFF: never throws, stays literal
+    assert(parse("<p>&#x110000; &#1114112; ok</p>")
+      .selectOne("p").get.text.endsWith("ok"))
+  }
+
   test("comments and doctype are skipped; truncated input never throws") {
     val doc = parse(
       "<!DOCTYPE html><!-- <div>not real</div> --><p>ok</p><div class=")

@@ -64,6 +64,13 @@ object BenchReport {
   private def jsNum(d: Double): String =
     if (d.isNaN || d.isInfinite) "null" else d.toString
 
+  /** Env-sourced values (cpus, sf) splice as bare numbers only when
+    * they ARE numbers — SPARK_GRAFT_CPUS="*" is a legal local[N]
+    * setting and a raw splice would make the whole artifact
+    * unparseable. */
+  private def jsNumOrStr(s: String): String =
+    if (s.matches("-?\\d+(\\.\\d+)?")) s else jsStr(s)
+
   private def arr(xs: Iterable[String]) = xs.mkString("[", ",", "]")
   private def obj(kvs: Iterable[(String, String)]) =
     kvs.map { case (k, v) => jsStr(k) + ":" + v }.mkString("{", ",", "}")
@@ -95,7 +102,7 @@ object BenchReport {
     obj(Seq(
       "iters" -> iters.toString,
       "sf_dir" -> jsStr(sfDir),
-      "cpus" -> cpus,
+      "cpus" -> jsNumOrStr(cpus),
       "env" -> env,
       "steady" -> obj(steady.map { case (k, v) => k -> jsNum(v) }),
       "cold" -> obj(results.map(q => q.name -> jsNum(q.times.head))),
@@ -118,7 +125,7 @@ object BenchReport {
       "metric" -> jsStr("engine_total_steady_sec"),
       "value" -> r3(engineTotal),
       "unit" -> jsStr("sec"),
-      "sf" -> sfNum,
+      "sf" -> jsNumOrStr(sfNum),
       "iters" -> iters.toString,
       "nq" -> steady.size.toString,
       "failed" -> steady.count(_._2 == -1.0).toString,

@@ -170,7 +170,12 @@ object Html {
         val classes = ArrayBuffer.empty[String]
         var rest = p
         val lead = rest.takeWhile(c => c != '.' && c != '#')
-        if (lead.nonEmpty) { tag = Some(lc(lead)); rest = rest.drop(lead.length) }
+        // the universal selector matches anything (tag = None), same
+        // as an omitted tag — NOT a literal tag named "*"
+        if (lead.nonEmpty) {
+          if (lead != "*") tag = Some(lc(lead))
+          rest = rest.drop(lead.length)
+        }
         while (rest.nonEmpty) {
           val marker = rest.head
           rest = rest.tail
@@ -301,7 +306,11 @@ object Html {
             val end = s.indexOf('>', lt)
             if (end < 0) i = n
             else {
-              closeTag(lc(s.substring(lt + 2, end).trim))
+              // close on the TAG NAME only: tag soup like `</div id=x>`
+              // must still close the div (html5lib drops the junk), not
+              // silently no-op and swallow the rest of the page
+              closeTag(lc(s.substring(lt + 2, end).trim
+                .takeWhile(!_.isWhitespace)))
               i = end + 1
             }
           case c if c.isLetter =>

@@ -422,14 +422,24 @@ object BenchSuite extends QuerySuite {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt.toString)
         .start()
-      q.awaitTermination()
-      // best-effort checkpoint cleanup (bench runs 3 iterations; a
-      // leaked tmp dir per iteration would accumulate state files)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case scala.util.control.NonFatal(_) => () }
+      try q.awaitTermination()
+      finally {
+        // the bench watchdog CANNOT cancel a streaming query (its
+        // microbatch jobs run under the stream-execution thread's job
+        // group, not the worker's), and an interrupted worker dies
+        // rather than surviving — so without this stop a timed-out
+        // stream would keep running, overlapping every later timing
+        // with no taint mark. Stop it on EVERY exit path.
+        try { if (q.isActive) q.stop() }
+        catch { case scala.util.control.NonFatal(_) => () }
+        // best-effort checkpoint cleanup (bench runs 3 iterations; a
+        // leaked tmp dir per iteration would accumulate state files)
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
       // the timed work happened above; hand the harness a trivial frame
       s.range(1).toDF("ok")
     })

@@ -46,10 +46,23 @@ object EventStreams {
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the file SOURCE requires a directory path — point it at the sf
     // dir and glob-filter down to the events file
-    spark.readStream.schema(raw)
+    val stream = spark.readStream.schema(raw)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", col("ts").cast(TimestampType))
+    // the EXACT per-encoding rule graft.Tables applies on the batch
+    // path: a Long column is a NANOSECOND epoch (the pre-round-8
+    // fixture encoding) — a bare cast would read it as SECONDS and
+    // produce absurd event times, silently breaking every watermark
+    raw("ts").dataType match {
+      case TimestampType => stream
+      case LongType => stream.withColumn("ts",
+        expr("timestamp_micros(ts div 1000)").cast(TimestampType))
+      case TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected physical type $other — update " +
+          "eventsFileStream alongside graft.Tables")
+    }
   }
 
   /** Watermarked tumbling-window aggregation (streaming twin of e01):

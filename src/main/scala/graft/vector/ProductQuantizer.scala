@@ -298,8 +298,10 @@ object ProductQuantizer {
     // PartitionFilters (read nprobe directories, not the corpus);
     // in-memory it is a no-op-cost row filter. The driver twin
     // ([[graft.plans.KnnIvfCatalog.probeCells]]) orders by
-    // (squared distance, cell) — identical order to the expression
-    // form's (sqrt distance, cell), so the filter set is EXACTLY the
+    // (sqrt distance, cell) — BIT-IDENTICAL to the expression form
+    // (same summation order, same sqrt, same cell tiebreak; see the
+    // probeCells scaladoc for why sorting raw squared sums instead
+    // would diverge at ulp ties) — so the filter set is EXACTLY the
     // joined set, never a semantic change.
     val meta = graft.plans.KnnIvfCatalog.IvfMeta(index.centroids, nprobe)
     val probed: Seq[Long] = qrows.toSeq

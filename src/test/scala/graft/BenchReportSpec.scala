@@ -80,4 +80,13 @@ class BenchReportSpec extends AnyFunSuite {
     assert((doc \ "sf_dir") == JString("dir\"with\\quote"))
     assert((doc \ "steady" \ "q\"x") == JDouble(1.0))
   }
+
+  test("non-numeric cpus (local[*]) stays parseable as a string") {
+    val doc = JsonMethods.parse(fullJson(1, "d", "*",
+      Seq(QueryResult("q", Seq(iter(1.0))))))
+    assert((doc \ "cpus") == JString("*"))
+    val num = JsonMethods.parse(fullJson(1, "d", "32",
+      Seq(QueryResult("q", Seq(iter(1.0))))))
+    assert((num \ "cpus") == JInt(32))
+  }
 }

@@ -177,6 +177,20 @@ class HtmlSpec extends AnyFunSuite {
       .selectOne("p").get.text.endsWith("ok"))
   }
 
+  test("close tags with junk attributes close on the tag name; the " +
+      "universal selector matches anything") {
+    // html5lib closes `</div id=x>` on the div — a no-op here would
+    // leave the div open and swallow the rest of the page
+    val doc = parse("""<div class=a>in</div id="x"><p>out</p>""")
+    assert(doc.selectOne("div.a").get.text == "in")
+    assert(doc.selectOne("div.a p").isEmpty, "trailing <p> was swallowed")
+    // '*' is the CSS universal selector, not a tag named "*"
+    val doc2 = parse("<div><span class=c><i>x</i></span></div>")
+    assert(doc2.select("*").map(_.tag) == Seq("div", "span", "i"))
+    assert(doc2.selectOne("div * i").map(_.text).contains("x"))
+    assert(doc2.selectOne("*.c").get.tag == "span")
+  }
+
   test("comments and doctype are skipped; truncated input never throws") {
     val doc = parse(
       "<!DOCTYPE html><!-- <div>not real</div> --><p>ok</p><div class=")

@@ -79,7 +79,14 @@ object EmbeddingPipeline {
 
   /** Top-k semantic search with catalog join-back (ref `test_search` +
     * `get_product_details`, `:364-493`): embed the query, kNN over the
-    * store, join metadata back, score = 1 - distance (V4). */
+    * store, join metadata back, score = 1 - distance (V4).
+    *
+    * Contract: `store` is scanned TWICE (once by the kNN, once for the
+    * id→code join-back) — the reference's store is a materialized
+    * vector table and so should this one be; pass a read-from-disk or
+    * cached frame, not an expensive live computation (a computed store
+    * re-runs its whole upstream per scan, as v13 deliberately
+    * demonstrates at fixture scale). */
   def search(store: DataFrame, catalog: DataFrame,
       queryText: String, embedder: TextEmbedder, k: Int): DataFrame = {
     val spark = store.sparkSession

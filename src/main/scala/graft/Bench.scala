@@ -90,10 +90,139 @@ object Bench {
       .sum / (1024 * 1024)
     catch { case scala.util.control.NonFatal(_) => -1L }
 
+  // ---- forked family-JVM mode (VERDICT r10 item 1, the optional
+  // half): SPARK_GRAFT_BENCH_FORK=1 runs the registry in fresh child
+  // JVMs, one per query-family group, so one family's late-run heap
+  // pressure or codegen-cache growth can never contaminate another's
+  // numbers. Each child is THIS main with SPARK_GRAFT_BENCH_ONLY set,
+  // writing BENCH_PARTIAL.json into its own temp cwd; the parent
+  // merges the partials into one BENCH_FULL.json. A child that fails
+  // falls back to running its group in-process — a degraded artifact
+  // beats no artifact. Default OFF: the per-iteration telemetry is the
+  // primary self-diagnosis; forking is the isolation lever on top. ----
+
+  /** Family key = the name prefix up to the first digit run's end
+    * (r01→r, d06→d, x17→x …), grouped into 3 balanced child JVMs. */
+  private def familyGroups(names: Seq[String]): Seq[Seq[String]] = {
+    val byFam = names.groupBy(_.takeWhile(!_.isDigit)).toSeq.sortBy(_._1)
+    val groups = Array.fill(3)(Vector.empty[String])
+    // largest-first into the emptiest bucket: coarse balance is enough
+    byFam.sortBy(-_._2.size).foreach { case (_, qs) =>
+      val i = groups.indices.minBy(groups(_).size)
+      groups(i) = groups(i) ++ qs
+    }
+    groups.filter(_.nonEmpty).toSeq
+  }
+
+  /** Run one group in a child JVM (same classpath + JVM flags as this
+    * one — run/fork gives a real -cp); returns the parsed partial or
+    * None on any failure. */
+  private def runForked(group: Seq[String]): Option[org.json4s.JValue] =
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-fork")
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(System.getProperty("java.home") + "/bin/java")
+      jvmArgs.forEach(a => cmd.add(a))
+      cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+      cmd.add("graft.Bench")
+      val pb = new ProcessBuilder(cmd)
+      pb.directory(tmp.toFile)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", group.mkString(","))
+      pb.environment().remove("SPARK_GRAFT_BENCH_FORK") // no recursion
+      pb.redirectErrorStream(false)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT) // keep progress
+      val p = pb.start()
+      val rc = p.waitFor()
+      val f = tmp.resolve("BENCH_PARTIAL.json")
+      if (rc == 0 && java.nio.file.Files.exists(f))
+        Some(org.json4s.jackson.JsonMethods.parse(
+          new String(java.nio.file.Files.readAllBytes(f), "UTF-8")))
+      else {
+        System.err.println(s"[bench] forked group rc=$rc — " +
+          "falling back in-process")
+        None
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] fork failed (${e.getMessage}) — " +
+          "falling back in-process")
+        None
+    }
+
+  /** Reconstruct per-query results from a child's BENCH_PARTIAL detail
+    * block (per-iteration tainted granularity collapses to the
+    * per-query flag, which is what every consumer reads). */
+  private def resultsFromPartial(doc: org.json4s.JValue)
+      : Seq[BenchReport.QueryResult] = {
+    import org.json4s._
+    val detail = (doc \ "detail").asInstanceOf[JObject]
+    detail.obj.map { case (name, d) =>
+      def longs(k: String) = (d \ k).asInstanceOf[JArray]
+        .arr.map(_.asInstanceOf[JInt].num.toLong)
+      def dbls(k: String) = (d \ k).asInstanceOf[JArray].arr.map {
+        case JDouble(x) => x
+        case JInt(x) => x.toDouble
+        case _ => Double.NaN
+      }
+      val tainted = (d \ "tainted") == JBool(true)
+      val iters = dbls("times").lazyZip(longs("gc_ms"))
+        .lazyZip(longs("cpu_ms")).toSeq
+        .zipWithIndex.map { case ((sec, gc, cpu), i) =>
+          BenchReport.Iter(sec, gc, longs("gc_n")(i), cpu,
+            longs("heap_mb")(i), longs("storage_mb")(i),
+            dbls("load")(i), tainted)
+        }
+      BenchReport.QueryResult(name, iters)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    // optional comma-separated name filter for targeted iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val forkMode =
+      sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("1") && only.isEmpty
+
+    val results: Seq[BenchReport.QueryResult] =
+      if (!forkMode) runRegistry(only, sfDir, cpus, iters)
+      else {
+        val allNames =
+          (SparkEntry.queries ++ SparkEntry.benchOnlyQueries).keys.toSeq
+        familyGroups(allNames).flatMap { group =>
+          runForked(group) match {
+            case Some(doc) => resultsFromPartial(doc)
+            case None => runRegistry(Some(group.toSet), sfDir, cpus, iters)
+          }
+        }
+      }
+
+    // full-precision detail file (every query, all iterations + the
+    // per-iteration GC/CPU/load/memory evidence — see BenchReport).
+    // Filtered (SPARK_GRAFT_BENCH_ONLY) runs write BENCH_PARTIAL.json:
+    // a targeted iteration must never clobber the committed
+    // full-registry artifact (it did, twice, in round 10).
+    val detailFile =
+      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
+      BenchReport.fullJson(iters, sfDir, cpus, results).getBytes("UTF-8"))
+
+    val sfNum = raw".*sf([0-9.]+)/?$$".r
+      .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0.1")
+    // ONE compact line, printed last so it survives tail truncation
+    println(BenchReport.headlineJson(
+      results, iters, sfNum, Headline, AbBaselines, detailFile))
+  }
+
+  /** The in-process registry run: one SparkSession, `iters` timed
+    * passes per (filtered) query, telemetry per iteration. */
+  private def runRegistry(only: Option[Set[String]], sfDir: String,
+      cpus: String, iters: Int): Seq[BenchReport.QueryResult] = {
     val spark = GraftSession.builder(cpus).getOrCreate()
     // ERROR, not WARN: benign-but-noisy warnings (e.g. WindowExec's
     // single-partition notice on provably-tiny dim frames) would flood
@@ -174,9 +303,6 @@ object Bench {
         tainted = taintedBefore || zombieActive)
     }
 
-    // optional comma-separated name filter for targeted iteration
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -189,27 +315,12 @@ object Bench {
           rs.map(i => f"${i.sec}%.2f(gc=${i.gcMs}ms)").mkString(","))
         BenchReport.QueryResult(name, rs)
       }.toSeq
-
-    // full-precision detail file (every query, all iterations + the
-    // per-iteration GC/CPU/load/memory evidence — see BenchReport).
-    // Filtered (SPARK_GRAFT_BENCH_ONLY) runs write BENCH_PARTIAL.json:
-    // a targeted iteration must never clobber the committed
-    // full-registry artifact (it did, twice, in round 10).
-    val detailFile =
-      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
-    java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
-      BenchReport.fullJson(iters, sfDir, cpus, results).getBytes("UTF-8"))
-
-    val sfNum = raw".*sf([0-9.]+)/?$$".r
-      .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0.1")
-    // ONE compact line, printed last so it survives tail truncation
-    println(BenchReport.headlineJson(
-      results, iters, sfNum, Headline, AbBaselines, detailFile))
     // cache hygiene: the suite memos pin executor storage per (session,
     // dir) — release before stop so a reused/long-lived session (or a
-    // follow-on main in the same JVM) starts from storage baseline
+    // fallback group in the same JVM) starts from storage baseline
     graft.queries.DedupSuite.releaseCaches(spark)
     graft.queries.BenchSuite.releaseCaches(spark)
     spark.stop()
+    results
   }
 }

@@ -36,6 +36,28 @@ class PiiScrubSpec extends SparkSpec {
     assert(nc == 1L && ni == 1L)
   }
 
+  test("redaction is idempotent: tokens never re-match any pattern " +
+      "(property over generated PII mixes)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val frag = Gen.oneOf(
+      Gen.const("plain words here"),
+      Gen.choose(1, 999).map(n => s"u$n@ex$n.com"),
+      Gen.choose(100, 999).map(n => s"+84 $n 4567"),
+      Gen.choose(0, 255).map(n => s"10.$n.0.7"),
+      Gen.choose(1000, 9999).map(n => s"4111-2222-3333-$n"),
+      Gen.const("almost@ nope 1.2.3 +x 1234-12"))
+    val gen = Gen.listOfN(6, frag).map(_.mkString(" "))
+    (1 to 40).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(11L + i)).foreach { s0 =>
+        val once = scrubOne(s0)._1
+        val twice = PiiScrub.scrub(Seq(once).toDF("t"), "t")
+          .select("t_redacted").as[String].head()
+        assert(once == twice, s"not idempotent on '$s0'")
+      }
+    }
+  }
+
   test("patterns avoid engine-divergent constructs") {
     // the cross-engine contract (t12 oracle): no word boundaries,
     // lookaround, or backreferences — RE2 rejects/diverges on those

@@ -43,6 +43,28 @@ class RepetitionGatesSpec extends SparkSpec {
     assert(out == Set(2L))
   }
 
+  test("keep is monotone in the thresholds (loosening never drops a " +
+      "previously-kept doc)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val words = Vector("a", "b", "c", "d", "e")
+    val docGen = Gen.choose(4, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(words)))
+    (1 to 12).foreach { i =>
+      docGen.apply(Gen.Parameters.default, Seed(23L + i)).foreach { ws =>
+        val df = Seq((1L, ws)).toDF("id", "ws")
+        def keep(t: RepetitionGates.Thresholds) =
+          RepetitionGates.signals(df, "id", "ws", t)
+            .select("keep").as[Boolean].collect().headOption
+        val strict = keep(RepetitionGates.Thresholds(0.2, 0.1, 0.2))
+        val loose = keep(RepetitionGates.Thresholds(0.9, 0.9, 0.9))
+        // strict-kept implies loose-kept; both None only for <2 tokens
+        assert(!strict.contains(true) || loose.contains(true),
+          s"monotonicity violated for $ws")
+      }
+    }
+  }
+
   test("custom thresholds move the gate") {
     val strict = RepetitionGates.signals(
       Seq((1L, Seq("a", "b", "a", "c", "a", "d"))).toDF("id", "ws"),

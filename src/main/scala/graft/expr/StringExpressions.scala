@@ -123,3 +123,98 @@ object DupFraction {
     dups.toDouble / total
   }
 }
+
+/** One-pass repetition statistics of a token array (the t13 Gopher-
+  * style gates): struct(top_uni = multiplicity of the most frequent
+  * unigram — null tokens counting as one group, exactly like a groupBy
+  * null group; top_bi / dup_bi = multiplicity of the most frequent
+  * bigram and total bigram mass in bigrams occurring more than once).
+  * Bigrams compare as their space-joined text with array_join's
+  * null-skipping, identical to [[graft.functions.TextOps.shingles]] —
+  * so the numbers are bit-identical to the relational explode→groupBy
+  * form (RepetitionGatesSpec pins all three paths row-for-row).
+  *
+  * Scale rationale: these are per-document signals of in-row data.
+  * The relational form shuffles the tokenized corpus twice; Spark's
+  * `aggregate` higher-order fold is exchange-free but CodegenFallback
+  * (per-element interpreted eval). This expression streams both n-gram
+  * tallies through two open hash maps in ONE traversal inside codegen. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types._
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_uni", LongType, nullable = false),
+    StructField("top_bi", LongType, nullable = false),
+    StructField("dup_bi", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_rep_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.stats(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.RepetitionStats.stats($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RepetitionStats {
+  def stats(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val uni = new java.util.HashMap[String, Array[Long]](n * 2)
+    var nulls = 0L
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      if (u == null) nulls += 1
+      else {
+        val c = uni.get(u.toString)
+        if (c == null) uni.put(u.toString, Array(1L)) else c(0) += 1
+      }
+      i += 1
+    }
+    var topUni = nulls
+    val uit = uni.values().iterator()
+    while (uit.hasNext) topUni = math.max(topUni, uit.next()(0))
+
+    val nBi = n - 1
+    var topBi = 0L
+    var dupBi = 0L
+    if (nBi > 0) {
+      val bi = new java.util.HashMap[String, Array[Long]](nBi * 2)
+      val sb = new java.lang.StringBuilder
+      i = 0
+      while (i < nBi) {
+        sb.setLength(0)
+        var appended = 0
+        var j = 0
+        while (j < 2) {
+          val u = arr.getUTF8String(i + j)
+          if (u != null) {
+            if (appended > 0) sb.append(' ')
+            sb.append(u.toString)
+            appended += 1
+          }
+          j += 1
+        }
+        val key = sb.toString
+        val c = bi.get(key)
+        if (c == null) bi.put(key, Array(1L)) else c(0) += 1
+        i += 1
+      }
+      val bit = bi.values().iterator()
+      while (bit.hasNext) {
+        val c = bit.next()(0)
+        if (c > topBi) topBi = c
+        if (c > 1) dupBi += c
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](topUni, topBi, dupBi))
+  }
+}

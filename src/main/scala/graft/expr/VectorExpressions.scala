@@ -592,6 +592,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "_FUNC_(s) - Unicode NFC normalization"),
       (es: Seq[Expression]) => NfcNormalize(es(0))))
+    ext.injectFunction((FunctionIdentifier("graft_rep_stats"),
+      info("graft_rep_stats",
+        "_FUNC_(toks) - struct(top_uni, top_bi, dup_bi) repetition " +
+          "tallies of a token array in one pass"),
+      (es: Seq[Expression]) => RepetitionStats(es(0))))
     ext.injectFunction((FunctionIdentifier("graft_dup_frac"),
       info("graft_dup_frac",
         "_FUNC_(toks, n) - duplicate n-gram fraction of a token array"),

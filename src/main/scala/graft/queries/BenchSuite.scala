@@ -462,6 +462,19 @@ object BenchSuite extends QuerySuite {
   private val x18 = streamArm("x18_stream_hh", (s, stream) =>
     graft.streaming.EventStreams.windowedHeavyHitters(stream))
 
+  /** x19 — A/B baseline for t13: the explode→groupBy repetition-gate
+    * form (two corpus-scale exchanges) vs the in-row zero-shuffle fold
+    * t13 now times. Identical output to t13 by construction
+    * (RepetitionGatesSpec pins both paths row-for-row). */
+  private val x19 = GraftQuery(
+    "x19_repetition_exploded",
+    (s, dir) =>
+      graft.ops.RepetitionGates.signalsExploded(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextOps.tokens(col("text")).as("ws")),
+        "doc_id", "ws"))
+
   override val suite: Seq[GraftQuery] =
     Seq(x02, x04, x07, x08, x11)
 
@@ -469,5 +482,6 @@ object BenchSuite extends QuerySuite {
     * point (x09/x10), but excluded from Verify/CORRECTNESS: baselines
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
-    Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16, x17, x18)
+    Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16, x17, x18,
+      x19)
 }

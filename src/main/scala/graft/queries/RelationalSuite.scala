@@ -320,19 +320,44 @@ object RelationalSuite extends QuerySuite {
   /** r17 — full CUBE (completes the grouping-analytics family next to
     * r16 ROLLUP and j07 GROUPING SETS): all four aggregation levels of
     * (returnflag, linestatus) with exact-decimal money sums. Same SQL
-    * surface both engines; null markers coalesced for the hash. */
+    * surface both engines; null markers coalesced for the hash.
+    *
+    * Scale note (100 TB): Spark's native `GROUP BY CUBE` plans Expand
+    * BEFORE the aggregate — every scanned row is replicated once per
+    * grouping set (4x here), so the CPU on the hot scan path is 4x the
+    * data. Because count/sum re-aggregate exactly (sum of partial
+    * decimal sums == the direct sum; cnt likewise), we instead
+    * aggregate the fact table ONCE on the finest level — 600k rows
+    * collapse to |distinct (flag,status)| ~ 6 — and only THEN expand
+    * that tiny frame into the four cube levels and re-aggregate. One
+    * full-width pass instead of four; the Expand multiplier applies to
+    * rows-after-aggregation, not rows-scanned. The per-level `lvl` tag
+    * mirrors grouping_id so genuinely-null base keys stay distinct
+    * rows from the subtotal null markers, exactly as native CUBE emits
+    * them; output is bit-identical to the oracle's native CUBE. */
   private val r17 = GraftQuery(
     "r17_cube",
     (s, dir) => {
-      Tables(s, dir, "lineitem")
-        .select("l_returnflag", "l_linestatus", "l_quantity")
-        .createOrReplaceTempView("graft_r17_src")
-      s.sql(s"""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
-          COALESCE(l_linestatus, 'ALL') AS l_linestatus,
-          COUNT(*) AS cnt,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-            AS sum_qty
-        FROM graft_r17_src GROUP BY CUBE (l_returnflag, l_linestatus)""")
+      val base = Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(Det.dec2(col("l_quantity"))).as("sq"))
+      val nullS = lit(null).cast("string")
+      def g(lvl: Int, rf: Column, ls: Column) =
+        struct(lit(lvl).as("lvl"), rf.as("rf"), ls.as("ls"))
+      base
+        .select(explode(array(
+            g(0, col("l_returnflag"), col("l_linestatus")),
+            g(1, col("l_returnflag"), nullS),
+            g(2, nullS, col("l_linestatus")),
+            g(3, nullS, nullS))).as("g"),
+          col("cnt"), col("sq"))
+        .groupBy(col("g.lvl"), col("g.rf"), col("g.ls"))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("sq")).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("rf"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("ls"), lit("ALL")).as("l_linestatus"),
+          col("cnt"), col("sum_qty"))
     },
     Some("""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
       COALESCE(l_linestatus, 'ALL') AS l_linestatus,

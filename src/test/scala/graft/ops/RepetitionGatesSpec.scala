@@ -65,6 +65,35 @@ class RepetitionGatesSpec extends SparkSpec {
     }
   }
 
+  test("codegen, in-row fold, and exploded groupBy paths agree " +
+      "row-for-row") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val words = Vector("a", "b", "c", "a a", "", "bb")
+    val docGen = Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(words)))
+    val docs = (1 to 40).flatMap(i =>
+      docGen.apply(Gen.Parameters.default, Seed(91L + i))
+        .map(ws => (i.toLong, ws)))
+    val df = docs.toDF("id", "ws").repartition(7)
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.select("id", "top_uni_frac", "top_bi_frac", "dup_bi_frac", "keep")
+        .as[(Long, Double, Double, Double, Boolean)].collect().sorted.toSeq
+    val codegen = rows(RepetitionGates.signals(df, "id", "ws"))
+    val fold = rows(RepetitionGates.signalsFold(df, "id", "ws"))
+    val exploded = rows(RepetitionGates.signalsExploded(df, "id", "ws"))
+    assert(codegen == exploded)
+    assert(fold == exploded)
+    assert(codegen.nonEmpty)
+  }
+
+  test("default path is exchange-free (pure projection)") {
+    val df = Seq((1L, Seq("a", "b", "a"))).toDF("id", "ws")
+    val plan = RepetitionGates.signals(df, "id", "ws")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("custom thresholds move the gate") {
     val strict = RepetitionGates.signals(
       Seq((1L, Seq("a", "b", "a", "c", "a", "d"))).toDF("id", "ws"),

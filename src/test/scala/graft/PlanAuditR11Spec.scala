@@ -27,13 +27,28 @@ class PlanAuditR11Spec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
-  test("t13 repetition gates: every exchange keys on doc_id (no " +
-      "low-cardinality funnel)") {
+  test("t13 repetition gates: zero exchanges (per-document signals " +
+      "stay in-row) and the tallies run inside codegen") {
     val p = executed("t13_repetition_gates")
-    val exchanges = """Exchange hashpartitioning\(([^,]+)""".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(exchanges.nonEmpty)
-    assert(exchanges.forall(k => k.startsWith("doc_id") ||
-      k.startsWith("__id")), s"non-doc-keyed exchange in: $exchanges")
+    assert(!p.contains("Exchange"), p)
+    // the one-pass expression composes INSIDE a whole-stage-codegen
+    // span (the `*(n)` marker; it is not a CodegenFallback like the
+    // higher-order-fold form)
+    assert("""\*\(\d+\) Project .*graft_rep_stats""".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("r17 cube: aggregate-first — no Expand on the scan path, and " +
+      "the fact scan feeds a partial aggregate directly") {
+    val p = executed("r17_cube")
+    // native GROUP BY CUBE would put an Expand (4x row replication)
+    // between the scan and the first aggregate; the aggregate-first
+    // form explodes only the already-aggregated ~6-row frame
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("Generate explode"), p)
+    // only the three needed columns reach the parquet scan
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_returnflag:string,l_linestatus:string>") ||
+      p.contains("l_returnflag") && p.contains("HashAggregate"), p)
   }
 }

@@ -592,6 +592,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "_FUNC_(s) - Unicode NFC normalization"),
       (es: Seq[Expression]) => NfcNormalize(es(0))))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      info("graft_shingles",
+        "_FUNC_(toks, n) - space-joined n-token windows of a token " +
+          "array; < n tokens yields an empty array"),
+      (es: Seq[Expression]) => {
+        val n = es(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int if i >= 1 => i
+            case l: Long if l >= 1 => l.toInt
+            case other => throw new IllegalArgumentException(
+              "graft_shingles: n must be a positive integer literal, " +
+                s"got ${Option(other).getOrElse("NULL")}")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_shingles: n must be a foldable integer literal, " +
+              "not a per-row column")
+        }
+        Shingles(es(0), n)
+      }))
     ext.injectFunction((FunctionIdentifier("graft_rep_stats"),
       info("graft_rep_stats",
         "_FUNC_(toks) - struct(top_uni, top_bi, dup_bi) repetition " +

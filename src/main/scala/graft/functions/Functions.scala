@@ -31,8 +31,21 @@ object TextOps {
   /** n-word shingles from a token array: positions 1..size-n+1. Docs
     * shorter than n tokens yield an empty array — without the guard,
     * sequence(1, size-n+1) would descend ([1,0]) and slice would throw
-    * on its 0 start (DuckDB's range(1,0) is empty instead). */
+    * on its 0 start (DuckDB's range(1,0) is empty instead).
+    *
+    * Default path is the one-pass codegen [[graft.expr.Shingles]]
+    * expression — the compositional form below is three nested
+    * CodegenFallback higher-order functions, re-evaluated interpreted
+    * per row, and was the dominant cost of every shingling query
+    * (1.8 s of t04's 2.1 s at sf0.1). `ShinglesSpec` pins the two
+    * forms element-for-element, nulls and short docs included. */
   def shingles(toks: Column, n: Int): Column =
+    call_function("graft_shingles", toks, lit(n))
+
+  /** The original higher-order-function composition, kept as the
+    * executable specification [[graft.expr.Shingles]] is pinned
+    * against. */
+  def shinglesHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))

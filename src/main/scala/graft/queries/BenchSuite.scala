@@ -475,6 +475,26 @@ object BenchSuite extends QuerySuite {
             graft.functions.TextOps.tokens(col("text")).as("ws")),
         "doc_id", "ws"))
 
+  /** x20 — A/B baseline for the codegen `graft_shingles` expression:
+    * t04's bigram profile built with the original higher-order
+    * composition (transform over sequence with array_join-of-slice —
+    * three nested CodegenFallback HOFs, interpreted per row).
+    * Identical output to t04 by construction (ShinglesSpec pins the
+    * two forms element-for-element). */
+  private val x20 = GraftQuery(
+    "x20_shingles_hof",
+    (s, dir) => {
+      import graft.functions.TextOps.{shinglesHof, tokens}
+      val counted = Tables(s, dir, "documents")
+        .select(col("lang"),
+          explode(shinglesHof(tokens(col("text")), 2)).as("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.Ops.topKPerGroupScalable(counted, Seq("lang"),
+          Seq(col("cnt").desc, col("bigram").asc), 5, "rnk")
+        .withColumn("rnk", col("rnk").cast("long"))
+    })
+
   override val suite: Seq[GraftQuery] =
     Seq(x02, x04, x07, x08, x11)
 
@@ -483,5 +503,5 @@ object BenchSuite extends QuerySuite {
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
     Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16, x17, x18,
-      x19)
+      x19, x20)
 }

@@ -163,18 +163,25 @@ case class RepetitionStats(child: Expression)
 }
 
 object RepetitionStats {
+  /** Tally keys are UTF8String (valid HashMap keys — value equality /
+    * hashCode over the bytes): unigram keys are views into the row's
+    * array data, bigram keys are built by the SAME
+    * `UTF8String.concatWs` null-skip join as [[Shingles.shingle]], so
+    * the two expressions cannot drift apart on null semantics. Both
+    * maps live only within one `stats` call, so the views never
+    * outlast the row they point into. */
   def stats(arr: org.apache.spark.sql.catalyst.util.ArrayData)
       : org.apache.spark.sql.catalyst.InternalRow = {
     val n = arr.numElements()
-    val uni = new java.util.HashMap[String, Array[Long]](n * 2)
+    val uni = new java.util.HashMap[UTF8String, Array[Long]](n * 2)
     var nulls = 0L
     var i = 0
     while (i < n) {
       val u = arr.getUTF8String(i)
       if (u == null) nulls += 1
       else {
-        val c = uni.get(u.toString)
-        if (c == null) uni.put(u.toString, Array(1L)) else c(0) += 1
+        val c = uni.get(u)
+        if (c == null) uni.put(u, Array(1L)) else c(0) += 1
       }
       i += 1
     }
@@ -186,23 +193,11 @@ object RepetitionStats {
     var topBi = 0L
     var dupBi = 0L
     if (nBi > 0) {
-      val bi = new java.util.HashMap[String, Array[Long]](nBi * 2)
-      val sb = new java.lang.StringBuilder
+      val bi = new java.util.HashMap[UTF8String, Array[Long]](nBi * 2)
       i = 0
       while (i < nBi) {
-        sb.setLength(0)
-        var appended = 0
-        var j = 0
-        while (j < 2) {
-          val u = arr.getUTF8String(i + j)
-          if (u != null) {
-            if (appended > 0) sb.append(' ')
-            sb.append(u.toString)
-            appended += 1
-          }
-          j += 1
-        }
-        val key = sb.toString
+        val key = UTF8String.concatWs(Shingles.SEP,
+          arr.getUTF8String(i), arr.getUTF8String(i + 1))
         val c = bi.get(key)
         if (c == null) bi.put(key, Array(1L)) else c(0) += 1
         i += 1
@@ -272,7 +267,7 @@ object Shingles {
   /** Method (not field) so generated Java can reference it. */
   def EMPTY(): org.apache.spark.sql.catalyst.util.ArrayData = empty
 
-  private val SEP = UTF8String.fromString(" ")
+  private[expr] val SEP = UTF8String.fromString(" ")
 
   def shingle(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {

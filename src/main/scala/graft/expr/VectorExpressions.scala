@@ -600,10 +600,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val n = es(1) match {
           case e if e.foldable => e.eval() match {
             case i: Int if i >= 1 => i
-            case l: Long if l >= 1 => l.toInt
+            case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
             case other => throw new IllegalArgumentException(
-              "graft_shingles: n must be a positive integer literal, " +
-                s"got ${Option(other).getOrElse("NULL")}")
+              "graft_shingles: n must be a positive int-range integer " +
+                s"literal, got ${Option(other).getOrElse("NULL")}")
           }
           case _ => throw new IllegalArgumentException(
             "graft_shingles: n must be a foldable integer literal, " +
@@ -623,10 +623,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val n = es(1) match {
           case e if e.foldable => e.eval() match {
             case i: Int if i >= 1 => i
-            case l: Long if l >= 1 => l.toInt
+            case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
             case other => throw new IllegalArgumentException(
-              "graft_dup_frac: n must be a positive integer literal, " +
-                s"got ${Option(other).getOrElse("NULL")}")
+              "graft_dup_frac: n must be a positive int-range integer " +
+                s"literal, got ${Option(other).getOrElse("NULL")}")
           }
           case _ => throw new IllegalArgumentException(
             "graft_dup_frac: n must be a foldable integer literal, " +

@@ -11,16 +11,18 @@ import org.apache.spark.sql.functions._
   * probability and are dropped before training.
   *
   * Scale shape: the signals are PER-DOCUMENT functions of tokens that
-  * are already in-row, so the default path is a pure projection — sort
-  * the token (and bigram) array in-row and fold run-length stats over
-  * it with `aggregate`. Zero exchanges: at corpus scale the previous
-  * explode→groupBy form shuffled the tokenized corpus (larger than the
-  * corpus itself) twice; this form shuffles nothing and pipelines with
-  * whatever scan/filter surrounds it. The exploded form is kept as
-  * [[signalsExploded]] for the measured A/B (bench arm x19). Fractions
-  * are ONE double division of two exact longs, so the numbers (and the
-  * threshold flags) are bit-reproducible across engines (oracled as
-  * t13). */
+  * are already in-row, so the default path is a pure projection — the
+  * codegen [[graft.expr.RepetitionStats]] expression tallies both
+  * n-gram multiplicities in one in-row traversal. Zero exchanges: at
+  * corpus scale the previous explode→groupBy form shuffled the
+  * tokenized corpus (larger than the corpus itself) twice; this form
+  * shuffles nothing and pipelines with whatever scan/filter surrounds
+  * it. The sort+`aggregate`-fold composition is kept as
+  * [[signalsFold]] (the pure-DataFrame ladder rung) and the exploded
+  * form as [[signalsExploded]] for the measured A/B (bench arm x19).
+  * Fractions are ONE double division of two exact longs, so the
+  * numbers (and the threshold flags) are bit-reproducible across
+  * engines (oracled as t13). */
 object RepetitionGates {
 
   /** Default thresholds (Gopher-ish, token-granularity). */

@@ -47,8 +47,11 @@ class PlanAuditR11Spec extends SparkSpec {
     assert(!p.contains("Expand"), p)
     assert(p.contains("Generate explode"), p)
     // only the three needed columns reach the parquet scan
-    assert(p.contains("ReadSchema: struct<l_quantity:double," +
-      "l_returnflag:string,l_linestatus:string>") ||
-      p.contains("l_returnflag") && p.contains("HashAggregate"), p)
+    val rs = """ReadSchema: struct<([^>]*)>""".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(Seq("l_quantity", "l_returnflag", "l_linestatus")
+      .forall(rs.contains), s"missing column in ReadSchema: $rs")
+    assert(rs.split(",").length == 3,
+      s"scan reads more than the three needed columns: $rs")
   }
 }

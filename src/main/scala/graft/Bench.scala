@@ -50,7 +50,7 @@ object Bench {
     * (x01 vs x02, x05 vs x04, x13 vs x12, x19 vs t13, x20 vs t04).
     * They exist to show the win, and belong in the artifact, but not
     * in the engine's headline total. */
-  private val AbBaselines =
+  private[graft] val AbBaselines =
     Set("x01_knn_lambda", "x05_topk_stock", "x13_asof_rangejoin",
       "x19_repetition_exploded", "x20_shingles_hof")
 

@@ -89,4 +89,12 @@ class BenchReportSpec extends AnyFunSuite {
       Seq(QueryResult("q", Seq(iter(1.0))))))
     assert((num \ "cpus") == JInt(32))
   }
+
+  test("AbBaselines name every stock arm and nothing else: all are " +
+      "registered bench-only queries (typo guard)") {
+    val benchOnly = SparkEntry.benchOnlyQueries.keySet
+    val unknown = Bench.AbBaselines -- benchOnly
+    assert(unknown.isEmpty,
+      s"AbBaselines not in the bench-only registry: $unknown")
+  }
 }

@@ -87,6 +87,26 @@ class RepetitionGatesSpec extends SparkSpec {
     assert(codegen.nonEmpty)
   }
 
+  test("all three paths agree on null-bearing token arrays (null " +
+      "tokens count as one group, like a groupBy null group)") {
+    val df = Seq(1L, 2L, 3L).toDF("id")
+      .withColumn("ws",
+        when(col("id") === 1,
+          array(lit("a"), lit(null), lit("a"), lit(null), lit(null)))
+          .when(col("id") === 2, array(lit(null).cast("string"), lit("b")))
+          .otherwise(array(lit("x"), lit("x"), lit(null))))
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.select("id", "top_uni_frac", "top_bi_frac", "dup_bi_frac", "keep")
+        .as[(Long, Double, Double, Double, Boolean)].collect().sorted.toSeq
+    val codegen = rows(RepetitionGates.signals(df, "id", "ws"))
+    val fold = rows(RepetitionGates.signalsFold(df, "id", "ws"))
+    val exploded = rows(RepetitionGates.signalsExploded(df, "id", "ws"))
+    assert(codegen == exploded, s"$codegen vs $exploded")
+    assert(fold == exploded, s"$fold vs $exploded")
+    // doc 1: nulls are the top unigram group (3 of 5)
+    assert(codegen.head._2 == 3.0 / 5.0, codegen.head)
+  }
+
   test("default path is exchange-free (pure projection)") {
     val df = Seq((1L, Seq("a", "b", "a"))).toDF("id", "ws")
     val plan = RepetitionGates.signals(df, "id", "ws")

@@ -51,23 +51,38 @@ object Tables {
       "lineitem" -> Seq("l_shipdate" -> TimestampNTZType))
   }
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Normalize one timestamp-encoded column to `target` by physical
+    * encoding: a Long column is a NANOSECOND epoch → integer-divide
+    * to us (the same truncation DuckDB applies reading a ns column);
+    * Timestamp/NTZ → cast; anything else throws. SHARED by the batch
+    * path above and the streaming events source
+    * ([[graft.streaming.EventStreams.eventsFileStream]]) so the two
+    * can never drift when the fixture's ts encoding changes — a bare
+    * cast of the ns-epoch form would read SECONDS and silently break
+    * every watermark. */
+  def normalizeTs(df: DataFrame, c: String,
+      actual: org.apache.spark.sql.types.DataType,
+      target: org.apache.spark.sql.types.DataType,
+      what: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types._
+    actual match {
+      case t if t == target => df
+      case LongType => df.withColumn(c,
+        expr(s"timestamp_micros($c div 1000)").cast(target))
+      case TimestampType | TimestampNTZType =>
+        df.withColumn(c, col(c).cast(target))
+      case other => throw new IllegalStateException(
+        s"$what: unexpected physical type $other — update " +
+          "Tables.normalizeTs callers")
+    }
+  }
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     canonicalTs.getOrElse(name, Nil).foldLeft(df) {
       case (d, (c, target)) =>
-        d.schema(c).dataType match {
-          case t if t == target => d
-          // ns epoch → integer-divide to us (the same truncation DuckDB
-          // applies reading a ns column), then cast to the canonical type
-          case LongType => d.withColumn(c,
-            expr(s"timestamp_micros($c div 1000)").cast(target))
-          case TimestampType | TimestampNTZType =>
-            d.withColumn(c, col(c).cast(target))
-          case other => throw new IllegalStateException(
-            s"$name.$c: unexpected physical type $other — update Tables")
-        }
+        normalizeTs(d, c, d.schema(c).dataType, target, s"$name.$c")
     }
   }
 }

@@ -149,8 +149,26 @@ object Html {
     def parse(css: String): Seq[Simple] =
       parsed.getOrElseUpdate(css, parseUncached(css))
 
+    /** Split on whitespace at paren depth 0 only — a
+      * `:contains(Next page)` label may legally contain spaces, and a
+      * blind `\s+` split would shear it into two bogus "selectors". */
+    private def topLevelParts(css: String): Seq[String] = {
+      val out = ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var depth = 0
+      css.trim.foreach { c =>
+        if (c == '(') { depth += 1; sb.append(c) }
+        else if (c == ')') { depth = math.max(0, depth - 1); sb.append(c) }
+        else if (c.isWhitespace && depth == 0) {
+          if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+        } else sb.append(c)
+      }
+      if (sb.nonEmpty) out += sb.toString
+      out.toSeq
+    }
+
     private def parseUncached(css: String): Seq[Simple] = {
-      val parts = css.trim.split("\\s+").filter(_.nonEmpty)
+      val parts = topLevelParts(css)
       require(parts.nonEmpty, s"empty selector: '$css'")
       parts.toSeq.map { p0 =>
         // peel one trailing :contains(...) before the feature gate

@@ -484,9 +484,27 @@ object ProductExtract {
     * the meta path's category; defaults to the product URL). One
     * map-side pass, no shuffle; corrupt/unextractable pages are
     * dropped (use [[productsFromHtmlSplit]] to keep them). */
+  /** Eagerly parse every configured selector so a config typo or an
+    * out-of-subset selector fails LOUDLY on the driver before any row
+    * runs. Without this, extractRow's per-row quarantine converts a
+    * config bug into "every row dropped/quarantined with the same
+    * message" — the silently-matching-nothing trap Html's parse gate
+    * exists to prevent, reintroduced one level up. `categoryTag` is a
+    * bare tag name (findAll), not a selector; `literal:` categories
+    * are not selectors either. */
+  private[etl] def validateSelectors(site: SiteConfig): Unit = {
+    val ds = site.selectors
+    (ds.name.toSeq ++ ds.code.toSeq ++ ds.description ++
+      ds.unitPrice.toSeq ++ ds.imageSelector.toSeq ++
+      ds.detailImage.toSeq ++
+      ds.originalCategory.filterNot(_.startsWith("literal:")).toSeq)
+      .foreach(Html.Selector.parse)
+  }
+
   def productsFromHtml(pages: DataFrame, site: SiteConfig,
       urlCol: String = "url", htmlCol: String = "html",
       categoryUrlCol: Option[String] = None): Dataset[ProductInfo] = {
+    validateSelectors(site)
     // single-consumer path: flatMap straight through — no cache (the
     // split variant caches because BOTH sides re-read the parse; here
     // caching would pin the whole parsed corpus for nothing at scale)
@@ -514,6 +532,7 @@ object ProductExtract {
       urlCol: String = "url", htmlCol: String = "html",
       categoryUrlCol: Option[String] = None)
       : (Dataset[ProductInfo], DataFrame) = {
+    validateSelectors(site)
     val spark = pages.sparkSession
     import spark.implicits._
     val catCol = categoryUrlCol.map(col).getOrElse(col(urlCol))

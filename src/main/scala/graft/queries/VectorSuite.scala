@@ -555,9 +555,57 @@ object VectorSuite extends QuerySuite {
     * [[graft.embed.EmbeddingPipeline.search]] top-k with catalog
     * join-back. All failure predicates are md5-of-input, so DuckDB
     * replays the exact degradation row-wise. */
+  private[graft] val V13QueryText =
+    "fresh strawberry cream cake" // md5 head '8': embeds
+  /** K is chosen so NO distance tie straddles the rank-K boundary at
+    * either fixture SF (K=8 had dist(8)==dist(9) at sf0.1 — the hit
+    * SET was then decided by the engine's internal tie order vs the
+    * oracle's doc_id order, i.e. cross-engine agreement by luck).
+    * V13BoundarySpec recomputes the boundary at both SFs and fails
+    * loudly if a fixture regeneration re-introduces a straddling tie
+    * — adjust K (or the query text) when it does. */
+  private[graft] val V13K = 17
+
+  /** v13's store+catalog construction through the REAL degraded-path
+    * operators — shared with the V13 boundary-guard spec, which
+    * asserts the fixture has no distance tie straddling rank K (the
+    * one place where the engine's internal-hash tie order and the
+    * oracle's doc_id tiebreak could legally diverge: the SET of hits
+    * is the contract, and a tie ACROSS the boundary changes the set). */
+  private[graft] def v13StoreCatalog(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import graft.embed.{EmbeddingPipeline, ExternalEmbedder, LlmFill}
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      // a deterministically-holey description column: ~1/7 empty,
+      // ~1/11 null — the two "missing" shapes LlmFill must fill
+      .withColumn("description",
+        when(col("doc_id") % 7 === 0, lit(""))
+          .when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("orig_"), col("lang"))))
+    val filled = LlmFill.fillMissing(docs, "description",
+      concat(lit("describe:"), col("doc_id").cast("string")),
+      FlakyTransport, batchSize = 1, maxAttempts = 2)
+    // embed text+description so the FILL is visible in distances
+    val toEmbed = filled.select(
+      col("doc_id").cast("string").as("product_code"),
+      concat_ws(" ", col("text"), col("description")).as("text"))
+    val store = EmbeddingPipeline.embedDocuments(
+        toEmbed, ExternalEmbedder(FlakyTransport, dim = 16,
+          maxAttempts = 2), batchSize = 1)
+      // zero vectors (thrown OR misshapen endpoint responses) are
+      // not indexable — their absence from the result set is the
+      // oracle-visible trace of the fallback
+      .filter(exists(col("embedding"), x => x =!= 0f))
+    val catalog = filled.select(
+      col("doc_id").cast("string").as("product_code"),
+      col("description"), col("lang"))
+    (store, catalog)
+  }
+
   private val v13 = {
-    val QueryText = "fresh strawberry cream cake" // md5 head '8': embeds
-    val K = 8
+    val QueryText = V13QueryText
+    val K = V13K
     val qvec = FlakyClient.featureHash16(QueryText)
     val qvecSql = qvec.map(_.toLong).mkString("[", ", ", "]")
     // v01's DuckDB twin of md5Long60 over the tokens of `col`
@@ -572,32 +620,8 @@ object VectorSuite extends QuerySuite {
     GraftQuery(
       "v13_degraded_pipeline",
       (s, dir) => {
-        import graft.embed.{EmbeddingPipeline, ExternalEmbedder, LlmFill}
-        val docs = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text"), col("lang"))
-          // a deterministically-holey description column: ~1/7 empty,
-          // ~1/11 null — the two "missing" shapes LlmFill must fill
-          .withColumn("description",
-            when(col("doc_id") % 7 === 0, lit(""))
-              .when(col("doc_id") % 11 === 0, lit(null).cast("string"))
-              .otherwise(concat(lit("orig_"), col("lang"))))
-        val filled = LlmFill.fillMissing(docs, "description",
-          concat(lit("describe:"), col("doc_id").cast("string")),
-          FlakyTransport, batchSize = 1, maxAttempts = 2)
-        // embed text+description so the FILL is visible in distances
-        val toEmbed = filled.select(
-          col("doc_id").cast("string").as("product_code"),
-          concat_ws(" ", col("text"), col("description")).as("text"))
-        val store = EmbeddingPipeline.embedDocuments(
-            toEmbed, ExternalEmbedder(FlakyTransport, dim = 16,
-              maxAttempts = 2), batchSize = 1)
-          // zero vectors (thrown OR misshapen endpoint responses) are
-          // not indexable — their absence from the result set is the
-          // oracle-visible trace of the fallback
-          .filter(exists(col("embedding"), x => x =!= 0f))
-        val catalog = filled.select(
-          col("doc_id").cast("string").as("product_code"),
-          col("description"), col("lang"))
+        import graft.embed.{EmbeddingPipeline, ExternalEmbedder}
+        val (store, catalog) = v13StoreCatalog(s, dir)
         EmbeddingPipeline.search(store, catalog, QueryText,
             ExternalEmbedder(FlakyTransport, dim = 16), K)
           // rank is tie-order-dependent (internal hash id); the SET of

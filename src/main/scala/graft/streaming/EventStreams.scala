@@ -50,19 +50,11 @@ object EventStreams {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
     // the EXACT per-encoding rule graft.Tables applies on the batch
-    // path: a Long column is a NANOSECOND epoch (the pre-round-8
-    // fixture encoding) — a bare cast would read it as SECONDS and
-    // produce absurd event times, silently breaking every watermark
-    raw("ts").dataType match {
-      case TimestampType => stream
-      case LongType => stream.withColumn("ts",
-        expr("timestamp_micros(ts div 1000)").cast(TimestampType))
-      case TimestampNTZType =>
-        stream.withColumn("ts", col("ts").cast(TimestampType))
-      case other => throw new IllegalStateException(
-        s"events.ts: unexpected physical type $other — update " +
-          "eventsFileStream alongside graft.Tables")
-    }
+    // path, via the same shared helper — so the streaming source can
+    // never drift from the batch read when the fixture's ts encoding
+    // changes
+    graft.Tables.normalizeTs(stream, "ts", raw("ts").dataType,
+      TimestampType, "events.ts")
   }
 
   /** Watermarked tumbling-window aggregation (streaming twin of e01):

@@ -53,6 +53,30 @@ class ShinglesSpec extends SparkSpec {
       3L -> Seq("")), cg)
   }
 
+  test("graft_dup_frac agrees with the compositional form over " +
+      "graft_shingles (pins the two n-gram key builders together)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tok = Gen.oneOf(Seq[Option[String]](
+      Some("a"), Some("b"), Some(""), Some("c c"), None))
+    val docGen = Gen.choose(0, 10).flatMap(k => Gen.listOfN(k, tok))
+    val docs = (1 to 50).flatMap(i =>
+      docGen.apply(Gen.Parameters.default, Seed(3L + i)).toSeq)
+    val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+      .toDF("id", "ws")
+    for (n <- Seq(1, 2, 3)) {
+      val g = TextOps.shingles(col("ws"), n)
+      val compositional = when(size(g) > 0,
+        (size(g) - size(array_distinct(g))).cast("double") /
+          size(g).cast("double")).otherwise(0.0)
+      val out = df.select(
+          call_function("graft_dup_frac", col("ws"), lit(n)).as("a"),
+          compositional.as("b"))
+        .as[(Double, Double)].collect()
+      out.foreach { case (a, b) => assert(a == b, s"n=$n: $a vs $b") }
+    }
+  }
+
   test("property: agreement on random token arrays") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -72,7 +72,12 @@ object Bench {
   private def processCpuMs(): Long =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case os: com.sun.management.OperatingSystemMXBean =>
-        os.getProcessCpuTime / 1000000L // ns -> ms; -1 stays negative
+        val ns = os.getProcessCpuTime
+        // keep the -1 "unsupported" sentinel intact: -1/1000000 is 0,
+        // which would read as "CPU flat" and manufacture contention
+        // evidence in the artifact instead of marking CPU telemetry
+        // absent
+        if (ns < 0) -1L else ns / 1000000L
       case _ => -1L
     }
 

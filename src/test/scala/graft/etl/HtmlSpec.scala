@@ -36,6 +36,37 @@ class HtmlSpec extends AnyFunSuite {
     assert(doc.selectOne("p").get.text == "t")
   }
 
+  test("self-closed raw-text tags still open raw-text state (HTML5 " +
+      "ignores the / on non-void elements)") {
+    val doc = parse("""<script src="a.js"/>var t = '<span class="sku">""" +
+      """FAKE</span>';</script><span class="sku">REAL</span>""")
+    // the script BODY must be opaque — no phantom span from the string
+    // literal, and the real span after </script> must survive
+    val spans = doc.select("span.sku")
+    assert(spans.map(_.text) == Seq("REAL"), spans.map(_.text))
+    assert(doc.selectOne("script").get.text.contains("FAKE"))
+  }
+
+  test("RCDATA (title/textarea) decodes entities; script/style stay " +
+      "byte-literal") {
+    val doc = parse("<title>Tom &amp; Jerry</title>" +
+      "<textarea>5 &lt; 6</textarea>" +
+      "<style>a::before { content: '&amp;'; }</style>")
+    assert(doc.selectOne("title").get.text == "Tom & Jerry")
+    assert(doc.selectOne("textarea").get.text == "5 < 6")
+    assert(doc.selectOne("style").get.text.contains("'&amp;'"))
+  }
+
+  test("HTML 4.01 named entities decode (accented product names)") {
+    val doc = parse("<h1>Caf&eacute; au lait &ndash; 5&deg; " +
+      "&euro;2 &frac12; &Agrave;&szlig;&trade;</h1>")
+    assert(doc.selectOne("h1").get.text ==
+      "Café au lait – 5° €2 ½ Àß™")
+    // unknown names still pass through as literal text
+    assert(parse("<p>&notanentity;</p>").selectOne("p").get.text ==
+      "&notanentity;")
+  }
+
   test("entity decoding in text and attributes") {
     val doc = parse(
       """<p title="A &amp; B">x &lt; y&#33; gi&#225; 5&nbsp;&#x20ab;</p>""")

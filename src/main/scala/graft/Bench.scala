@@ -326,6 +326,7 @@ object Bench {
     // fallback group in the same JVM) starts from storage baseline
     graft.queries.DedupSuite.releaseCaches(spark)
     graft.queries.BenchSuite.releaseCaches(spark)
+    graft.queries.VectorSuite.releaseCaches(spark)
     spark.stop()
     results
   }

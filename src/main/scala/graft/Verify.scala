@@ -70,6 +70,7 @@ object Verify {
     // cache hygiene: release the suite memos (see Bench) before stop
     graft.queries.DedupSuite.releaseCaches(spark)
     graft.queries.BenchSuite.releaseCaches(spark)
+    graft.queries.VectorSuite.releaseCaches(spark)
     spark.stop()
   }
 }

@@ -566,6 +566,34 @@ object VectorSuite extends QuerySuite {
     * — adjust K (or the query text) when it does. */
   private[graft] val V13K = 17
 
+  /** v13's persisted intermediates, one generation per session.
+    * [[graft.embed.EmbeddingPipeline.search]]'s contract says the
+    * store is a MATERIALIZED vector table (it scans the store twice;
+    * the reference's is a pgvector table, `generate_embeddings.py`
+    * writes it before `test_search` reads it) — so v13 persists the
+    * store and the LlmFill output instead of re-running the whole
+    * degraded pipeline once per scan (LlmFill 3x, embedder 2x: ~2.4 s
+    * of pure recompute at sf0.1). Bench iterations rebuild the query
+    * from scratch, so each iteration still pays exactly ONE full
+    * degraded-pipeline run + persist + search; building a new
+    * generation releases the previous one, and [[releaseCaches]]
+    * drops the last at session teardown (same lifecycle as
+    * DedupSuite/BenchSuite caches). */
+  private val v13Frames = scala.collection.concurrent.TrieMap
+    .empty[SparkSession, Seq[DataFrame]]
+
+  private def v13Persist(s: SparkSession, dfs: DataFrame*): Unit =
+    v13Frames.put(s, dfs)
+      // the previous generation belongs to a finished iteration —
+      // nothing reads it anymore; async release is safe and keeps the
+      // new iteration's timed region free of blocking block-removal
+      .foreach(_.foreach(_.unpersist(blocking = false)))
+
+  /** Lifecycle hook, called by Bench/Verify before `spark.stop()`. */
+  def releaseCaches(session: SparkSession): Unit =
+    v13Frames.remove(session)
+      .foreach(_.foreach(_.unpersist(blocking = true)))
+
   /** v13's store+catalog construction through the REAL degraded-path
     * operators — shared with the V13 boundary-guard spec, which
     * asserts the fixture has no distance tie straddling rank K (the
@@ -577,6 +605,14 @@ object VectorSuite extends QuerySuite {
     import graft.embed.{EmbeddingPipeline, ExternalEmbedder, LlmFill}
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"))
+      // the fixture is one small parquet file → ONE input partition →
+      // the whole per-row inference chain (MD5 failure predicates +
+      // per-token hashing) runs on a single core. One tiny hash
+      // shuffle buys full-width mapPartitions parallelism — the same
+      // move a real cluster needs when feeding model endpoints from a
+      // few large files (inference cost >> shuffle cost, here ~2 s
+      // serial vs ~5 ms of shuffle)
+      .repartition(col("doc_id"))
       // a deterministically-holey description column: ~1/7 empty,
       // ~1/11 null — the two "missing" shapes LlmFill must fill
       .withColumn("description",
@@ -584,8 +620,10 @@ object VectorSuite extends QuerySuite {
           .when(col("doc_id") % 11 === 0, lit(null).cast("string"))
           .otherwise(concat(lit("orig_"), col("lang"))))
     val filled = LlmFill.fillMissing(docs, "description",
-      concat(lit("describe:"), col("doc_id").cast("string")),
-      FlakyTransport, batchSize = 1, maxAttempts = 2)
+        concat(lit("describe:"), col("doc_id").cast("string")),
+        FlakyTransport, batchSize = 1, maxAttempts = 2)
+      // feeds BOTH the store build and the catalog — one LlmFill pass
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // embed text+description so the FILL is visible in distances
     val toEmbed = filled.select(
       col("doc_id").cast("string").as("product_code"),
@@ -597,9 +635,12 @@ object VectorSuite extends QuerySuite {
       // not indexable — their absence from the result set is the
       // oracle-visible trace of the fallback
       .filter(exists(col("embedding"), x => x =!= 0f))
+      // search's documented store contract: materialized, scanned twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val catalog = filled.select(
       col("doc_id").cast("string").as("product_code"),
       col("description"), col("lang"))
+    v13Persist(s, filled, store)
     (store, catalog)
   }
 

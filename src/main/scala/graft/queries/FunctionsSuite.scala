@@ -496,6 +496,15 @@ object FunctionsSuite extends QuerySuite {
           when(col("p_partkey") % 97 === 0, lit("<p>broken</p>"))
             .when(col("p_partkey") % 10 === 0, metaHtml)
             .otherwise(fullHtml).as("html"))
+          // one small parquet file -> one input partition -> 20k HTML
+          // parses on a single core (the v13 lesson). One tiny hash
+          // shuffle spreads the parse across the session's full width.
+          // The partition count is EXPLICIT: AQE's advisory size (64MB)
+          // would coalesce a few-MB shuffle right back to one partition
+          // — for a CPU-bound per-row stage the right parallelism
+          // follows cores, not bytes. Real crawled corpora arrive
+          // pre-split across many files and don't need this.
+          .repartition(s.sparkContext.defaultParallelism, col("url"))
         productsFromHtml(pages, site,
             categoryUrlCol = Some("category_url"))
           .toDF()

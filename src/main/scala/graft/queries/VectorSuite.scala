@@ -611,8 +611,11 @@ object VectorSuite extends QuerySuite {
       // shuffle buys full-width mapPartitions parallelism — the same
       // move a real cluster needs when feeding model endpoints from a
       // few large files (inference cost >> shuffle cost, here ~2 s
-      // serial vs ~5 ms of shuffle)
-      .repartition(col("doc_id"))
+      // serial vs ~5 ms of shuffle). The count is EXPLICIT because
+      // AQE's byte-based advisory coalescing would fold a few-MB
+      // shuffle back to one partition — CPU-bound per-row stages want
+      // core-count parallelism, not byte-count
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       // a deterministically-holey description column: ~1/7 empty,
       // ~1/11 null — the two "missing" shapes LlmFill must fill
       .withColumn("description",

@@ -383,7 +383,15 @@ object TextSuite extends QuerySuite {
     GraftQuery(
       "t11_cdc_chunks",
       (s, dir) => graft.ops.Chunking.cdcChunks(
-        Tables(s, dir, "documents"), w = W, mod = Mod),
+        // the fixture is one row group -> one scan partition; the
+        // explicit doc_id repartition both parallelizes the CPU-dense
+        // explode+hash map side AND pre-satisfies the per-doc window's
+        // required clustering, so no second exchange appears and AQE
+        // can't byte-coalesce the window stage back to one task. Real
+        // corpora arrive pre-split and skip this.
+        Tables(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        w = W, mod = Mod),
       Some(s"""WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos

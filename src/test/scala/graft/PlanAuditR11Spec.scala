@@ -12,12 +12,30 @@ class PlanAuditR11Spec extends SparkSpec {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
-  test("f20 html extraction: zero exchanges, scan pruned to the four " +
-      "page-building columns") {
+  test("f20 html extraction: exactly ONE exchange — the explicit " +
+      "parse-parallelism repartition — and a four-column pruned scan") {
     val p = executed("f20_html_extract")
-    assert(!p.contains("Exchange"), p)
+    // the single-row-group fixture would otherwise parse every page on
+    // one core; the query pins an explicit REPARTITION_BY_NUM so AQE's
+    // byte-based advisory coalescing cannot fold the tiny shuffle back
+    // to one task (its partition count survives into the final plan)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("REPARTITION_BY_NUM"), p)
     assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string," +
       "p_brand:string,p_type:string>"), p)
+  }
+
+  test("t11 cdc chunks: the explicit doc_id repartition is the ONLY " +
+      "exchange — the per-doc window reuses it instead of re-shuffling") {
+    val p = executed("t11_cdc_chunks")
+    // the repartition hash-clusters on doc_id, which satisfies the
+    // window's required child distribution through the explode's
+    // alias-aware partitioning propagation — EnsureRequirements must
+    // not insert a second exchange, and the explicit count keeps AQE
+    // from byte-coalescing the CPU-dense explode+hash+window stage
+    // back to one task
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("REPARTITION_BY_NUM"), p)
   }
 
   test("t12 pii scrub: a pure scan-parallel projection — zero " +

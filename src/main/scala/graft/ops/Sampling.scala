@@ -45,6 +45,38 @@ object Sampling {
       .withColumn("split", splitName(col("bucket"), trainPct, valPct))
   }
 
+  /** Leakage-guarded train/val/test split: hash-split on the near-dup
+    * CLUSTER representative instead of the row key, so a near-duplicate
+    * of a training document can never land in validation or test — the
+    * leakage a plain per-row [[hashSplit]] cannot prevent (two docs
+    * that differ by one word hash to unrelated buckets). `pairs` is
+    * the VERIFIED near-dup pair graph (e.g. LSH candidates → Jaccard
+    * verify, the d03→d04 pipeline); rows absent from it are singleton
+    * clusters (representative = own key). Output adds `rep` (the
+    * cluster representative: min key in the connected component),
+    * `bucket`, and `split`; whole clusters land in one split by
+    * construction since the bucket is a pure function of `rep`.
+    *
+    * Scale (100 TB): the component frame is bounded by the docs that
+    * appear in verified pairs — verifier OUTPUT, orders of magnitude
+    * smaller than the corpus — so AQE broadcasts the enrich join and
+    * the corpus never shuffles; the bucket is a codegen md5 projection.
+    * Keys and split assignment stay content-addressed, so incremental
+    * ingest keeps yesterday's test clusters in test (new pair evidence
+    * can merge clusters and move a MERGED cluster — the correct
+    * behavior: the alternative is leaking the newly-discovered dup). */
+  def leakageSplit(df: DataFrame, keyCol: String, pairs: DataFrame,
+      aCol: String = "a_id", bCol: String = "b_id",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val comp = NearDedup.components(pairs, aCol, bCol)
+      .withColumnRenamed("id", keyCol)
+    df.join(comp, Seq(keyCol), "left")
+      .withColumn("rep", coalesce(col("component"), col(keyCol)))
+      .drop("component")
+      .withColumn("bucket", hashBucket(col("rep")).cast("long"))
+      .withColumn("split", splitName(col("bucket"), trainPct, valPct))
+  }
+
   /** Cap rows per key (e.g. ≤N docs per domain/language so one crawl
     * host can't dominate the corpus): keep the `cap` rows with the
     * smallest content hash — an unbiased, reproducible per-key sample,

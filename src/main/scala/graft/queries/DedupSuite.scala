@@ -548,6 +548,86 @@ object DedupSuite extends QuerySuite {
       FROM sblocked GROUP BY block HAVING COUNT(*) > 2"""))
   }
 
+  /** d12 — leakage-guarded train/val/test split
+    * ([[graft.ops.Sampling.leakageSplit]], north-star curation op):
+    * hash-split on the near-dup cluster representative (d08's
+    * components over the d04-verified pair graph; singletons are their
+    * own cluster) so no near-dup pair ever straddles train/test — the
+    * guarantee c12's per-doc split cannot give. Result is the
+    * per-split audit frame (doc and cluster counts, bucket range); the
+    * atomicity property itself is pinned in SamplingSpec. The oracle
+    * recomputes components with DuckDB's recursive-CTE closure (d08's
+    * independent formulation) and re-derives the same md5 bucket. */
+  private val d12 = {
+    // DuckDB twin of md5Long60 (first 15 md5 hex chars as a long)
+    def duckH60(e: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1,16), i ->
+          CAST(strpos('0123456789abcdef', substring(md5($e),i,1)) - 1
+            AS BIGINT))), (a,b) -> a*16+b)"""
+    GraftQuery(
+      "d12_leakage_split",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"))
+        val pairs = d04.run(s, dir).select("a_id", "b_id")
+        graft.ops.Sampling.leakageSplit(docs, "doc_id", pairs)
+          // two-level aggregate: (split, rep) first — Expand-free
+          // distinct-cluster count, shuffles on the high-cardinality
+          // rep, and the bucket rides along (functionally dependent)
+          .groupBy("split", "rep")
+          .agg(count(lit(1)).as("nd"), min("bucket").as("bk"))
+          .groupBy("split")
+          .agg(sum("nd").as("n_docs"),
+            count(lit(1)).as("n_clusters"),
+            min("bk").as("min_bucket"), max("bk").as("max_bucket"))
+      },
+      Some(s"""WITH RECURSIVE $sigSql, $bandsSql,
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      words AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY 1),
+      inter AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS ni
+        FROM cand c
+        JOIN words wa ON wa.doc_id = c.a_id
+        JOIN words wb ON wb.doc_id = c.b_id AND wb.w = wa.w
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT i.a_id, i.b_id
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a_id
+        JOIN sizes sb ON sb.doc_id = i.b_id
+        WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.8),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src),
+      rep AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+      b AS (
+        SELECT rep, ${duckH60("CAST(rep AS VARCHAR)")} % 100 AS bucket
+        FROM rep)
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'validation'
+                  ELSE 'test' END AS split,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+        CAST(MIN(bucket) AS BIGINT) AS min_bucket,
+        CAST(MAX(bucket) AS BIGINT) AS max_bucket
+      FROM b GROUP BY 1"""))
+  }
+
   override val suite: Seq[GraftQuery] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
 }

@@ -36,6 +36,34 @@ class SamplingSpec extends SparkSpec {
     half.foreach { case (id, s) => assert(full(id) == s) }
   }
 
+  test("leakageSplit never lets a near-dup cluster straddle splits") {
+    // pair graph: {1,2,3} chained, {10,11} — plus 394 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = Sampling.leakageSplit(docs, "doc_id", pairs).cache()
+    assert(out.count() == 400) // enrich join drops/duplicates nothing
+    // cluster atomicity: one split (and one bucket) per representative
+    assert(out.groupBy("rep")
+      .agg(countDistinct("split").as("ns"), countDistinct("bucket").as("nb"))
+      .filter(col("ns") > 1 || col("nb") > 1).count() == 0)
+    // representative = min doc_id of the connected component
+    val reps = out.select("doc_id", "rep").as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).map(reps) == Seq(1L, 1L, 1L))
+    assert(Seq(10L, 11L).map(reps) == Seq(10L, 10L))
+    // singletons are their own cluster and match the plain hashSplit
+    val plain = Sampling.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val guarded = out.select("doc_id", "rep", "split")
+      .as[(Long, Long, String)].collect()
+    guarded.filter { case (id, rep, _) => id == rep }.foreach {
+      case (id, _, s) => assert(plain(id) == s)
+    }
+    // clustered docs inherit the REPRESENTATIVE's plain assignment
+    guarded.filter { case (id, rep, _) => id != rep }.foreach {
+      case (_, rep, s) => assert(plain(rep) == s)
+    }
+    out.unpersist()
+  }
+
   test("capPerKey keeps exactly cap rows per key, scan-order-independent") {
     val capped = Sampling.capPerKey(docs, "lang", "doc_id", 10)
     val perKey = capped.groupBy("lang").count()

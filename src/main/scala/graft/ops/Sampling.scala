@@ -59,17 +59,27 @@ object Sampling {
     *
     * Scale (100 TB): the component frame is bounded by the docs that
     * appear in verified pairs — verifier OUTPUT, orders of magnitude
-    * smaller than the corpus — so AQE broadcasts the enrich join and
+    * smaller than the corpus — so the enrich join BROADCASTS it and
     * the corpus never shuffles; the bucket is a codegen md5 projection.
-    * Keys and split assignment stay content-addressed, so incremental
-    * ingest keeps yesterday's test clusters in test (new pair evidence
-    * can merge clusters and move a MERGED cluster — the correct
-    * behavior: the alternative is leaking the newly-discovered dup). */
+    * The hint is explicit, not left to AQE: without it Catalyst's
+    * initial plan is a SortMergeJoin whose ENSURE_REQUIREMENTS
+    * exchange materializes a full corpus shuffle write before AQE
+    * rescues the probe side with a local read (measured in PlanSpec) —
+    * a 100 TB disk pass for nothing. For the pathological corpus whose
+    * clustered fraction itself exceeds executor memory, pass
+    * `hintBroadcast = false` to fall back to the (then genuinely
+    * necessary) shuffle join. Keys and split assignment stay
+    * content-addressed, so incremental ingest keeps yesterday's test
+    * clusters in test (new pair evidence can merge clusters and move a
+    * MERGED cluster — the correct behavior: the alternative is leaking
+    * the newly-discovered dup). */
   def leakageSplit(df: DataFrame, keyCol: String, pairs: DataFrame,
       aCol: String = "a_id", bCol: String = "b_id",
-      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val comp = NearDedup.components(pairs, aCol, bCol)
+      trainPct: Int = 80, valPct: Int = 10,
+      hintBroadcast: Boolean = true): DataFrame = {
+    val comp0 = NearDedup.components(pairs, aCol, bCol)
       .withColumnRenamed("id", keyCol)
+    val comp = if (hintBroadcast) broadcast(comp0) else comp0
     df.join(comp, Seq(keyCol), "left")
       .withColumn("rep", coalesce(col("component"), col(keyCol)))
       .drop("component")

@@ -263,4 +263,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(__k"),
       "as-of window lost its key partitioning:\n" + p)
   }
+
+  test("d12's component enrich broadcasts — the corpus never shuffles") {
+    // leakageSplit's contract: the component frame is verifier output
+    // (orders of magnitude smaller than the corpus), so the enrich is
+    // an explicitly-hinted broadcast LEFT join and the split itself a
+    // pure projection. The hint matters: without it the INITIAL plan
+    // is an SMJ whose ENSURE_REQUIREMENTS exchange materializes a full
+    // corpus shuffle write before AQE converts to broadcast — at
+    // 100 TB that's a wasted disk pass of the whole corpus. With it,
+    // the corpus side is scan → join → project, zero Exchange.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, dir, "documents").select(col("doc_id"))
+    val pairs = SparkEntry.queries("d04_jaccard_verify")(spark, dir)
+      .select("a_id", "b_id")
+    val out = graft.ops.Sampling.leakageSplit(docs, "doc_id", pairs)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "component enrich planned a SortMergeJoin (even initially — " +
+        "the broadcast hint is gone):\n" + p)
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      "the corpus side shuffled for the enrich:\n" + p)
+  }
 }

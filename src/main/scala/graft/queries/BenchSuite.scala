@@ -470,6 +470,18 @@ object BenchSuite extends QuerySuite {
   private val x18 = streamArm("x18_stream_hh", (s, stream) =>
     graft.streaming.EventStreams.windowedHeavyHitters(stream))
 
+  /** x21 — streaming stream-stream interval join (attribution: each
+    * purchase joins the same user's clicks/views in the preceding
+    * hour; both sides watermarked, the two-ended time bound is what
+    * lets Spark age out join state). Completes the streaming family's
+    * cost tracking (x17 as-of, x18 heavy hitters); correctness is
+    * spec-pinned against the batch twin in EventStreamsSpec. */
+  private val x21 = streamArm("x21_stream_ssj", (s, stream) => {
+    val cands = stream.filter(col("event_type").isin("click", "view"))
+    val convs = stream.filter(col("event_type") === "purchase")
+    graft.streaming.EventStreams.intervalJoin(cands, convs)
+  })
+
   /** x19 — A/B baseline for t13: the explode→groupBy repetition-gate
     * form (two corpus-scale exchanges) vs the in-row zero-shuffle fold
     * t13 now times. Identical output to t13 by construction
@@ -511,5 +523,5 @@ object BenchSuite extends QuerySuite {
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
     Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16, x17, x18,
-      x19, x20)
+      x19, x20, x21)
 }

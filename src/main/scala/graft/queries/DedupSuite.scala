@@ -628,6 +628,74 @@ object DedupSuite extends QuerySuite {
       FROM b GROUP BY 1"""))
   }
 
+  /** d13 — split-leak audit: the contingency of verified near-dup
+    * pairs (d04) against the NAIVE per-doc hash split (c12's
+    * assignment). Off-diagonal rows are eval leaks — a train doc with
+    * a near-duplicate in validation/test — i.e. the measured
+    * motivation for d12's cluster-keyed split, which zeroes them by
+    * construction. The audit the curation report reads BEFORE
+    * trusting held-out numbers: pair count per unordered split pair.
+    * Scale: two broadcast-able enrich joins of the (small, verifier-
+    * output) pair frame against the split projection — the corpus is
+    * touched only by the md5 bucket projection itself. */
+  private val d13 = GraftQuery(
+    "d13_leak_audit",
+    (s, dir) => {
+      val split = graft.ops.Sampling.hashSplit(
+        Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("split"))
+      val pairs = d04.run(s, dir).select("a_id", "b_id")
+      pairs
+        .join(split.select(col("doc_id").as("a_id"),
+          col("split").as("sa")), "a_id")
+        .join(split.select(col("doc_id").as("b_id"),
+          col("split").as("sb")), "b_id")
+        .select(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    Some(s"""WITH $sigSql, $bandsSql,
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+    words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY 1),
+    inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS ni
+      FROM cand c
+      JOIN words wa ON wa.doc_id = c.a_id
+      JOIN words wb ON wb.doc_id = c.b_id AND wb.w = wa.w
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i.a_id, i.b_id
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a_id
+      JOIN sizes sb ON sb.doc_id = i.b_id
+      WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.8),
+    sp AS (
+      SELECT doc_id,
+        CASE WHEN bk < 80 THEN 'train'
+             WHEN bk < 90 THEN 'validation'
+             ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1,16), i ->
+            CAST(strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)),i,1)) - 1
+              AS BIGINT))), (a,b) -> a*16+b) % 100 AS bk
+        FROM documents))
+    SELECT LEAST(xa.split, xb.split) AS split_lo,
+      GREATEST(xa.split, xb.split) AS split_hi,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN sp xa ON xa.doc_id = p.a_id
+    JOIN sp xb ON xb.doc_id = p.b_id
+    GROUP BY 1, 2"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
 }

@@ -352,7 +352,11 @@ object BenchSuite extends QuerySuite {
     "spark.sql.optimizer.runtime.bloomFilter.enabled",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
     "spark.sql.autoBroadcastJoinThreshold",
-    "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    // x22/x23 disable AQE's own skew mitigation so the salting A/B
+    // isolates the manual technique; unset falls back to the default
+    // (true), which is also what the GraftSession builder pins
+    "spark.sql.adaptive.skewJoin.enabled")
 
   private val x09 = GraftQuery(
     "x09_bloom_join",
@@ -515,6 +519,44 @@ object BenchSuite extends QuerySuite {
         .withColumn("rnk", col("rnk").cast("long"))
     })
 
+  /** x22/x23 — salted-join skew A/B (`Ops.saltedJoin`): the lineitem
+    * fact joined on the 3-value l_returnflag key against a per-flag
+    * stats frame, broadcast disabled both sides so the join must
+    * shuffle (the "small-but-not-broadcastable right side" regime) and
+    * AQE's own skew splitting off so the A/B isolates salting itself.
+    * Plain (x23): hashpartitioning(l_returnflag) lands each hot key on
+    * ONE reducer — the 100 TB failure mode where a single task sorts a
+    * third of the fact table. Salted (x22): the left adds a uniform
+    * __salt, the right replicates saltN ways, and the exchange keys on
+    * (flag, salt) — every hot key spreads over saltN reducers.
+    * Identical output by construction (the salt never reaches the
+    * result); plan pinned in PlanAuditR11Spec. */
+  private def saltedArm(s: SparkSession, dir: String,
+      salted: Boolean): DataFrame = {
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
+    val stats = Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(avg(col("l_discount")).as("avg_disc"))
+    val joined =
+      if (salted) graft.ops.Ops.saltedJoin(li, stats, "l_returnflag", 32)
+      else li.join(stats, "l_returnflag")
+    joined.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_discount") > col("avg_disc"),
+            col("l_extendedprice").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("above_avg_revenue"))
+  }
+
+  private val x22 = GraftQuery("x22_salted_join",
+    (s, dir) => saltedArm(s, dir, salted = true))
+  private val x23 = GraftQuery("x23_salted_off",
+    (s, dir) => saltedArm(s, dir, salted = false))
+
   override val suite: Seq[GraftQuery] =
     Seq(x02, x04, x07, x08, x11)
 
@@ -523,5 +565,5 @@ object BenchSuite extends QuerySuite {
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
     Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16, x17, x18,
-      x19, x20, x21)
+      x19, x20, x21, x22, x23)
 }

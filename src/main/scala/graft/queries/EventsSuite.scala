@@ -364,6 +364,45 @@ object EventsSuite extends QuerySuite {
           / CAST(sp + (64 - nr) * 4294967296 AS DOUBLE) AS est_users
       FROM exact e JOIN s USING (day)"""))
 
+  /** e14 — cohort retention matrix: users grouped by first-active
+    * ISO week (the cohort), distinct active users per (cohort,
+    * week-offset). The standard product-analytics retention triangle;
+    * here it is also the engagement-coverage profile a training-data
+    * pipeline reads before weighting interaction logs by recency.
+    * Cross-engine: date_trunc('week') is Monday-start in both
+    * engines; the offset is an exact integer day-difference div 7
+    * (always a multiple of 7 after truncation). Plan: distinct on
+    * (user, week) keyed on the high-cardinality user_id, min-agg per
+    * user, then one self-join back on user_id — AQE broadcasts the
+    * cohort side when small, and both shuffles share the user_id
+    * key so the exchange is reused at scale. */
+  private val e14 = GraftQuery(
+    "e14_cohort_retention",
+    (s, dir) => {
+      val wk = Tables(s, dir, "events")
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val cohort = wk.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      wk.join(cohort, "user_id")
+        .select(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / lit(7))
+            .cast("long").as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_wk", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH wk AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events),
+    coh AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY 1)
+    SELECT c.cohort_wk,
+      CAST((wk.wk - c.cohort_wk) // 7 AS BIGINT) AS week_offset,
+      CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS n_users
+    FROM wk JOIN coh c USING (user_id)
+    GROUP BY 1, 2"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
+      e14)
 }

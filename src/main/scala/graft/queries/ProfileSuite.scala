@@ -247,5 +247,71 @@ object ProfileSuite extends QuerySuite {
         UNION ALL ${profile("l_returnflag")}"""))
   }
 
-  override val suite: Seq[GraftQuery] = Seq(p01, p02, p03, p04)
+  /** p05 — exact covariance matrix over the lineitem measures
+    * (quantity, extendedprice, discount): the feature-covariance
+    * profile read before normalizing/whitening numeric features, done
+    * in EXACT fixed-point arithmetic so the matrix is bit-identical
+    * cross-engine (float covariance is famously run-order dependent —
+    * `sum((x-μ)(y-μ))` reassociates differently per partitioning).
+    * Recipe: measures scale to integer cents (2-decimal money — ×100
+    * then round is exact), moments accumulate as decimal(38,0) /
+    * HUGEINT (sums of cents² overflow int64 at sf≥0.1), and the
+    * sample covariance in e4 fixed point collapses to ONE integral
+    * division: cov·1e4 = (n·Σxy − Σx·Σy) div (n·(n−1)) — the cents²
+    * scale (10⁴) and the e4 output scale cancel. `div` (Spark) and
+    * `//` (DuckDB) both truncate toward zero. Plan: a single
+    * partial-aggregating scan (9 moment sums + count in one pass —
+    * the corpus is read ONCE for the whole matrix), then the 6
+    * pair rows unfold driver-side from the 1-row aggregate. */
+  private val p05 = {
+    val measures = Seq(
+      "l_quantity" -> "q", "l_extendedprice" -> "p", "l_discount" -> "d")
+    val pairs = for {
+      (i, (nx, ax)) <- measures.zipWithIndex.map(_.swap)
+      (ny, ay) <- measures.drop(i)
+    } yield (nx, ax, ny, ay)
+    GraftQuery(
+      "p05_covariance",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val cents = measures.map { case (name, a) =>
+          round(col(name) * 100).cast(DecimalType(38, 0)).as(a)
+        }
+        val li = Tables(s, dir, "lineitem").select(cents: _*)
+        val momentAggs =
+          count(lit(1)).as("n") +:
+            measures.map { case (_, a) => sum(col(a)).as(s"s$a") } ++:
+            pairs.map { case (_, ax, _, ay) =>
+              sum(col(ax) * col(ay)).as(s"s$ax$ay")
+            }
+        val m = li.agg(momentAggs.head, momentAggs.tail: _*)
+        val rows = pairs.map { case (nx, ax, ny, ay) =>
+          s"named_struct('col_x', '$nx', 'col_y', '$ny', " +
+            s"'n', CAST(n AS BIGINT), " +
+            s"'cov_e4', CAST((n * s$ax$ay - s$ax * s$ay) " +
+            s"div (n * (n - 1)) AS BIGINT))"
+        }
+        m.selectExpr(s"inline(array(${rows.mkString(", ")}))")
+      },
+      Some {
+        val sel = measures.map { case (name, a) =>
+          s"CAST(round($name * 100) AS HUGEINT) AS $a"
+        }.mkString(", ")
+        val sums =
+          ("CAST(COUNT(*) AS HUGEINT) AS n" +:
+            measures.map { case (_, a) => s"SUM($a) AS s$a" } ++:
+            pairs.map { case (_, ax, _, ay) => s"SUM($ax * $ay) AS s$ax$ay" })
+            .mkString(", ")
+        val rows = pairs.map { case (nx, ax, ny, ay) =>
+          s"""SELECT '$nx' AS col_x, '$ny' AS col_y, CAST(n AS BIGINT) AS n,
+            CAST((n * s$ax$ay - s$ax * s$ay) // (n * (n - 1)) AS BIGINT)
+              AS cov_e4 FROM m"""
+        }.mkString(" UNION ALL ")
+        s"""WITH c AS (SELECT $sel FROM lineitem),
+          m AS (SELECT $sums FROM c)
+          $rows"""
+      })
+  }
+
+  override val suite: Seq[GraftQuery] = Seq(p01, p02, p03, p04, p05)
 }

@@ -530,7 +530,81 @@ object TextSuite extends QuerySuite {
        AND CAST(dup_bi AS DOUBLE) / CAST(n_bi AS DOUBLE) <= 0.40) AS keep
     FROM uni JOIN bi ON uni.doc_id = bi.doc_id"""))
 
+  /** t14 — BM25 retrieval scoring (Okapi, k1=1.2 b=0.75): rank the
+    * corpus against a fixed term query, top-20 docs. The classic
+    * retrieval scorer a curation pipeline uses for query-targeted
+    * corpus selection (and the reference's vector search is the
+    * semantic twin of — `generate_embeddings.py:438-452` ranks by
+    * embedding distance; BM25 ranks by lexical match).
+    *
+    * Cross-engine determinism: the only floating-point step is the
+    * idf (floor(ln·1e6) → long, the c02 recipe). The tf saturation
+    * term — tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) — is exact
+    * integer arithmetic: with avgdl = L/N, multiplying through by
+    * 10·L gives score = idf_e6 · 22·tf·L div (10·L·tf + 3·L + 9·dl·N)
+    * (k1=6/5, b=3/4, so k1+1=11/5, k1(1−b)=3/10, k1·b=9/10), every
+    * operand a long, `div`/`//` both truncate toward zero. Plan: tf
+    * keyed on (doc,term) after an in-scan IN-list filter (only query
+    * terms survive the explode); df and the corpus totals are
+    * term-count-sized → broadcast; the final top-20 is a
+    * TakeOrderedAndProject, never a global single-partition window. */
+  private val t14 = GraftQuery(
+    "t14_bm25",
+    (s, dir) => {
+      val qTerms = Seq("spark", "hash", "join", "stream")
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+      val dl = toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+      val corpus = dl.agg(sum(col("dl")).as("L"),
+        count(lit(1)).as("N"))
+      val tf = toks.select(col("doc_id"), explode(col("ws")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf_e6", floor(log(lit(1.0) +
+          (lit(2L) * col("N") - lit(2L) * col("df") + lit(1L)).cast("double") /
+          (lit(2L) * col("df") + lit(1L)).cast("double")) * lit(1e6)))
+        .withColumn("num", col("idf_e6") * lit(22L) * col("tf") * col("L"))
+        .withColumn("den", lit(10L) * col("L") * col("tf") +
+          lit(3L) * col("L") + lit(9L) * col("dl") * col("N"))
+        .withColumn("sc", expr("num div den"))
+      val total = scored.groupBy("doc_id")
+        .agg(sum(col("sc")).as("score_e6"))
+        .orderBy(col("score_e6").desc, col("doc_id")).limit(20)
+      total.withColumn("rk", row_number().over(
+          Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "score_e6", "rk")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toks),
+    corpus AS (SELECT CAST(SUM(dl) AS BIGINT) AS L,
+      CAST(COUNT(*) AS BIGINT) AS N FROM dl),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+      WHERE term IN ('spark', 'hash', 'join', 'stream')
+      GROUP BY 1, 2),
+    dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+        (CAST(floor(ln(1 + CAST(2*N - 2*dfr.df + 1 AS DOUBLE)
+            / CAST(2*dfr.df + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+          * 22 * tf.tf * L) // (10*L*tf.tf + 3*L + 9*dl.dl*N) AS sc
+      FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), corpus),
+    total AS (SELECT doc_id, CAST(SUM(sc) AS BIGINT) AS score_e6
+      FROM scored GROUP BY 1)
+    SELECT doc_id, score_e6, rk FROM (
+      SELECT doc_id, score_e6, CAST(row_number() OVER (
+        ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rk
+      FROM total)
+    WHERE rk <= 20"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
+      t14)
 
 }

@@ -72,4 +72,71 @@ class PlanAuditR11Spec extends SparkSpec {
     assert(rs.split(",").length == 3,
       s"scan reads more than the three needed columns: $rs")
   }
+
+  test("t14 bm25: the corpus top-20 is a TakeOrderedAndProject (never " +
+      "a global single-partition sort) and df/corpus stats broadcast") {
+    val p = executed("t14_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "per-term df (term-count-sized) or the 1-row corpus frame " +
+        "fell back to a shuffle join:\n" + p)
+  }
+
+  test("e14 cohort retention: both aggregates key on user_id — no " +
+      "cartesian, no Expand, three-column pruned events scan") {
+    val p = executed("e14_cohort_retention")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Expand"),
+      "single countDistinct should not plan an Expand:\n" + p)
+    val rs = """ReadSchema: struct<([^>]*)>""".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(rs.contains("user_id") && rs.contains("ts") &&
+      rs.split(",").length == 2,
+      s"events scan should read exactly (user_id, ts): $rs")
+  }
+
+  test("p05 covariance: ONE lineitem scan computes all nine moments " +
+      "(the matrix never re-reads the fact table) and it is pruned " +
+      "to the three measure columns") {
+    val p = executed("p05_covariance")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "covariance matrix re-scanned lineitem:\n" + p)
+    val rs = """ReadSchema: struct<([^>]*)>""".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(Seq("l_quantity", "l_extendedprice", "l_discount")
+      .forall(rs.contains) && rs.split(",").length == 3,
+      s"scan should read exactly the three measures: $rs")
+  }
+
+  private def executedBenchOnly(q: String): String = {
+    val df = SparkEntry.benchOnlyQueries(q)(spark, dir)
+    try {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    } finally queries.BenchSuite.PinnedConfKeys.foreach(spark.conf.unset)
+  }
+
+  test("x22/x23 salted-join A/B: the salted arm's fact exchange keys " +
+      "on (l_returnflag, __salt) — hot keys spread over saltN " +
+      "reducers — while the stock arm hashes the bare 3-value key; " +
+      "neither arm broadcasts") {
+    val salted = executedBenchOnly("x22_salted_join")
+    val plain = executedBenchOnly("x23_salted_off")
+    assert("""hashpartitioning\(l_returnflag#\d+, __salt""".r
+      .findFirstIn(salted).isDefined,
+      "salted arm lost the (key, salt) partitioning:\n" + salted)
+    assert(!plain.contains("__salt"),
+      "stock arm unexpectedly salted:\n" + plain)
+    assert(!salted.contains("BroadcastHashJoin") &&
+      !plain.contains("BroadcastHashJoin"),
+      "broadcast leaked into the shuffle-join A/B")
+    // identical output: the salt must never reach the result
+    val a = SparkEntry.benchOnlyQueries("x22_salted_join")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val b = SparkEntry.benchOnlyQueries("x23_salted_off")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    queries.BenchSuite.PinnedConfKeys.foreach(spark.conf.unset)
+    assert(a == b, s"salted join diverged from plain join: $a vs $b")
+  }
 }

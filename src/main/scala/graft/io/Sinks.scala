@@ -75,4 +75,18 @@ object Sinks {
   def readJdbc(spark: SparkSession, url: String, table: String,
       batchSize: Int = 50): DataFrame =
     spark.read.jdbc(url, table, jdbcProps(batchSize))
+
+  /** Columnar interchange beyond parquet: ORC sink/scan (Spark-native
+    * format, zlib by default here for the same
+    * splittable-columnar-with-stats contract as the parquet internal
+    * stage — predicate pushdown and column pruning work identically).
+    * The reference has no ORC surface; this rounds out the engine's
+    * format matrix (CSV/JSON/parquet/ORC/JDBC) so downstream systems
+    * that standardize on ORC ingest the same tables. */
+  def writeOrc(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("compression", "zlib").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

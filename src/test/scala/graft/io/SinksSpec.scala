@@ -60,6 +60,29 @@ class SinksSpec extends SparkSpec {
     assert(pruned.count() == 1)
   }
 
+  test("ORC round-trip preserves types and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft_io").toString + "/orc"
+    val df = Seq(
+      (1L, "Bánh kem", 89000.0, Seq("s", "m")),
+      (2L, "Trà sữa", 45000.0, Seq("l"))).toDF("id", "name", "price", "sizes")
+    Sinks.writeOrc(df, dir)
+    val back = Sinks.readOrc(spark, dir)
+    // file-source reads come back nullable (same as parquet) — compare
+    // names and types, not nullability
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      "ORC round-trip changed the schema")
+    assert(back.orderBy("id").collect().map(_.getAs[String]("name")).toSeq
+      == Seq("Bánh kem", "Trà sữa"))
+    // same pushdown contract as the parquet internal stage
+    val q = back.filter($"price" > 50000.0).select("id", "name")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(price"), plan)
+    assert(!plan.contains("sizes"), "column pruning failed: " + plan)
+  }
+
   test("JSON document scan reads seed-url-style maps") {
     val dir = Files.createTempDirectory("graft_io").toFile
     Files.writeString(new java.io.File(dir, "urls.json").toPath,

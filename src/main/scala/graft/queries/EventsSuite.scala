@@ -402,7 +402,31 @@ object EventsSuite extends QuerySuite {
     FROM wk JOIN coh c USING (user_id)
     GROUP BY 1, 2"""))
 
+  /** e15 — SLIDING window aggregate (length 2h, slide 1h): each event
+    * contributes to len/slide = 2 overlapping windows. Spark's native
+    * `window(ts, len, slide)` generates both assignments map-side — an
+    * Expand of factor exactly len/slide, bounded by the overlap ratio,
+    * never a join or a self-union — then ONE shuffle on (window,
+    * event_type). The streaming form is the identical expression plus
+    * a watermark. The DuckDB twin states the same window arithmetic as
+    * an explicit 2-offset cross join (epoch-aligned hour truncation
+    * minus 0/1 slides). */
+  private val e15 = GraftQuery(
+    "e15_sliding_agg",
+    (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sumDec(col("value")).as("total"))
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("event_type"), col("cnt"), col("total")),
+    Some(s"""SELECT ws, ws + INTERVAL 2 HOUR AS we, event_type,
+      COUNT(*) AS cnt, ${sqlSumDec("value")} AS total
+    FROM (SELECT event_type, value,
+        date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS ws
+      FROM events CROSS JOIN (VALUES (0), (1)) t(o))
+    GROUP BY 1, 2, 3"""))
+
   override val suite: Seq[GraftQuery] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14)
+      e14, e15)
 }

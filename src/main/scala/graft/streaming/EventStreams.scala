@@ -57,13 +57,19 @@ object EventStreams {
       TimestampType, "events.ts")
   }
 
-  /** Watermarked tumbling-window aggregation (streaming twin of e01):
-    * counts + sums per (window, event_type). */
+  /** Watermarked window aggregation (streaming twin of e01; with
+    * `slide` < `windowLen`, of the SLIDING e15): counts + sums per
+    * (window, event_type). Sliding state is len/slide windows per key
+    * group — the same bounded Expand factor as the batch form. */
   def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours", slide: Option[String] = None)
+      : DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(
+        slide.map(sl => window(col("ts"), windowLen, sl))
+          .getOrElse(window(col("ts"), windowLen)),
+        col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum("value").as("total"))
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"), col("event_type"),

@@ -109,6 +109,17 @@ class PlanAuditR11Spec extends SparkSpec {
       s"scan should read exactly the three measures: $rs")
   }
 
+  test("e15 sliding window: the 2-way assignment is ONE bounded Expand " +
+      "(factor len/slide) feeding a partial aggregate — never a join " +
+      "or self-union — and one exchange on (window, event_type)") {
+    val p = executed("e15_sliding_agg")
+    assert("Expand".r.findAllIn(p).size == 1,
+      "sliding window should assign via exactly one Expand:\n" + p)
+    assert(!p.contains("Union") && !p.contains("Join"),
+      "sliding window regressed to a union/join form:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   private def executedBenchOnly(q: String): String = {
     val df = SparkEntry.benchOnlyQueries(q)(spark, dir)
     try {

@@ -50,6 +50,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed > 0 && streamed <= batch)
   }
 
+  test("SLIDING windowed agg over a file stream matches the batch twin " +
+      "per emitted window (e15 semantics: 2h windows sliding by 1h)") {
+    val stream = EventStreams.fromFiles(spark, srcDir)
+    runToMemory(EventStreams.windowedAgg(stream, "2 hours",
+      slide = Some("1 hour")), "win_slide", "append")
+    val batchWin = spark.read.parquet(srcDir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"))
+    val emitted = spark.table("win_slide")
+    assert(emitted.count() > 0, "no sliding windows emitted")
+    val disagree = emitted
+      .join(batchWin, Seq("win_start", "event_type"), "left")
+      .filter(emitted("cnt") =!= batchWin("cnt"))
+    assert(disagree.count() == 0,
+      "streamed sliding window disagrees with batch")
+  }
+
   test("streaming windowed HLL matches the batch estimate bit-for-bit") {
     import graft.functions.{HyperLogLog, TextOps}
     val stream = EventStreams.fromFiles(spark, srcDir)

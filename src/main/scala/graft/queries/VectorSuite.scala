@@ -770,7 +770,46 @@ object VectorSuite extends QuerySuite {
       ON a.cell = b.cell AND a.vec_id < b.vec_id
     WHERE cos > 0.3"""))
 
+  /** v15 — RANGE (radius) search: all neighbors within distance r of
+    * each query — top-k's sibling with a data-dependent result size
+    * (the dedup-threshold form of similarity search: "everything
+    * closer than r" is how embedding near-dup thresholds are stated,
+    * where kNN would cap the duplicate set arbitrarily). Same
+    * exact-integer distance and broadcast-query shape as v03 — the
+    * corpus never shuffles, the radius predicate filters map-side in
+    * the same codegen projection, and unlike top-k there is no
+    * ranking state at all: the operator is a pure scan-filter, the
+    * cheapest possible shape at 100 TB. The scale path composes the
+    * same way as kNN: IVF probes restrict to cells whose centroid is
+    * within r + cell radius (v06/v07 machinery). r=1.3 on this corpus
+    * (min pair distance ≈ 1.01, median ≈ 1.41) keeps per-query result
+    * sizes data-dependent — not all, not none. */
+  private val v15 = GraftQuery(
+    "v15_range_search",
+    (s, dir) => {
+      val corpus = emb(s, dir).select(col("vec_id"), col("qv"))
+      val queries = emb(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("query_qv"))
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("d2",
+          call_function("graft_sqdist_long", col("qv"), col("query_qv")))
+        .filter(col("d2") <= lit(1690000000000L)) // r=1.3 → r²·(1e6)²
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (sqrt(col("d2").cast("double")) / 1e6).as("dist"))
+    },
+    Some(s"""WITH q AS ($qvSql)
+    SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+      sqrt(CAST(CAST(list_sum(list_transform(range(1, 1+len(c.qv)),
+        i -> (c.qv[i]-qs.qv[i])*(c.qv[i]-qs.qv[i]))) AS BIGINT)
+        AS DOUBLE)) / 1e6 AS dist
+    FROM q c, q qs
+    WHERE qs.vec_id < 10 AND c.vec_id <> qs.vec_id
+      AND CAST(list_sum(list_transform(range(1, 1+len(c.qv)),
+        i -> (c.qv[i]-qs.qv[i])*(c.qv[i]-qs.qv[i]))) AS BIGINT)
+        <= 1690000000000"""))
+
   override val suite: Seq[GraftQuery] =
     Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
-      v14)
+      v14, v15)
 }

@@ -798,7 +798,14 @@ object VectorSuite extends QuerySuite {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (sqrt(col("d2").cast("double")) / 1e6).as("dist"))
     },
-    Some(s"""WITH q AS ($qvSql)
+    Some(rangeSearchSql))
+
+  /** Shared oracle for v15/v16: brute-force radius search. v16's plan
+    * is the IVF-pruned form, but its RESULT is bit-identical by the
+    * triangle inequality, so the driver checks both plans against the
+    * same DuckDB ground truth independently. */
+  private lazy val rangeSearchSql: String =
+    s"""WITH q AS ($qvSql)
     SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
       sqrt(CAST(CAST(list_sum(list_transform(range(1, 1+len(c.qv)),
         i -> (c.qv[i]-qs.qv[i])*(c.qv[i]-qs.qv[i]))) AS BIGINT)
@@ -807,9 +814,66 @@ object VectorSuite extends QuerySuite {
     WHERE qs.vec_id < 10 AND c.vec_id <> qs.vec_id
       AND CAST(list_sum(list_transform(range(1, 1+len(c.qv)),
         i -> (c.qv[i]-qs.qv[i])*(c.qv[i]-qs.qv[i]))) AS BIGINT)
-        <= 1690000000000"""))
+        <= 1690000000000"""
+
+  /** v16 — IVF-pruned range search: v15's radius query through the
+    * v06/v07 cell index. The probe set keeps only (query, cell) pairs
+    * the triangle inequality cannot exclude — d(q,x) ≤ r for x in
+    * cell c requires d(q,centroid_c) ≤ r + radius_c, where radius_c
+    * (max member→centroid distance) is computed once at index build —
+    * then the exact radius filter runs only inside probed cells. The
+    * result is therefore IDENTICAL to brute force (no recall
+    * trade-off, unlike top-k IVF): the oracle is literally v15's SQL.
+    * At 100 TB with a `writeIvfIndexed` layout the probe becomes a
+    * partition-pruned scan; the +2 integer margin on the bound
+    * absorbs the sqrt's FP rounding (inputs are exact longs).
+    *
+    * Honesty note (measured): on THIS fixture the bound excludes
+    * nothing — all 10×8 (query, cell) probes survive, because the
+    * synthetic embeddings are isotropic (seed-centroid cell radii
+    * ≈ 1.4-2.0, so r + radius exceeds the unit-sphere diameter).
+    * What the oracle proves here is LOSSLESSNESS of the composition;
+    * the pruning pays exactly when the corpus clusters, which real
+    * embedding corpora do and isotropic random vectors provably
+    * don't (distance concentration). */
+  private val v16 = GraftQuery(
+    "v16_range_ivf",
+    (s, dir) => {
+      val r2 = 1690000000000L // r=1.3, matching v15
+      val cents = emb(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("qv").as("cent_qv"))
+      val assigned = emb(s, dir).select(col("vec_id"), col("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dc",
+          call_function("graft_sqdist_long", col("qv"), col("cent_qv")))
+        .groupBy(col("vec_id"), col("qv"))
+        .agg(min(struct(col("dc"), col("cent_id"))).as("nn"))
+        .select(col("vec_id"), col("qv"),
+          col("nn.cent_id").as("cell"), col("nn.dc").as("dc"))
+      val cellRadius = assigned.groupBy("cell")
+        .agg(max(col("dc")).as("rad2"))
+        .join(cents, col("cell") === col("cent_id"))
+        .select(col("cell"), col("rad2"), col("cent_qv"))
+      val queries = emb(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("query_qv"))
+      val probes = queries.crossJoin(broadcast(cellRadius))
+        .withColumn("dqc",
+          call_function("graft_sqdist_long",
+            col("query_qv"), col("cent_qv")))
+        .filter(sqrt(col("dqc").cast("double")) <=
+          lit(1.3e6) + sqrt(col("rad2").cast("double")) + lit(2.0))
+        .select(col("query_id"), col("query_qv"), col("cell"))
+      assigned.join(probes, "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("d2",
+          call_function("graft_sqdist_long", col("qv"), col("query_qv")))
+        .filter(col("d2") <= lit(r2))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (sqrt(col("d2").cast("double")) / 1e6).as("dist"))
+    },
+    Some(rangeSearchSql))
 
   override val suite: Seq[GraftQuery] =
     Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
-      v14, v15)
+      v14, v15, v16)
 }

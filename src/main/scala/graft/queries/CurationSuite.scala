@@ -503,6 +503,46 @@ object CurationSuite extends QuerySuite {
       CAST(MAX(bucket) AS BIGINT) AS max_bucket
     FROM b GROUP BY 1, 2"""))
 
+  /** c13 — temperature-scaled mixture weights (τ=0.5): DERIVE the
+    * per-source sampling mixture from corpus counts — w_i ∝ n_i^τ —
+    * the standard pretraining-mixture rebalancing (τ<1 upweights
+    * small sources relative to proportional sampling; τ=0.5 is the
+    * common multilingual choice). c10 samples BY given weights; c13
+    * is where those weights come from.
+    *
+    * Determinism: n^0.5 is `sqrt` — IEEE correctly-rounded in both
+    * engines (unlike `pow`, which is why τ is 0.5 and not 0.7) — and
+    * everything after the floor(·1e6) is integer: the share
+    * normalizes by the INTEGER weight sum (never a cross-row double
+    * sum, whose order differs per partitioning), and the per-source
+    * document allotment out of 1000 is one more integral division.
+    * Plan: one map-side combined groupBy on source (dim-sized), then
+    * a broadcast of the 1-row weight total. */
+  private val c13 = GraftQuery(
+    "c13_mixture_weights",
+    (s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_e6",
+          floor(sqrt(col("n_docs").cast("double")) * lit(1e6)))
+      val tot = counts.agg(sum(col("w_e6")).as("w_tot"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("share_e6", expr("w_e6 * 1000000 div w_tot"))
+        .withColumn("take", expr("w_e6 * 1000 div w_tot"))
+        .select(col("source"), col("n_docs"), col("w_e6"),
+          col("share_e6"), col("take"))
+    },
+    Some("""WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT)
+          AS w_e6
+      FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(w_e6) AS w_tot FROM counts)
+    SELECT source, n_docs, w_e6,
+      CAST(w_e6 * 1000000 // w_tot AS BIGINT) AS share_e6,
+      CAST(w_e6 * 1000 // w_tot AS BIGINT) AS take
+    FROM counts, tot"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12)
+    Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13)
 }

@@ -603,8 +603,74 @@ object TextSuite extends QuerySuite {
       FROM total)
     WHERE rk <= 20"""))
 
+  /** t15 — bigram-LM novelty score (the count-exact recast of
+    * CCNet-style LM quality filtering, Wenzek et al. 2020 — corpora
+    * are routinely filtered by how "surprising" a reference LM finds
+    * each document): the corpus's own bigram table is the LM; a doc's
+    * novelty is the fraction of its bigram TOKENS whose bigram is
+    * rarer than the corpus MEAN bigram frequency. High novelty =
+    * unique phrasing OR noise — either way the tail a curation pass
+    * inspects first. Two recasts keep it bit-reproducible AND
+    * non-degenerate at any scale: (1) the perplexity form needs
+    * per-bigram log-probs (floating transcendentals summed per-doc —
+    * not cross-engine exact), so rarity MASS replaces log-prob SUM;
+    * (2) an absolute count cut (e.g. "seen ≥ 2 times") silently
+    * saturates as the corpus grows (at sf0.1 every bigram of this
+    * fixture repeats ≥ 3 times — measured), so the cut is the
+    * corpus's own mean: `cnt · D < T` (T = total bigram tokens,
+    * D = distinct bigrams) — an exact long compare, scale-free by
+    * construction. novelty_e6 = (1e6 · rare) div total is one
+    * truncating division of two exact longs.
+    *
+    * Plan shape (100 TB): explode → bigram count (partial-combining
+    * groupBy on the high-cardinality bigram) → one shuffle join back
+    * on bigram → per-doc rollup keyed on doc_id; (T, D) is a one-row
+    * broadcast. No broadcast of the corpus-scale LM table and no
+    * driver state; the production variant that thresholds the LM to
+    * top-K bigrams and broadcasts it is a strict subset of this plan
+    * (c10's two-level top-k builds exactly that table). */
+  private val t15 = GraftQuery(
+    "t15_lm_novelty",
+    (s, dir) => {
+      val bg = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(shingles(tokens(col("text")), 2)).as("bigram"))
+      val lm = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      val corpus = lm.agg(sum(col("cnt")).as("T"), count(lit(1)).as("D"))
+      bg.join(lm, "bigram")
+        .crossJoin(broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cnt") * col("D") < col("T"), 1L).otherwise(0L))
+            .as("n_rare"))
+        .withColumn("novelty_e6",
+          expr("(1000000 * n_rare) div n_bigrams"))
+        // > half the doc's bigram mass is below-average-frequency:
+        // flags ~1/4 of docs at sf0.01 and the >p90 tail at sf0.1
+        .withColumn("flagged", col("novelty_e6") > lit(500000L))
+        .select("doc_id", "n_bigrams", "n_rare", "novelty_e6", "flagged")
+    },
+    Some("""WITH bg AS (
+      SELECT doc_id, unnest(list_transform(
+        range(1, len(string_split(text,' '))),
+        i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' ')))
+        AS bigram
+      FROM documents),
+    lm AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY 1),
+    corpus AS (SELECT CAST(SUM(cnt) AS BIGINT) AS T,
+      CAST(COUNT(*) AS BIGINT) AS D FROM lm),
+    per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(CASE WHEN cnt * D < T THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_rare
+      FROM bg JOIN lm USING (bigram), corpus GROUP BY 1)
+    SELECT doc_id, n_bigrams, n_rare,
+      (1000000 * n_rare) // n_bigrams AS novelty_e6,
+      ((1000000 * n_rare) // n_bigrams) > 500000 AS flagged
+    FROM per"""))
+
   override val suite: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14)
+      t14, t15)
 
 }

@@ -873,7 +873,92 @@ object VectorSuite extends QuerySuite {
     },
     Some(rangeSearchSql))
 
+  /** v17 — SemDeDup clustered semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540 — the published recipe for pruning web-scale
+    * corpora by embedding similarity): cluster the corpus (v06's
+    * 8-seed cell assignment stands in for the paper's k-means), then
+    * within each cell drop every vector that has an EARLIER-id
+    * cell-mate above the cosine threshold; survivors are the semantic
+    * representatives. This closes the blocked-pair family the same way
+    * v09 closes v05: v14 emits the candidate pairs, v17 makes the
+    * keep/drop DECISION.
+    *
+    * Semantics note: the paper's per-cluster greedy ("keep v unless an
+    * already-KEPT earlier item is similar") is inherently sequential
+    * within a cluster. The relational form here — "drop v iff ANY
+    * earlier similar cell-mate exists, kept or not" — is its
+    * order-free relaxation: at-least-as-aggressive, identical on
+    * transitively-closed neighborhoods, and deterministic under any
+    * partitioning, which a distributed engine must be. (The exact
+    * greedy is order-dependent state — expressible via
+    * [[graft.ops.NearDedup]] components + min-id if chain-exactness
+    * ever matters; v09 demonstrates that composition.)
+    *
+    * Scale shape (100 TB): assignment is the v06 broadcast argmin (no
+    * corpus shuffle beyond the cell groupBy); pairs exist ONLY within
+    * cells (cell count scales with the corpus; a hot cell caps exactly
+    * like a hot LSH bucket — [[graft.ops.Blocking]]); the drop set is
+    * a distinct on b_id (partial-combining) and the final decision is
+    * one left join keyed on the high-cardinality vec_id. Nothing here
+    * is all-pairs and nothing funnels through the driver. */
+  private val v17 = GraftQuery(
+    "v17_semantic_dedup",
+    (s, dir) => {
+      // drop threshold: stricter than v14's 0.3 report cut; 0.4 drops a
+      // real-but-small set at BOTH fixture SFs (20 / 262 above-threshold
+      // pairs at sf0.01 / sf0.1), so the decision branch is exercised
+      val tau = 0.4
+      val cents = emb(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("qv").as("cent_qv"))
+      // same codegen argmin + once-per-vector sum-of-squares as v14
+      val assigned = emb(s, dir).select(col("vec_id"), col("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("d2",
+          call_function("graft_sqdist_long", col("qv"), col("cent_qv")))
+        .groupBy(col("vec_id"), col("qv"))
+        .agg(min(struct(col("d2"), col("cent_id"))).as("nn"))
+        .select(col("vec_id"), col("qv"), col("nn.cent_id").as("cell"),
+          call_function("graft_dot_long", col("qv"), col("qv")).as("ss"))
+      val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+        col("qv").as("a_qv"), col("ss").as("a_ss"))
+      val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+        col("qv").as("b_qv"), col("ss").as("b_ss"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(
+          call_function("graft_dot_long", col("a_qv"), col("b_qv"))
+            .cast("double") /
+            (sqrt(col("a_ss").cast("double")) *
+              sqrt(col("b_ss").cast("double"))) > tau)
+        .select(col("b_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      assigned.select(col("vec_id"), col("cell"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(!col("is_dup"), lit(true)).as("kept"))
+    },
+    Some(s"""WITH q AS ($qvSql),
+    assign AS (
+      SELECT v.vec_id, v.qv, c.vec_id AS cell
+      FROM q v, q c WHERE c.vec_id < 8
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 1+len(v.qv)),
+          i -> (v.qv[i]-c.qv[i])*(v.qv[i]-c.qv[i]))) AS BIGINT),
+        c.vec_id) = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE CAST(list_sum(list_transform(range(1, 1+len(a.qv)),
+          i -> a.qv[i]*b.qv[i])) AS BIGINT)::DOUBLE /
+        (sqrt(CAST(list_sum(list_transform(a.qv, x -> x*x)) AS BIGINT)::DOUBLE)
+       * sqrt(CAST(list_sum(list_transform(b.qv, x -> x*x)) AS BIGINT)::DOUBLE))
+          > 0.4)
+    SELECT v.vec_id, v.cell,
+      (d.vec_id IS NULL) AS kept
+    FROM assign v LEFT JOIN dropped d ON d.vec_id = v.vec_id"""))
+
   override val suite: Seq[GraftQuery] =
     Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
-      v14, v15, v16)
+      v14, v15, v16, v17)
 }

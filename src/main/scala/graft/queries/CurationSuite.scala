@@ -543,6 +543,55 @@ object CurationSuite extends QuerySuite {
       CAST(w_e6 * 1000 // w_tot AS BIGINT) AS take
     FROM counts, tot"""))
 
+  /** c14 — deterministic epoch shuffle + token-balanced shards: the
+    * last step of every pretraining data pipeline — order the corpus
+    * by a seeded content hash (the reproducible "global shuffle";
+    * re-runs and incremental ingests land every doc in the same spot,
+    * unlike `rand()`), then cut the shuffled token axis into N=8
+    * contiguous shards balanced by TOKEN mass, not document count —
+    * `shard = (N * cum_before) div total` guarantees shard ids in
+    * [0, N-1] and per-shard token sums within one max-document of
+    * total/N, with no driver-side greedy loop.
+    *
+    * Plan shape (100 TB): the cumulative token position comes from
+    * [[graft.ops.Packing.withPrefixSum]] — the two-phase distributed
+    * prefix sum (one long per partition to the driver, then a
+    * partition-local pass), NOT a single-partition global window,
+    * which simply does not finish at corpus scale. The total is a
+    * one-row broadcast. The md5 shuffle key is map-side codegen. */
+  private val c14 = GraftQuery(
+    "c14_epoch_shards",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("epoch-1:"), col("doc_id").cast("string")))
+            .as("shuffle_key"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val cum = graft.ops.Packing
+        .withPrefixSum(d, "shuffle_key", "n_tokens", "cum_before")
+      val tot = cum.agg(sum(col("n_tokens")).as("total_tokens"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("shuffle_key"), col("n_tokens"),
+          col("cum_before"),
+          expr("(8 * cum_before) div total_tokens").as("shard"))
+    },
+    Some("""WITH d AS (
+      SELECT doc_id,
+        md5('epoch-1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT *,
+        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS cum_before,
+        CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+      FROM d)
+    SELECT doc_id, shuffle_key, n_tokens, cum_before,
+      (8 * cum_before) // total_tokens AS shard
+    FROM c"""))
+
   override val suite: Seq[GraftQuery] =
-    Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13)
+    Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13,
+      c14)
 }

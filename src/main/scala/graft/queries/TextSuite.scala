@@ -669,8 +669,79 @@ object TextSuite extends QuerySuite {
       ((1000000 * n_rare) // n_bigrams) > 500000 AS flagged
     FROM per"""))
 
+  /** t16 — cross-document boilerplate removal (the CCNet/RefinedWeb
+    * line-dedup stage: drop text fragments repeated verbatim across
+    * many documents — headers, footers, nav chrome — BEFORE any
+    * quality scoring, since boilerplate inflates every downstream
+    * statistic). The fixture's documents carry no newlines, so the
+    * granule is the deterministic proxy real pipelines fall back to
+    * on unstructured text: NON-overlapping 2-token segments (d10's
+    * repeated-spans is the within-doc sibling; this is the cross-doc
+    * one). Boilerplate = the top-20 segments by distinct-document
+    * frequency (tiebreak on segment text) — the rank form, not a
+    * count cut, because "remove the K most common boilerplate lines"
+    * is how production cleaners are actually configured and the rank
+    * is exercised at every corpus size. Output per doc: segment
+    * counts, removals, and the cleaned text reassembled in original
+    * segment order (trailing odd token excluded from segmentation —
+    * identically in both engines).
+    *
+    * Plan shape (100 TB): segmentation is map-side; the doc-frequency
+    * table is one partial-combining groupBy on the segment; top-20 is
+    * a TakeOrderedAndProject (K rows cross the exchange, never the
+    * table); the removal decision is a BROADCAST left join (20 rows);
+    * reassembly is a per-doc groupBy on the high-cardinality doc_id
+    * with sort_array on (seg_idx, segment) structs — no window, no
+    * global sort, nothing driver-side. */
+  private val t16 = GraftQuery(
+    "t16_boilerplate",
+    (s, dir) => {
+      val segs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(shingles(tokens(col("text")), 2)))
+        .filter(col("pos") % 2 === 0)
+        .select(col("doc_id"),
+          expr("CAST(pos div 2 AS BIGINT)").as("seg_idx"),
+          col("col").as("segment"))
+      val top = segs.groupBy("segment")
+        .agg(countDistinct(col("doc_id")).as("dfd"))
+        .orderBy(col("dfd").desc, col("segment")).limit(20)
+        .select(col("segment"), lit(true).as("is_boiler"))
+      segs.join(broadcast(top), Seq("segment"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_segs"),
+          sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_removed"),
+          concat_ws(" ",
+            transform(
+              sort_array(collect_list(when(col("is_boiler").isNull,
+                struct(col("seg_idx"), col("segment"))))),
+              x => x("segment"))).as("clean_text"))
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, unnest(range(len(t) // 2)) AS i, t FROM toks),
+    segs AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        array_to_string(list_slice(t, 2*i+1, 2*i+2), ' ') AS segment
+      FROM idx),
+    top AS (
+      SELECT segment FROM (
+        SELECT segment, COUNT(DISTINCT doc_id) AS dfd
+        FROM segs GROUP BY 1)
+      QUALIFY row_number() OVER (ORDER BY dfd DESC, segment) <= 20),
+    flagged AS (
+      SELECT s.doc_id, s.seg_idx, s.segment,
+        (t.segment IS NOT NULL) AS is_boiler
+      FROM segs s LEFT JOIN top t ON s.segment = t.segment)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+      CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_removed,
+      COALESCE(string_agg(segment, ' ' ORDER BY seg_idx)
+        FILTER (WHERE NOT is_boiler), '') AS clean_text
+    FROM flagged GROUP BY doc_id"""))
+
   override val suite: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15)
+      t14, t15, t16)
 
 }

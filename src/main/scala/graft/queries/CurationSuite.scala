@@ -591,7 +591,81 @@ object CurationSuite extends QuerySuite {
       (8 * cum_before) // total_tokens AS shard
     FROM c"""))
 
+  /** c15 — DSIR importance weights (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by how target-like it is under hashed
+    * n-gram bag-of-words models — weight = Σ_features log(p_target(f)
+    * / p_raw(f)) — and select the positive-weight docs. The target
+    * here is the `lang='en'` slice standing in for the paper's "high
+    * quality corpus"; features are overlapping bigrams hashed into 256
+    * buckets (the hashing is the paper's POINT: it makes both LMs
+    * fixed-size and broadcastable no matter the corpus).
+    *
+    * Determinism recipe (the c02 idf pattern): both smoothed-count
+    * products `(cnt_t+1)(T_r+B)` and `(cnt_r+1)(T_t+B)` are exact
+    * longs < 2^53, so their double quotient is correctly rounded and
+    * identical cross-engine; one ln per BUCKET (256 of them, never
+    * per row), floor(·1e6) to a long, then per-doc weights are exact
+    * long sums.
+    *
+    * Plan shape (100 TB): bigram hashing is map-side codegen; the two
+    * LMs come from ONE partial-combining groupBy on the 256-value
+    * bucket (target counts via conditional sum in the same pass);
+    * totals are a one-row broadcast; the per-doc scoring join
+    * broadcasts the 256-row ratio table. One corpus shuffle total
+    * (the per-doc rollup on doc_id). */
+  private val c15 = GraftQuery(
+    "c15_dsir_weights",
+    (s, dir) => {
+      import graft.functions.TextOps.shingles
+      val bg = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(shingles(tokens(col("text")), 2)).as("bigram"))
+        .withColumn("bucket", md5Long60(col("bigram")) % 256)
+        .select("doc_id", "lang", "bucket")
+      val lm = bg.groupBy("bucket").agg(
+        count(lit(1)).as("cnt_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"))
+      val tot = lm.agg(sum(col("cnt_r")).as("t_r"),
+        sum(col("cnt_t")).as("t_t"))
+      val ratios = lm.crossJoin(broadcast(tot))
+        .withColumn("ratio_e6",
+          floor(log(
+            ((col("cnt_t") + 1) * (col("t_r") + 256)).cast("double") /
+              ((col("cnt_r") + 1) * (col("t_t") + 256))) * 1e6)
+            .cast("long"))
+        .select("bucket", "ratio_e6")
+      bg.join(broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("ratio_e6")).as("weight_e6"))
+        .withColumn("selected", col("weight_e6") > 0L)
+    },
+    Some(s"""WITH bg AS (
+      SELECT doc_id, lang, unnest(list_transform(
+        range(1, len(string_split(text,' '))),
+        i -> array_to_string(list_slice(string_split(text,' '), i, i+1),
+          ' '))) AS bigram
+      FROM documents),
+    b AS (SELECT doc_id, lang,
+        ${duckH60("bigram")} % 256 AS bucket FROM bg),
+    lm AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt_r,
+        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+          AS cnt_t
+      FROM b GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt_r) AS BIGINT) AS t_r,
+        CAST(SUM(cnt_t) AS BIGINT) AS t_t FROM lm),
+    r AS (SELECT bucket,
+        CAST(floor(ln(CAST((cnt_t+1)*(t_r+256) AS DOUBLE)
+          / ((cnt_r+1)*(t_t+256))) * 1e6) AS BIGINT) AS ratio_e6
+      FROM lm, tot),
+    per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(ratio_e6) AS BIGINT) AS weight_e6
+      FROM b JOIN r USING (bucket) GROUP BY 1)
+    SELECT doc_id, n_bigrams, weight_e6, weight_e6 > 0 AS selected
+    FROM per"""))
+
   override val suite: Seq[GraftQuery] =
     Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13,
-      c14)
+      c14, c15)
 }

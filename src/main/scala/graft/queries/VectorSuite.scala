@@ -958,7 +958,88 @@ object VectorSuite extends QuerySuite {
       (d.vec_id IS NULL) AS kept
     FROM assign v LEFT JOIN dropped d ON d.vec_id = v.vec_id"""))
 
+  /** v18 — one exact Lloyd k-means iteration (assignment → centroid
+    * update → reassignment), the refinement loop the IVF/SemDeDup
+    * ladder (v06/v14/v17) seeds: v06 assigns to SEED centroids; v18
+    * recomputes each cell's centroid from its members and shows which
+    * vectors change cells — the convergence step every
+    * embedding-clustering pipeline iterates. Entirely exact integer
+    * arithmetic: the updated centroid is the truncating-division
+    * quantized mean `(100·Σqv_i) div cnt` (both engines truncate
+    * toward zero — measured), and round-2 distances compare
+    * 100-scaled vectors against it, so `d2` stays an exact long
+    * (|100·qv| ≤ 5.8e7 on this fixture → Σ over 64 dims < 2^63) and
+    * the argmin ties break on cent_id identically cross-engine.
+    * Each seed is its own cell's member at distance 0, so no cell is
+    * ever empty and round 2 always has 8 centroids.
+    *
+    * Plan shape (100 TB): both assignment rounds are broadcast-argmin
+    * scans (8 centroids; the corpus NEVER shuffles for assignment —
+    * exactly v06); the update is a dim-exploded partial-combining
+    * groupBy on (cell, dim) — 8·64 = 512 result rows regardless of
+    * corpus size, reassembled with one sort_array per cell. Iterating
+    * = repeating this stage; no driver state beyond the 8×64 table. */
+  private val v18 = GraftQuery(
+    "v18_kmeans_iter",
+    (s, dir) => {
+      val cents = emb(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("qv").as("cent_qv"))
+      val assigned = emb(s, dir).select(col("vec_id"), col("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("d2",
+          call_function("graft_sqdist_long", col("qv"), col("cent_qv")))
+        .groupBy(col("vec_id"), col("qv"))
+        .agg(min(struct(col("d2"), col("cent_id"))).as("nn"))
+        .select(col("vec_id"), col("qv"), col("nn.cent_id").as("cell1"))
+      val ncent = assigned
+        .select(col("cell1"), posexplode(col("qv")))
+        .groupBy(col("cell1"), col("pos"))
+        .agg(sum(col("col")).as("sval"), count(lit(1)).as("cnt"))
+        .withColumn("cq", expr("(100 * sval) div cnt"))
+        .groupBy(col("cell1"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("cq")))),
+          x => x("cq")).as("cent_qv"))
+        .select(col("cell1").as("cent_id"), col("cent_qv"))
+      assigned
+        .crossJoin(broadcast(ncent))
+        .withColumn("d2", call_function("graft_sqdist_long",
+          transform(col("qv"), x => x * 100L), col("cent_qv")))
+        .groupBy(col("vec_id"), col("cell1"))
+        .agg(min(struct(col("d2"), col("cent_id"))).as("nn"))
+        .select(col("vec_id"), col("cell1"),
+          col("nn.cent_id").as("cell2"))
+        .withColumn("moved", col("cell1") =!= col("cell2"))
+    },
+    Some(s"""WITH q AS ($qvSql),
+    cents AS (SELECT vec_id AS cent_id, qv AS cqv FROM q
+      WHERE vec_id < 8),
+    a1 AS (
+      SELECT v.vec_id, v.qv, c.cent_id AS cell1
+      FROM q v, cents c
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 1+len(v.qv)),
+          i -> (v.qv[i]-c.cqv[i])*(v.qv[i]-c.cqv[i]))) AS BIGINT),
+        c.cent_id) = 1),
+    dims AS (SELECT cell1, unnest(range(1, 1+len(qv))) AS dim, qv
+      FROM a1),
+    sums AS (SELECT cell1, dim, CAST(SUM(qv[dim]) AS BIGINT) AS sval,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM dims GROUP BY 1, 2),
+    ncent AS (SELECT cell1 AS cent_id,
+        list((100 * sval) // cnt ORDER BY dim) AS cqv
+      FROM sums GROUP BY 1),
+    a2 AS (
+      SELECT v.vec_id, v.cell1, n.cent_id AS cell2
+      FROM a1 v, ncent n
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 1+len(v.qv)),
+          i -> (100*v.qv[i]-n.cqv[i])*(100*v.qv[i]-n.cqv[i])))
+          AS BIGINT),
+        n.cent_id) = 1)
+    SELECT vec_id, cell1, cell2, cell1 <> cell2 AS moved FROM a2"""))
+
   override val suite: Seq[GraftQuery] =
     Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
-      v14, v15, v16, v17)
+      v14, v15, v16, v17, v18)
 }

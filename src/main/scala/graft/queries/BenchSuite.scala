@@ -557,6 +557,27 @@ object BenchSuite extends QuerySuite {
   private val x23 = GraftQuery("x23_salted_off",
     (s, dir) => saltedArm(s, dir, salted = false))
 
+  /** x24 — the full RAG retrieval lifecycle at bench scale: stage-1
+    * kNN (top-100 pools over the 50k inflated corpus, the grouped
+    * bounded-heap path) → vector join-back → MMR diversification
+    * (λ=0.5, k=10) with per-QUERY parallelism in flatMapGroups.
+    * Greedy selection is sequential in k, hence benchOnly (no SQL
+    * oracle) — semantics are recompute-pinned in MmrSpec. */
+  private val x24 = GraftQuery("x24_mmr_rerank",
+    (s, dir) => {
+      val corpus = inflated(s, dir)
+      val queries = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+      val pools = VectorSearch
+        .knn(corpus, "id", "vec", queries, "qid", "qvec", 100)
+        .join(corpus, Seq("id"))
+        .select(col("query_id"), col("id"), col("vec"),
+          (-col("dist")).as("rel"))
+      VectorSearch.mmrRerank(pools, k = 10, lambda = 0.5)
+    })
+
   override val suite: Seq[GraftQuery] =
     Seq(x02, x04, x07, x08, x11)
 
@@ -565,5 +586,5 @@ object BenchSuite extends QuerySuite {
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
     Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16, x17, x18,
-      x19, x20, x21, x22, x23)
+      x19, x20, x21, x22, x23, x24)
 }

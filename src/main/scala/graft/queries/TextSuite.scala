@@ -740,8 +740,86 @@ object TextSuite extends QuerySuite {
         FILTER (WHERE NOT is_boiler), '') AS clean_text
     FROM flagged GROUP BY doc_id"""))
 
+  /** t17 — language-MIXTURE detection (the multilingual-curation gate
+    * t02 can't express: t02 assigns ONE language per document, but
+    * real web documents interleave languages, and pipelines like
+    * CCNet/mC4 score documents by how much of the text the majority
+    * language actually covers — heavy mixing routes a doc to
+    * splitting or the discard pile). Granule: non-overlapping 5-token
+    * segments; each segment votes via the t02 marker lexicons
+    * (argmax with count-desc/lang-asc tiebreak; segments with zero
+    * marker hits are not language-bearing and drop out identically in
+    * both engines). Per doc: majority language over its
+    * language-bearing segments, and mix_ratio_e6 = the fraction of
+    * segments the majority does NOT cover — one exact truncating long
+    * division. polyglot = majority covers less than half.
+    *
+    * Plan shape (100 TB): ONE corpus exchange total — the explicit
+    * doc_id repartition clusters every later grain ((doc,seg,lang) →
+    * (doc,seg) → (doc,lang) → doc), so all four groupBys reuse the
+    * same partitioning (pinned in PlanAuditR11cSpec); the 20-row
+    * marker lexicon broadcasts; every aggregate is partial-combining
+    * and every frame after the first shrinks geometrically. */
+  private val t17 = GraftQuery(
+    "t17_polyglot",
+    (s, dir) => {
+      val m = s.createDataFrame(
+        langMarkers.flatMap { case (l, ws) => ws.map(w => (l, w)) })
+        .toDF("lang", "marker")
+      val segtok = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(shingles(tokens(col("text")), 5)))
+        .filter(col("pos") % 5 === 0)
+        .select(col("doc_id"),
+          expr("CAST(pos div 5 AS BIGINT)").as("seg_idx"),
+          explode(tokens(col("col"))).as("w"))
+        .repartition(col("doc_id"))
+      val votes = segtok.join(broadcast(m), col("w") === col("marker"))
+        .groupBy("doc_id", "seg_idx", "lang")
+        .agg(count(lit(1)).as("cnt"))
+      val seglang = votes.groupBy("doc_id", "seg_idx")
+        .agg(min(struct((-col("cnt")).as("nc"), col("lang").as("lang")))
+          .as("v"))
+        .select(col("doc_id"), col("v.lang").as("lang"))
+      seglang.groupBy("doc_id", "lang").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_segs"),
+          min(struct((-col("cnt")).as("nc"), col("lang").as("lang")))
+            .as("mv"))
+        .select(col("doc_id"), col("n_segs"),
+          col("mv.lang").as("major_lang"),
+          (-col("mv.nc")).as("n_major"))
+        .withColumn("mix_ratio_e6",
+          expr("(1000000 * (n_segs - n_major)) div n_segs"))
+        .withColumn("polyglot", col("mix_ratio_e6") > lit(500000L))
+    },
+    Some(s"""WITH m(lang, marker) AS (VALUES ${langMarkers
+      .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }
+      .mkString(", ")}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, unnest(range(len(t) // 5)) AS i, t FROM toks),
+    segtok AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        unnest(list_slice(t, 5*i+1, 5*i+5)) AS w FROM idx),
+    votes AS (SELECT s.doc_id, s.seg_idx, m.lang, COUNT(*) AS cnt
+      FROM segtok s JOIN m ON s.w = m.marker GROUP BY 1, 2, 3),
+    seglang AS (SELECT doc_id, seg_idx, lang FROM votes
+      QUALIFY row_number() OVER (PARTITION BY doc_id, seg_idx
+        ORDER BY cnt DESC, lang) = 1),
+    dv AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seglang GROUP BY 1, 2),
+    per AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_segs FROM dv
+      GROUP BY 1),
+    major AS (SELECT doc_id, lang AS major_lang, cnt AS n_major FROM dv
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+        ORDER BY cnt DESC, lang) = 1)
+    SELECT p.doc_id, p.n_segs, m.major_lang, m.n_major,
+      (1000000 * (p.n_segs - m.n_major)) // p.n_segs AS mix_ratio_e6,
+      ((1000000 * (p.n_segs - m.n_major)) // p.n_segs) > 500000
+        AS polyglot
+    FROM per p JOIN major m USING (doc_id)"""))
+
   override val suite: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16)
+      t14, t15, t16, t17)
 
 }

@@ -223,4 +223,85 @@ object VectorSearch {
         .withColumn("dist", l2(col("vec"), col("qvec"))),
       k)
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * from each query's candidate pool pick k items greedily by
+    * `λ·rel(c) − (1−λ)·max_{s∈picked} cos(c, s)` — the standard
+    * diversification pass RAG retrieval runs AFTER first-stage kNN,
+    * so near-duplicate passages don't crowd out coverage.
+    *
+    * Scale design (100 TB): MMR is inherently sequential IN k, so the
+    * right distributed shape is per-QUERY parallelism over the
+    * already-bounded stage-1 pools: `candidates` is the output of
+    * [[knn]]/[[searchIvf]]/[[searchLsh]] joined back to its vectors —
+    * contractually ≤ poolSize rows per query — and each query's
+    * greedy loop runs in ONE task via `flatMapGroups` (state = that
+    * query's pool; O(k·pool) dot products). Nothing corpus-scale is
+    * grouped, collected, or shuffled beyond the (query_id) exchange
+    * of the small pool frame. Ties break on candidate id, and the
+    * pool is pre-sorted (rel desc, id) before the loop, so the result
+    * is deterministic under any input partitioning.
+    *
+    * `candidates` schema: (query_id: long, id: long,
+    * vec: array<double>, rel: double — higher is more relevant).
+    * Returns (query_id, id, rank 1..k, mmr_score). */
+  def mmrRerank(candidates: DataFrame, k: Int,
+      lambda: Double = 0.5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val out = candidates
+      .select(col("query_id").cast("long"), col("id").cast("long"),
+        col("vec").cast("array<double>"), col("rel").cast("double"))
+      .as[(Long, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val pool = it.toArray.sortBy { case (_, id, _, rel) => (-rel, id) }
+        // unit-normalize once so candidate-candidate sim is one dot
+        val unit = pool.map { case (_, _, v, _) =>
+          val n = math.sqrt(v.map(x => x * x).sum)
+          if (n == 0.0) v else v.map(_ / n)
+        }
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val maxSim = Array.fill(pool.length)(0.0) // max cos to picked set
+        val taken = Array.fill(pool.length)(false)
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Int, Double)]
+        var rank = 1
+        while (rank <= math.min(k, pool.length)) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < pool.length) {
+            if (!taken(i)) {
+              val s = lambda * pool(i)._4 -
+                (1.0 - lambda) * (if (picked.isEmpty) 0.0 else maxSim(i))
+              // strict > keeps the (rel desc, id) pre-sort as tiebreak
+              if (s > bestScore) { bestScore = s; best = i }
+            }
+            i += 1
+          }
+          taken(best) = true
+          picked += best
+          rows += ((qid, pool(best)._2, rank, bestScore))
+          var j = 0
+          while (j < pool.length) {
+            if (!taken(j)) {
+              val sim = dot(unit(j), unit(best))
+              if (sim > maxSim(j)) maxSim(j) = sim
+            }
+            j += 1
+          }
+          rank += 1
+        }
+        rows.iterator
+      }
+    out.toDF("query_id", "id", "rank", "mmr_score")
+  }
 }

@@ -53,6 +53,14 @@ class PlanAuditR11cSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t17 polyglot: ONE corpus exchange — the doc_id repartition " +
+      "pre-satisfies all four shrinking groupBy grains; markers broadcast") {
+    val p = executed("t17_polyglot")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("v18 kmeans: both assignment rounds are broadcast argmin scans " +
       "and the centroid update is a (cell,dim) hash aggregate") {
     val p = executed("v18_kmeans_iter")

@@ -665,7 +665,65 @@ object CurationSuite extends QuerySuite {
     SELECT doc_id, n_bigrams, weight_e6, weight_e6 > 0 AS selected
     FROM per"""))
 
+  /** c16 — per-SOURCE calibrated quality gate: raw quality scores are
+    * not comparable across sources (a marginal doc from a clean dump
+    * outscores a good doc from a noisy one), so production curation
+    * thresholds per source — "keep each source's top 30%" — rather
+    * than applying one global cut. Score = integer uniqueness ratio
+    * (t01's signal as `(1e6·n_uniq) div n_tokens`); the cutoff is the
+    * EXACT per-source 70th-percentile score: the largest s whose
+    * descending cumulative count reaches ceil(0.3·n) = `(3n+9) div
+    * 10` (ties at the cutoff all kept — well-defined, no tiebreak
+    * lottery).
+    *
+    * Plan shape (100 TB): the corpus is touched twice, both times
+    * embarrassingly parallel — one partial-combining groupBy to the
+    * (source, score) HISTOGRAM (sources × distinct scores rows, tiny
+    * by construction since the score is a bounded integer), and one
+    * map-side filter against the BROADCAST cutoff table. The ranking
+    * window runs over the histogram, never the corpus — this is the
+    * counting form of a per-source percentile, the shape that
+    * replaces "window over every doc per source" (one task per
+    * source, unbounded) at scale. */
+  private val c16 = GraftQuery(
+    "c16_quality_calibration",
+    (s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("""CAST((1000000 * size(array_distinct(split(text, ' '))))
+            div size(split(text, ' ')) AS BIGINT)""").as("score"))
+      val hist = scored.groupBy("source", "score")
+        .agg(count(lit(1)).as("cnt"))
+      val n = scored.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("source").orderBy(col("score").desc)
+      val cuts = hist.withColumn("cum", sum(col("cnt")).over(w))
+        .join(n, "source")
+        .filter(col("cum") >= expr("(3 * n_docs + 9) div 10"))
+        .groupBy("source").agg(max(col("score")).as("cutoff"))
+      scored.join(broadcast(cuts), "source")
+        .select(col("doc_id"), col("source"), col("score"),
+          col("cutoff"), (col("score") >= col("cutoff")).as("kept"))
+    },
+    Some("""WITH scored AS (
+      SELECT doc_id, source,
+        (1000000 * CAST(len(list_distinct(string_split(text, ' ')))
+          AS BIGINT)) // len(string_split(text, ' ')) AS score
+      FROM documents),
+    hist AS (SELECT source, score, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM scored GROUP BY 1, 2),
+    n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM scored GROUP BY 1),
+    cum AS (SELECT h.source, h.score,
+        CAST(SUM(h.cnt) OVER (PARTITION BY h.source
+          ORDER BY h.score DESC) AS BIGINT) AS cum, n.n_docs
+      FROM hist h JOIN n USING (source)),
+    cuts AS (SELECT source, MAX(score) AS cutoff FROM cum
+      WHERE cum >= (3 * n_docs + 9) // 10 GROUP BY 1)
+    SELECT s.doc_id, s.source, s.score, c.cutoff,
+      s.score >= c.cutoff AS kept
+    FROM scored s JOIN cuts c USING (source)"""))
+
   override val suite: Seq[GraftQuery] =
     Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13,
-      c14, c15)
+      c14, c15, c16)
 }

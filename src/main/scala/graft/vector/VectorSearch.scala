@@ -89,7 +89,20 @@ object VectorSearch {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .toSeq
-    val index = IvfIndex(null, cents)
+    buildIvfWith(corpus, idCol, vecCol, cents)
+  }
+
+  /** Build the IVF index from GIVEN centroids — e.g. [[Kmeans.fit]]
+    * output, the production path (trained cells are tighter, so
+    * `nprobe` cells capture more true neighbors than seed cells at
+    * the same read cost). Same map-side literal-argmin assignment as
+    * [[buildIvf]]. */
+  def buildIvfWith(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])]): IvfIndex = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val ids = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val index = IvfIndex(null, centroids)
     val assigned = ids
       .withColumn("cell", index.nearestCell(col("vec")))
       .repartition(col("cell"))

@@ -1,0 +1,97 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Kmeans.fit: parity with a local Lloyd recompute under the same
+  * quantization, bitwise determinism under hostile partitioning, SSE
+  * improvement over the seed cells, and composition with buildIvfWith
+  * (all-cells probe stays exact).
+  */
+class KmeansSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val K = 4
+  private val Scale = 1e6
+
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>")
+      .as("vec"))
+
+  private lazy val vecs: Map[Long, Array[Double]] =
+    emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  private def d2(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  private def localFit(iters: Int): Seq[(Long, Array[Double])] = {
+    var cents: Seq[(Long, Array[Double])] =
+      (0L until K.toLong).map(i => i -> vecs(i))
+    // Spark's round() is BigDecimal HALF_UP (away from zero), NOT
+    // math.round's floor(x+0.5) — they differ on negative halves
+    val qv = vecs.map { case (id, v) =>
+      id -> v.map(x => java.math.BigDecimal.valueOf(x * Scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    }
+    for (_ <- 1 to iters) {
+      // .toSeq: mapping a key SET through qv(id)(d) would collapse
+      // equal values before the sum
+      val byCell = vecs.keys.toSeq.groupBy { id =>
+        cents.map { case (c, cv) => (d2(vecs(id), cv), c) }.min._2
+      }
+      cents = cents.map { case (cell, prev) =>
+        byCell.get(cell) match {
+          case Some(members) =>
+            val n = members.size
+            (cell, Array.tabulate(prev.length) { d =>
+              members.map(id => qv(id)(d)).sum.toDouble / Scale / n
+            })
+          case None => (cell, prev)
+        }
+      }
+    }
+    cents
+  }
+
+  test("fit matches the local Lloyd recompute bit-for-bit (3 iters)") {
+    val got = Kmeans.fit(emb, "vec_id", "vec", K, iters = 3)
+    val want = localFit(3)
+    got.zip(want).foreach { case ((gc, gv), (wc, wv)) =>
+      assert(gc === wc)
+      gv.zip(wv).foreach { case (a, b) => assert(a === b) }
+    }
+  }
+
+  test("deterministic under hostile repartitioning") {
+    val a = Kmeans.fit(emb, "vec_id", "vec", K, 2)
+    val b = Kmeans.fit(emb.repartition(17), "vec_id", "vec", K, 2)
+    assert(a === b)
+  }
+
+  test("training tightens the cells: SSE strictly below the seed cells") {
+    def sse(cents: Seq[(Long, Seq[Double])]): Double =
+      vecs.values.map { v =>
+        cents.map { case (_, c) => d2(v, c.toArray) }.min
+      }.sum
+    val seeds = (0L until K.toLong)
+      .map(i => i -> vecs(i).toSeq)
+    val trained = Kmeans.fit(emb, "vec_id", "vec", K, 3)
+    assert(sse(trained) < sse(seeds),
+      s"training did not reduce SSE: ${sse(trained)} vs ${sse(seeds)}")
+  }
+
+  test("buildIvfWith(trained) + all-cells probe stays exact") {
+    val trained = Kmeans.fit(emb, "vec_id", "vec", K, 2)
+    val index = VectorSearch.buildIvfWith(emb, "vec_id", "vec", trained)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val exact = VectorSearch
+      .knn(emb, "vec_id", "vec", queries, "qid", "qvec", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = VectorSearch
+      .searchIvf(index, queries, "qid", "qvec", 5, nprobe = K)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed === exact)
+  }
+}

@@ -696,6 +696,87 @@ object DedupSuite extends QuerySuite {
     JOIN sp xb ON xb.doc_id = p.b_id
     GROUP BY 1, 2"""))
 
+  /** d15 — eval-set substring SCRUB (span-level decontamination, the
+    * surgical sibling of d09: d09 FLAGS whole documents sharing eval
+    * 5-grams — the drop-the-doc policy; d15 removes just the
+    * contaminated spans and keeps the rest, the policy used when
+    * dropping every touching document is too lossy). Same eval
+    * convention as d09 (doc_id ≡ 0 mod 23 stands in for the external
+    * benchmark set); every 5-token span of any eval doc becomes
+    * dictionary, and a train token is dropped iff some dictionary
+    * span covers it — [[graft.ops.RepeatedSpans.strip]] consuming an
+    * EVAL dictionary instead of d10's repeated-span dictionary, which
+    * also gives the strip path its first cross-engine oracle (d10
+    * oracles detect; strip was spec-only). The oracle matches on the
+    * gram STRING where Spark matches on its md5Long60 image —
+    * equivalent short of an md5 collision, the standing assumption of
+    * every hash-keyed oracle here.
+    *
+    * Plan shape (100 TB): the dictionary is distinct eval spans
+    * (benchmark suites are tiny → AQE broadcasts; degenerate-input
+    * fallback is a hash equi-join, never pairs); span flagging is
+    * map-side posexplode + that join; the mask collapses to ONE
+    * in-row array per doc (bounded by doc length) and removal is an
+    * in-row filter-with-index — no per-token rows ever shuffle. */
+  private val d15 = {
+    val N = 5
+    val Mod = 23
+    GraftQuery(
+      "d15_eval_scrub",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val evalDict = docs.filter(col("doc_id") % Mod === 0)
+          .select(explode(array_distinct(
+            transform(shingles(tokens(col("text")), N),
+              g => md5Long60(g)))).as("h"))
+          .distinct()
+        val train = docs.filter(col("doc_id") % Mod =!= 0)
+          .select(col("doc_id"), col("text"))
+        val cleaned = graft.ops.RepeatedSpans
+          .strip(train, evalDict, "doc_id", "text", N)
+          .withColumnRenamed("text", "clean_text")
+        train
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .join(cleaned, Seq("doc_id"))
+          .withColumn("n_clean", when(col("clean_text") === "", 0L)
+            .otherwise(size(tokens(col("clean_text"))).cast("long")))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") - col("n_clean")).as("n_removed"),
+            col("clean_text"))
+      },
+      Some(s"""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      sp AS (SELECT doc_id, unnest(range(1, len(tk) - ${N - 2})) AS s, tk
+        FROM toks),
+      g AS (SELECT doc_id, s,
+          array_to_string(list_slice(tk, s, s + ${N - 1}), ' ') AS gram
+        FROM sp),
+      ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % $Mod = 0),
+      fl AS (SELECT doc_id, s FROM g
+        WHERE doc_id % $Mod <> 0 AND gram IN (SELECT gram FROM ev)),
+      cov AS (SELECT DISTINCT doc_id, s + u AS p
+        FROM (SELECT doc_id, s, unnest(range($N)) AS u FROM fl)),
+      ps AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY 1),
+      out AS (
+        SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+          -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+          -- array_join(empty) is '' — a fully-scrubbed doc must agree
+          COALESCE(array_to_string(list_transform(
+            list_filter(range(1, 1 + len(t.tk)),
+              i -> p.ps IS NULL OR NOT list_contains(p.ps, i)),
+            i -> t.tk[i]), ' '), '') AS clean_text
+        FROM toks t LEFT JOIN ps p USING (doc_id)
+        WHERE t.doc_id % $Mod <> 0)
+      SELECT doc_id, n_tokens,
+        n_tokens - (CASE WHEN clean_text = '' THEN 0
+          ELSE CAST(len(string_split(clean_text, ' ')) AS BIGINT) END)
+          AS n_removed,
+        clean_text
+      FROM out"""))
+  }
+
   override val suite: Seq[GraftQuery] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
+      d15)
 }

@@ -818,8 +818,64 @@ object TextSuite extends QuerySuite {
         AS polyglot
     FROM per p JOIN major m USING (doc_id)"""))
 
+  /** t18 — token-entropy quality signal (the Gopher-family
+    * repetitiveness gate t01's uniq_ratio only approximates: two docs
+    * with the same distinct count differ sharply when one's mass
+    * piles onto a few tokens). Shannon entropy in exact fixed point:
+    * H = ln(n) − (Σ cᵢ·ln cᵢ)/n becomes `h_e6 = floor(1e6·ln n) −
+    * (Σ cᵢ·floor(1e6·ln cᵢ)) div n` — one ln per DISTINCT (doc,
+    * token) count, the c02 recipe, then exact long sums; the flag
+    * compares against the doc's max possible entropy ln(distinct):
+    * `100·h < 95·hmax` (flags ~13% of docs at both fixture SFs).
+    *
+    * Plan shape (100 TB): ONE corpus exchange — the doc_id
+    * repartition (the t17 trick) clusters both the (doc, token) count
+    * grain and the per-doc rollup; everything else is map-side
+    * explode + partial-combining aggregates. */
+  private val t18 = GraftQuery(
+    "t18_token_entropy",
+    (s, dir) => {
+      val cnts = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .repartition(col("doc_id"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      cnts.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") *
+            floor(log(col("c").cast("double")) * 1e6).cast("long"))
+            .as("sc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (floor(log(col("n_tokens").cast("double")) * 1e6).cast("long")
+            - expr("sc div n_tokens")).as("entropy_e6"),
+          floor(log(col("n_distinct").cast("double")) * 1e6).cast("long")
+            .as("max_entropy_e6"))
+        .withColumn("repetitive",
+          col("entropy_e6") * 100 < col("max_entropy_e6") * 95)
+    },
+    Some("""WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM w GROUP BY 1, 2),
+    per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))
+          AS BIGINT) AS sc
+      FROM c GROUP BY 1)
+    SELECT doc_id, n_tokens, n_distinct,
+      CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+        - sc // n_tokens AS entropy_e6,
+      CAST(floor(ln(CAST(n_distinct AS DOUBLE)) * 1e6) AS BIGINT)
+        AS max_entropy_e6,
+      (CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+        - sc // n_tokens) * 100
+        < CAST(floor(ln(CAST(n_distinct AS DOUBLE)) * 1e6) AS BIGINT) * 95
+        AS repetitive
+    FROM per"""))
+
   override val suite: Seq[GraftQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17)
+      t14, t15, t16, t17, t18)
 
 }

@@ -578,6 +578,21 @@ object BenchSuite extends QuerySuite {
       VectorSearch.mmrRerank(pools, k = 10, lambda = 0.5)
     })
 
+  /** x25 — k-means training cost at bench scale: 3 Lloyd rounds over
+    * the 50k inflated corpus (each round = one broadcast-argmin scan
+    * + one k·dim-row aggregate), then the trained assignment as the
+    * returned frame. benchOnly: the trainer is deterministic
+    * (KmeansSpec pins bitwise parity) but iterative driver-side
+    * orchestration has no single-statement SQL twin. */
+  private val x25 = GraftQuery("x25_kmeans_train",
+    (s, dir) => {
+      val corpus = inflated(s, dir)
+      val cents = graft.vector.Kmeans
+        .fit(corpus, "id", "vec", k = 8, iters = 3)
+      VectorSearch.buildIvfWith(corpus, "id", "vec", cents).assigned
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+    })
+
   override val suite: Seq[GraftQuery] =
     Seq(x02, x04, x07, x08, x11)
 
@@ -586,5 +601,5 @@ object BenchSuite extends QuerySuite {
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
     Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16, x17, x18,
-      x19, x20, x21, x22, x23, x24)
+      x19, x20, x21, x22, x23, x24, x25)
 }

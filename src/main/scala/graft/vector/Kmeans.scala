@@ -38,32 +38,43 @@ object Kmeans {
       .orderBy("id").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     val dim = cents.head._2.length
+    // floor(x+0.5), NOT round(): same determinism guarantee but a pure
+    // codegen double op — round() allocates a BigDecimal per ELEMENT,
+    // which at dim·|corpus| per Lloyd round dominated training CPU
+    // (x25 bench arm: 21 s → measured after this change in BENCH_FULL)
     val qv = ids.withColumn("qv",
-      transform(col("vec"), x => round(x * quantScale).cast("long")))
-    for (_ <- 1 to iters) {
-      val index = VectorSearch.IvfIndex(null, cents)
-      // k·dim rows to the driver — bounded by the MODEL size, never
-      // the corpus (64 cells × 768 dims = 49k longs)
-      val sums = qv
-        .withColumn("cell", index.nearestCell(col("vec")))
-        .select(col("cell"), posexplode(col("qv")))
-        .groupBy("cell", "pos")
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-        .collect()
-        .groupBy(_.getLong(0))
-      cents = cents.map { case (cell, prev) =>
-        sums.get(cell) match {
-          case Some(rows) =>
-            val byDim = rows.map(r =>
-              r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
-            (cell, Seq.tabulate(dim) { d =>
-              val (s, n) = byDim(d)
-              s.toDouble / quantScale / n
-            })
-          case None => (cell, prev) // empty cell: carry, don't die
+      transform(col("vec"),
+        x => floor(x * quantScale + 0.5d).cast("long")))
+      // persisted for the fit's lifetime: every round re-reads the
+      // quantized frame; without this each round re-quantizes the
+      // corpus from the source scan
+      .persist()
+    try {
+      for (_ <- 1 to iters) {
+        val index = VectorSearch.IvfIndex(null, cents)
+        // k·dim rows to the driver — bounded by the MODEL size, never
+        // the corpus (64 cells × 768 dims = 49k longs)
+        val sums = qv
+          .withColumn("cell", index.nearestCell(col("vec")))
+          .select(col("cell"), posexplode(col("qv")))
+          .groupBy("cell", "pos")
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .collect()
+          .groupBy(_.getLong(0))
+        cents = cents.map { case (cell, prev) =>
+          sums.get(cell) match {
+            case Some(rows) =>
+              val byDim = rows.map(r =>
+                r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+              (cell, Seq.tabulate(dim) { d =>
+                val (s, n) = byDim(d)
+                s.toDouble / quantScale / n
+              })
+            case None => (cell, prev) // empty cell: carry, don't die
+          }
         }
       }
-    }
-    cents
+      cents
+    } finally qv.unpersist(blocking = false)
   }
 }

@@ -61,6 +61,31 @@ class PlanAuditR11cSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("d15 eval scrub: span flagging joins the dictionary without a " +
+      "cartesian, and no per-token rows reach a window") {
+    val p = executed("d15_eval_scrub")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p) // mask is an in-row array, not a window
+  }
+
+  test("t18 token entropy: ONE corpus exchange — the doc_id " +
+      "repartition serves both the (doc,token) count and the rollup") {
+    val p = executed("t18_token_entropy")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("c14 epoch shards hold at 10x: shard token masses stay within " +
+      "one max-document of total/8 at sf0.01 too") {
+    val rows = SparkEntry.queries("c14_epoch_shards")(
+      spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(4), r.getLong(2)))
+    val total = rows.map(_._2).sum
+    val maxDoc = rows.map(_._2).max
+    val perShard = rows.groupBy(_._1).map(_._2.map(_._2).sum)
+    assert(perShard.size == 8)
+    assert(perShard.max <= total / 8 + maxDoc)
+  }
+
   test("v18 kmeans: both assignment rounds are broadcast argmin scans " +
       "and the centroid update is a (cell,dim) hash aggregate") {
     val p = executed("v18_kmeans_iter")

@@ -28,11 +28,10 @@ class KmeansSpec extends SparkSpec {
   private def localFit(iters: Int): Seq[(Long, Array[Double])] = {
     var cents: Seq[(Long, Array[Double])] =
       (0L until K.toLong).map(i => i -> vecs(i))
-    // Spark's round() is BigDecimal HALF_UP (away from zero), NOT
-    // math.round's floor(x+0.5) — they differ on negative halves
+    // the trainer quantizes with floor(x+0.5) (pure codegen double op;
+    // Spark's round() allocates a BigDecimal per element) — mirror it
     val qv = vecs.map { case (id, v) =>
-      id -> v.map(x => java.math.BigDecimal.valueOf(x * Scale)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+      id -> v.map(x => math.floor(x * Scale + 0.5).toLong)
     }
     for (_ <- 1 to iters) {
       // .toSeq: mapping a key SET through qv(id)(d) would collapse

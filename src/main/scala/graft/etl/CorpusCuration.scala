@@ -1,0 +1,131 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps.{shingles, tokens}
+import graft.ops.{Boilerplate, Packing, RepeatedSpans}
+
+/** The full training-corpus curation lifecycle as ONE library call —
+  * the composition a user of this engine actually runs nightly, each
+  * stage being an operator that is individually oracle-verified:
+  *
+  *   input → quality gate (t01's signals) → repetition gate (t09's
+  *   duplicate 2-grams) → cross-doc boilerplate strip (t16) →
+  *   eval-set substring scrub (d15, optional) → exact dedup
+  *   keep-first (d01/r04) → deterministic epoch shuffle +
+  *   token-balanced shards (c14)
+  *
+  * plus the per-stage (docs, tokens) drop report a pipeline owner
+  * watches (p03's funnel, extended to the text-TRANSFORMING stages a
+  * single conditional aggregate cannot express, since token counts
+  * change under strip/scrub).
+  *
+  * Scale shape: every stage is the already-audited plan of its oracle
+  * twin — nothing here introduces a new shuffle pattern. Intermediate
+  * stages are persisted so the report and the final corpus evaluate
+  * each stage once; call `release()` when done (a 100 TB run would
+  * checkpoint stages to the lake instead — swap persist for a writer
+  * at the marked seam).
+  */
+object CorpusCuration {
+
+  final case class Config(
+      minTokens: Long = 5L,
+      minUniqRatio: Double = 0.3,
+      maxDup2Frac: Double = 0.2,
+      boilerplateSegTokens: Int = 2,
+      boilerplateTopK: Int = 20,
+      scrubSpanTokens: Int = 5,
+      nShards: Int = 8,
+      epochSeed: String = "epoch-1")
+
+  /** `corpus`: (idCol, textCol, n_tokens, shuffle_key, cum_before,
+    * shard). `report`: (stage, gate, n_docs, n_tokens_total), stage
+    * ordinal preserving pipeline order. */
+  final case class Result(corpus: DataFrame, report: DataFrame,
+      private[etl] val cached: Seq[DataFrame]) {
+    def release(): Unit =
+      cached.foreach(_.unpersist(blocking = false))
+  }
+
+  private def tokCount(textCol: String) =
+    when(col(textCol) === "", 0L)
+      .otherwise(size(tokens(col(textCol))).cast("long"))
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: Option[DataFrame] = None,
+      cfg: Config = Config()): Result = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // stage 1+2: the in-row gates (one projection, two filters)
+    val gated = docs.select(col(idCol), col(textCol))
+      .withColumn("__tk", tokens(col(textCol)))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .withColumn("__uniq",
+        size(array_distinct(col("__tk"))).cast("double") / col("__n"))
+      .withColumn("__g2", shingles(col("__tk"), 2))
+      .withColumn("__dup2",
+        when(size(col("__g2")) > 0,
+          (size(col("__g2")) - size(array_distinct(col("__g2"))))
+            .cast("double") / size(col("__g2"))).otherwise(0.0))
+    val quality = gated
+      .filter(col("__n") >= cfg.minTokens &&
+        col("__uniq") >= cfg.minUniqRatio)
+      .select(col(idCol), col(textCol), col("__dup2")).persist()
+    val repetition = quality
+      .filter(col("__dup2") <= cfg.maxDup2Frac)
+      .select(col(idCol), col(textCol)).persist()
+
+    // stage 3: cross-doc boilerplate strip; fully-boilerplate docs drop
+    val deboiler = Boilerplate
+      .strip(repetition, idCol, textCol,
+        cfg.boilerplateSegTokens, cfg.boilerplateTopK)
+      .filter(col(textCol) =!= "").persist()
+
+    // stage 4 (optional): eval-set substring scrub — [checkpoint seam]
+    val scrubbed = evalDocs match {
+      case Some(ev) =>
+        val dict = ev
+          .select(explode(array_distinct(transform(
+            shingles(tokens(col(textCol)), cfg.scrubSpanTokens),
+            g => graft.functions.TextOps.md5Long60(g)))).as("h"))
+          .distinct()
+        RepeatedSpans
+          .strip(deboiler, dict, idCol, textCol, cfg.scrubSpanTokens)
+          .filter(col(textCol) =!= "").persist()
+      case None => deboiler
+    }
+
+    // stage 5: exact content dedup, keep-first by id
+    val deduped = graft.ops.Ops.dedupKeepFirstAgg(
+      scrubbed.withColumn("__h", md5(col(textCol).cast("binary"))),
+      keys = Seq("__h"), orderCols = Seq(idCol))
+      .drop("__h").persist()
+
+    // stage 6: deterministic epoch shuffle + token-balanced shards
+    val corpus = Packing.epochShards(
+      deduped.withColumn("n_tokens", tokCount(textCol)),
+      idCol, "n_tokens", cfg.nShards, cfg.epochSeed)
+
+    def stat(name: String, ord: Int, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(tokCount(textCol)), lit(0L)).as("n_tokens_total"))
+        .select(lit(ord.toLong).as("stage"), lit(name).as("gate"),
+          col("n_docs"), col("n_tokens_total"))
+    val stages = Seq(
+      stat("input", 0, docs.select(col(idCol), col(textCol))),
+      stat("quality", 1, quality),
+      stat("repetition", 2, repetition),
+      stat("boilerplate", 3, deboiler)) ++
+      (if (evalDocs.isDefined)
+        Seq(stat("decontaminate", 4, scrubbed)) else Nil) ++
+      Seq(stat("exact_dedup", 5, deduped))
+    val report = stages.reduce(_ unionByName _)
+
+    Result(corpus, report,
+      Seq(quality, repetition, deboiler, deduped) ++
+        (if (evalDocs.isDefined) Seq(scrubbed) else Nil))
+  }
+}

@@ -78,4 +78,26 @@ object Packing {
       .withColumn("bin", expr(s"cum_before div ${maxLen}L"))
       .withColumn("bin_offset", col("cum_before") % maxLen)
   }
+
+  /** Deterministic epoch shuffle + weight-balanced contiguous shards
+    * (the library form of oracle query c14): order by the seeded
+    * content hash (re-runs land every row in the same spot, unlike
+    * `rand()`), then `shard = (nShards · cum_before) div total` —
+    * ids in [0, nShards), per-shard weight within one max-row of
+    * total/nShards, no driver greedy. Prefix positions come from the
+    * two-phase [[withPrefixSum]], never a single-partition window.
+    * Adds (shuffle_key, cum_before, shard). */
+  def epochShards(df: DataFrame, idCol: String, weightCol: String,
+      nShards: Int, seed: String = "epoch-1"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val keyed = df.withColumn("shuffle_key",
+      md5(concat(lit(s"$seed:"), col(idCol).cast("string"))))
+    val cum = withPrefixSum(keyed, "shuffle_key", weightCol,
+      "cum_before")
+    val tot = cum.agg(sum(col(weightCol)).cast("long").as("__total"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("shard",
+        expr(s"($nShards * cum_before) div __total"))
+      .drop("__total")
+  }
 }

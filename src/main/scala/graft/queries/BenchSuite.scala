@@ -593,6 +593,22 @@ object BenchSuite extends QuerySuite {
         .groupBy("cell").agg(count(lit(1)).as("n"))
     })
 
+  /** x26 — the COMPOSED curation lifecycle end-to-end at bench scale:
+    * quality gate → repetition gate → boilerplate strip → eval scrub
+    * → exact dedup → epoch shards, as one `CorpusCuration.curate`
+    * call over the 5k-doc corpus (eval = the d09/d15 mod-23 slice).
+    * Caches are released up front so the timing is the honest
+    * UNCACHED end-to-end cost of the whole funnel, not a replay. */
+  private val x26 = GraftQuery("x26_curation_pipeline",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val res = graft.etl.CorpusCuration.curate(
+        docs.filter(col("doc_id") % 23 =!= 0), "doc_id", "text",
+        evalDocs = Some(docs.filter(col("doc_id") % 23 === 0)))
+      res.release()
+      res.corpus
+    })
+
   override val suite: Seq[GraftQuery] =
     Seq(x02, x04, x07, x08, x11)
 
@@ -601,5 +617,5 @@ object BenchSuite extends QuerySuite {
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
     Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16, x17, x18,
-      x19, x20, x21, x22, x23, x24, x25)
+      x19, x20, x21, x22, x23, x24, x25, x26)
 }

@@ -183,6 +183,28 @@ object Examples {
       s"${toks.count()} subwords (first merges: " +
       s"${bpe.merges.take(5).mkString(" ")})")
 
+    // --- the composed curation lifecycle (round 11) ---
+    val evalSet = corpus.filter(col("doc_id") % 23 === 0)
+    val curated = graft.etl.CorpusCuration.curate(
+      corpus.filter(col("doc_id") % 23 =!= 0), "doc_id", "text",
+      evalDocs = Some(evalSet))
+    println("curation funnel (docs, tokens per stage):")
+    curated.report.orderBy("stage").show(false)
+    println(s"curated corpus: ${curated.corpus.count()} docs in " +
+      s"8 token-balanced shards")
+    curated.release()
+
+    // --- fit-once/score-many DSIR + trained k-means (round 11) ---
+    val model = graft.ops.Dsir.fit(corpus, col("lang") === "en")
+    val scored = graft.ops.Dsir.score(model, corpus, Seq("doc_id"))
+    println(s"dsir: ${scored.filter(col("selected")).count()} of " +
+      s"${scored.count()} docs selected as target-like")
+    val cents = graft.vector.Kmeans.fit(
+      emb.select(col("vec_id").as("id"), col("vec")), "id", "vec",
+      k = 4, iters = 3)
+    println(s"kmeans: 4 trained cells, first centroid dim0 = " +
+      f"${cents.head._2.head}%.4f (deterministic under any partitioning)")
+
     spark.stop()
   }
 }

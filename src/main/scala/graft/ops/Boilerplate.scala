@@ -50,7 +50,7 @@ object Boilerplate {
       segTokens: Int = 2, topK: Int = 20): DataFrame = {
     val boiler = topSegments(docs, idCol, textCol, segTokens, topK)
       .select(col("segment"), lit(true).as("__boiler"))
-    segments(docs, idCol, textCol, segTokens)
+    val cleaned = segments(docs, idCol, textCol, segTokens)
       .join(broadcast(boiler), Seq("segment"), "left")
       .groupBy(idCol)
       .agg(concat_ws(" ",
@@ -58,5 +58,12 @@ object Boilerplate {
           sort_array(collect_list(when(col("__boiler").isNull,
             struct(col("seg_idx"), col("segment"))))),
           x => x("segment"))).as(textCol))
+    // docs shorter than one segment produce no segment rows — without
+    // this join-back they would vanish from the output instead of
+    // degrading to '' (the t16 oracle only EMITS segmented docs, so
+    // parity on segmented docs is unchanged)
+    docs.select(col(idCol))
+      .join(cleaned, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 }

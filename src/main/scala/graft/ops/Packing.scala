@@ -96,8 +96,10 @@ object Packing {
       "cum_before")
     val tot = cum.agg(sum(col(weightCol)).cast("long").as("__total"))
     cum.crossJoin(broadcast(tot))
+      // greatest(·,1): an all-zero-weight frame must land in shard 0,
+      // not null out on the zero division
       .withColumn("shard",
-        expr(s"($nShards * cum_before) div __total"))
+        expr(s"($nShards * cum_before) div greatest(__total, 1L)"))
       .drop("__total")
   }
 }

@@ -426,7 +426,47 @@ object EventsSuite extends QuerySuite {
       FROM events CROSS JOIN (VALUES (0), (1)) t(o))
     GROUP BY 1, 2, 3"""))
 
+  /** e16 — cumulative distinct-to-date (the "running unique" metric:
+    * per user, how many DISTINCT event types they have ever produced
+    * as of each active day — engagement-breadth growth, the curve
+    * product analytics watches). The naive form is a running
+    * `count(distinct)` window over raw events — per-user
+    * carried-set state that explodes at scale. The scalable recast:
+    * distinct-to-date only changes on a key's FIRST day, so (1) one
+    * groupBy collapses events to (user, type, first_day); (2) a
+    * second counts new types per (user, day); (3) the running sum
+    * windows over THAT frame — |users| × |active days| rows, keyed on
+    * the high-cardinality user_id, never raw events.
+    *
+    * Exactness: dates and counts only — no floats anywhere. */
+  private val e16 = GraftQuery(
+    "e16_running_distinct",
+    (s, dir) => {
+      val firsts = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          to_date(col("ts")).as("day"))
+        .groupBy("user_id", "event_type")
+        .agg(min(col("day")).as("first_day"))
+      val perDay = firsts.groupBy("user_id", "first_day")
+        .agg(count(lit(1)).as("new_types"))
+      val w = Window.partitionBy("user_id").orderBy("first_day")
+      perDay
+        .withColumn("cum_distinct", sum(col("new_types")).over(w))
+        .select(col("user_id"), col("first_day").as("day"),
+          col("new_types"), col("cum_distinct"))
+    },
+    Some("""WITH firsts AS (
+      SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY 1, 2),
+    per_day AS (
+      SELECT user_id, first_day, CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM firsts GROUP BY 1, 2)
+    SELECT user_id, first_day AS day, new_types,
+      CAST(SUM(new_types) OVER (PARTITION BY user_id
+        ORDER BY first_day) AS BIGINT) AS cum_distinct
+    FROM per_day"""))
+
   override val suite: Seq[GraftQuery] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15)
+      e14, e15, e16)
 }

@@ -32,4 +32,24 @@ class LibraryParitySpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.head.toString)
     assert(lib.toSeq === oracle.toSeq)
   }
+
+  test("Boilerplate.strip preserves sub-segment docs as ''") {
+    import spark.implicits._
+    val tiny = Seq((1L, "only"), (2L, "a b a b a b"),
+      (3L, "a b a b a b")).toDF("doc_id", "text")
+    val out = Boilerplate.strip(tiny, "doc_id", "text", 2, 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L)) // doc 1 survives as a row
+    assert(out(1L) === "")                 // ...with empty cleaned text
+    assert(out(2L) === "")                 // "a b" is the top-1 segment
+  }
+
+  test("epochShards: an all-zero-weight frame lands in shard 0") {
+    import spark.implicits._
+    val zero = Seq((1L, 0L), (2L, 0L), (3L, 0L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.epochShards(zero, "doc_id", "n_tokens", 8)
+      .select("shard").collect().map(_.getLong(0)).toSet
+    assert(out === Set(0L))
+  }
 }

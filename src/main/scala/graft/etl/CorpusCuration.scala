@@ -37,6 +37,7 @@ object CorpusCuration {
       boilerplateSegTokens: Int = 2,
       boilerplateTopK: Int = 20,
       scrubSpanTokens: Int = 5,
+      dsirBuckets: Int = 256,
       nShards: Int = 8,
       epochSeed: String = "epoch-1")
 
@@ -53,8 +54,15 @@ object CorpusCuration {
     when(col(textCol) === "", 0L)
       .otherwise(size(tokens(col(textCol))).cast("long"))
 
+  /** `dsirTarget`: when set, an importance-selection stage runs after
+    * the scrub — a [[graft.ops.Dsir]] model is fit on the
+    * scrub-survivors with this predicate marking the target slice,
+    * and only docs the model scores target-like (weight > 0) are
+    * kept. The hashed-LM fit is one extra corpus pass; scoring is a
+    * broadcast join. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       evalDocs: Option[DataFrame] = None,
+      dsirTarget: Option[org.apache.spark.sql.Column] = None,
       cfg: Config = Config()): Result = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -98,9 +106,29 @@ object CorpusCuration {
       case None => deboiler
     }
 
+    // stage 4.5 (optional): DSIR importance selection against the
+    // caller's target slice — fit on survivors, keep target-like
+    // docs. The predicate evaluates over the ORIGINAL docs frame (so
+    // it may reference metadata columns the funnel pared away);
+    // membership rides an id join back onto the survivors.
+    val selected = dsirTarget match {
+      case Some(t) =>
+        val flagged = scrubbed.join(
+          docs.filter(t).select(col(idCol), lit(true).as("__t")),
+          Seq(idCol), "left")
+          .withColumn("__t", coalesce(col("__t"), lit(false)))
+        val model = graft.ops.Dsir.fit(flagged, col("__t"), textCol,
+          cfg.dsirBuckets)
+        scrubbed.join(
+          graft.ops.Dsir.score(model, scrubbed, Seq(idCol), textCol)
+            .filter(col("selected")).select(col(idCol)),
+          Seq(idCol)).persist()
+      case None => scrubbed
+    }
+
     // stage 5: exact content dedup, keep-first by id
     val deduped = graft.ops.Ops.dedupKeepFirstAgg(
-      scrubbed.withColumn("__h", md5(col(textCol).cast("binary"))),
+      selected.withColumn("__h", md5(col(textCol).cast("binary"))),
       keys = Seq("__h"), orderCols = Seq(idCol))
       .drop("__h").persist()
 
@@ -121,11 +149,14 @@ object CorpusCuration {
       stat("boilerplate", 3, deboiler)) ++
       (if (evalDocs.isDefined)
         Seq(stat("decontaminate", 4, scrubbed)) else Nil) ++
-      Seq(stat("exact_dedup", 5, deduped))
+      (if (dsirTarget.isDefined)
+        Seq(stat("dsir_select", 5, selected)) else Nil) ++
+      Seq(stat("exact_dedup", 6, deduped))
     val report = stages.reduce(_ unionByName _)
 
     Result(corpus, report,
       Seq(quality, repetition, deboiler, deduped) ++
-        (if (evalDocs.isDefined) Seq(scrubbed) else Nil))
+        (if (evalDocs.isDefined) Seq(scrubbed) else Nil) ++
+        (if (dsirTarget.isDefined) Seq(selected) else Nil))
   }
 }

@@ -83,6 +83,23 @@ class CorpusCurationSpec extends SparkSpec {
     again.release()
   }
 
+  test("the optional DSIR stage keeps exactly the target-like docs") {
+    val full = spark.read.parquet(s"$dir/documents.parquet")
+    val r = CorpusCuration.curate(
+      full.filter(col("doc_id") % 23 =!= 0), "doc_id", "text",
+      evalDocs = Some(eval),
+      dsirTarget = Some(col("lang") === "en")) // metadata-column predicate
+    val rep = r.report.collect()
+      .map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(rep.contains("dsir_select"))
+    assert(rep("dsir_select") < rep("decontaminate"),
+      "DSIR selection must drop something on this corpus")
+    assert(rep("dsir_select") > 0)
+    // and the no-target run keeps more docs than the targeted one
+    assert(result.corpus.count() > r.corpus.count())
+    r.release()
+  }
+
   test("without an eval set the decontaminate stage is absent") {
     val r = CorpusCuration.curate(train, "doc_id", "text")
     assert(!r.report.collect().map(_.getString(1))

@@ -19,6 +19,17 @@ import graft.functions.TextOps.{md5Long60, shingles, tokens}
   * per-doc weights are exact long sums, so fit-then-score is
   * bit-identical to the single-query form (spec-pinned).
   *
+  * Fit-corpus bound (enforced): the exact-long claim requires
+  * (cnt+1)·(T+B) ≤ 2^53, i.e. at most ~9.4e7 bigram tokens in the FIT
+  * corpus — `fit` rejects anything larger. That is not a scale
+  * limitation of scoring (which handles any batch size): DSIR fits on
+  * a bounded SAMPLE by design — the model is `buckets` ratios, and a
+  * ~1e7-bigram sample already saturates a 256-bucket table — while
+  * the 100 TB corpus flows only through the map-side `score` pass.
+  * A corpus past the bound would first lose exactness silently (>2^53)
+  * and then overflow the long multiply outright (~3e9 bigrams), so
+  * failing fast here is the honest contract.
+  *
   * Buckets the training corpus never saw fall back to the smoothed
   * empty-bucket ratio floor(1e6·ln((T_r+B)/(T_t+B))) — carried IN the
   * model (`defaultRatioE6`), so scoring needs no corpus access.
@@ -52,6 +63,12 @@ object Dsir {
       val r = lm.agg(sum(col("cnt_r")), sum(col("cnt_t"))).head()
       Seq(r.getLong(0), r.getLong(1))
     }
+    // worst-case product is (tR+1)·(tR+b) ≤ (tR+b)²; keep it ≤ 2^53 so
+    // the double cast below stays exact (see the class doc: fit runs
+    // on a bounded sample, score on the full corpus)
+    require(tR + b <= 94906265L,
+      s"DSIR fit corpus too large for exact-long ratios: $tR bigram " +
+        s"tokens (+$b smoothing) exceeds sqrt(2^53); fit on a sample")
     val ratios = lm.select(col("bucket"),
       floor(log(((col("cnt_t") + 1) * (tR + b)).cast("double") /
         ((col("cnt_r") + 1) * (tT + b))) * 1e6).cast("long")

@@ -690,8 +690,12 @@ object CurationSuite extends QuerySuite {
     (s, dir) => {
       val scored = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          expr("""CAST((1000000 * size(array_distinct(split(text, ' '))))
-            div size(split(text, ' ')) AS BIGINT)""").as("score"))
+          // widen BEFORE the ×1e6: size() is 32-bit, and a doc with
+          // >2147 distinct tokens would overflow the int multiply
+          // (ANSI error under Spark 4's default) while the DuckDB twin
+          // multiplies in 64-bit — diverging exactly on long docs
+          expr("""(1000000L * CAST(size(array_distinct(split(text, ' ')))
+            AS BIGINT)) div size(split(text, ' '))""").as("score"))
       val hist = scored.groupBy("source", "score")
         .agg(count(lit(1)).as("cnt"))
       val n = scored.groupBy("source").agg(count(lit(1)).as("n_docs"))

@@ -505,9 +505,19 @@ object FunctionsSuite extends QuerySuite {
           // follows cores, not bytes. Real crawled corpora arrive
           // pre-split across many files and don't need this.
           .repartition(s.sparkContext.defaultParallelism, col("url"))
+        // The typed Dataset[ProductInfo] keeps its list fields; the
+        // REGISTRY row flattens them to '|'-joined strings — exactly
+        // the reference's CSV write shape (SURVEY §1.1: pandas
+        // to_csv pipe-joins list columns) and the only shape the
+        // driver's pandas canonicalizer can sort/hash (r11's f20
+        // failure: `unhashable type: 'numpy.ndarray'`).
         productsFromHtml(pages, site,
             categoryUrlCol = Some("category_url"))
           .toDF()
+          .withColumn("category_name", concat_ws("|", col("category_name")))
+          .withColumn("product_image", concat_ws("|", col("product_image")))
+          .withColumn("product_image_name",
+            concat_ws("|", col("product_image_name")))
       },
       Some("""WITH p AS (
         SELECT p_partkey AS pk, p_name, p_type, p_brand,
@@ -520,10 +530,10 @@ object FunctionsSuite extends QuerySuite {
           'OG ' || p_name AS product_name,
           url AS product_url,
           'shopx' AS product_band,
-          [cat_slug] AS category_name,
-          ['https://cdn.shop.example.com/og/' || CAST(pk AS VARCHAR)
-            || '.png'] AS product_image,
-          ['og ' || p_name] AS product_image_name,
+          cat_slug AS category_name,
+          'https://cdn.shop.example.com/og/' || CAST(pk AS VARCHAR)
+            || '.png' AS product_image,
+          'og ' || p_name AS product_image_name,
           '' AS product_code,
           '' AS product_description,
           CAST(pk * 7 % 1000 AS BIGINT) * 1000 + 500
@@ -534,11 +544,12 @@ object FunctionsSuite extends QuerySuite {
           p_name AS product_name,
           url AS product_url,
           'shopx' AS product_band,
-          CASE WHEN pk % 13 = 5 THEN [cat_slug]
-               ELSE string_split(p_name, ' ') END AS category_name,
-          ['https://cdn.shop.example.com/img/item-' ||
-            CAST(pk AS VARCHAR) || '_optimized.jpg'] AS product_image,
-          ['item-' || CAST(pk AS VARCHAR)] AS product_image_name,
+          CASE WHEN pk % 13 = 5 THEN cat_slug
+               ELSE array_to_string(string_split(p_name, ' '), '|')
+               END AS category_name,
+          'https://cdn.shop.example.com/img/item-' ||
+            CAST(pk AS VARCHAR) || '_optimized.jpg' AS product_image,
+          'item-' || CAST(pk AS VARCHAR) AS product_image_name,
           p_brand AS product_code,
           p_type || ' & ' || p_name AS product_description,
           CAST(pk AS BIGINT) * 100 + 99 AS product_unit_price

@@ -568,9 +568,17 @@ object TextSuite extends QuerySuite {
         .withColumn("idf_e6", floor(log(lit(1.0) +
           (lit(2L) * col("N") - lit(2L) * col("df") + lit(1L)).cast("double") /
           (lit(2L) * col("df") + lit(1L)).cast("double")) * lit(1e6)))
-        .withColumn("num", col("idf_e6") * lit(22L) * col("tf") * col("L"))
-        .withColumn("den", lit(10L) * col("L") * col("tf") +
-          lit(3L) * col("L") + lit(9L) * col("dl") * col("N"))
+        // 128-bit products: num = idf_e6·22·tf·L reaches ~1e22 at
+        // 100 TB (L ~ 2e13 tokens) — far past int64 — so both engines
+        // widen (decimal(38,0) here, HUGEINT in the twin) and only
+        // the quotient (≤ ~2.2·idf_e6, comfortably long) narrows
+        // back. All operands are positive (the +1 inside the ln keeps
+        // idf_e6 > 0), so div/// truncation direction can't diverge.
+        .withColumn("num", col("idf_e6").cast("decimal(38,0)") *
+          lit(22L) * col("tf") * col("L"))
+        .withColumn("den", lit(10L) * col("L").cast("decimal(38,0)") *
+          col("tf") + lit(3L) * col("L").cast("decimal(38,0)") +
+          lit(9L) * col("dl").cast("decimal(38,0)") * col("N"))
         .withColumn("sc", expr("num div den"))
       val total = scored.groupBy("doc_id")
         .agg(sum(col("sc")).as("score_e6"))
@@ -591,9 +599,10 @@ object TextSuite extends QuerySuite {
     dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
     scored AS (
       SELECT tf.doc_id,
-        (CAST(floor(ln(1 + CAST(2*N - 2*dfr.df + 1 AS DOUBLE)
-            / CAST(2*dfr.df + 1 AS DOUBLE)) * 1e6) AS BIGINT)
-          * 22 * tf.tf * L) // (10*L*tf.tf + 3*L + 9*dl.dl*N) AS sc
+        CAST((CAST(floor(ln(1 + CAST(2*N - 2*dfr.df + 1 AS DOUBLE)
+            / CAST(2*dfr.df + 1 AS DOUBLE)) * 1e6) AS HUGEINT)
+          * 22 * tf.tf * L) // (10*CAST(L AS HUGEINT)*tf.tf + 3*L
+            + 9*CAST(dl.dl AS HUGEINT)*N) AS BIGINT) AS sc
       FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), corpus),
     total AS (SELECT doc_id, CAST(SUM(sc) AS BIGINT) AS score_e6
       FROM scored GROUP BY 1)

@@ -37,6 +37,7 @@ object Kmeans {
     var cents: Seq[(Long, Seq[Double])] = ids
       .orderBy("id").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    require(cents.nonEmpty, "corpus must be non-empty (no seed vectors)")
     val dim = cents.head._2.length
     // floor(x+0.5), NOT round(): same determinism guarantee but a pure
     // codegen double op — round() allocates a BigDecimal per ELEMENT,

@@ -271,6 +271,11 @@ object VectorSearch {
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
         val pool = it.toArray.sortBy { case (_, id, _, rel) => (-rel, id) }
+        // a NaN rel would make every `s > bestScore` comparison false
+        // and crash the greedy loop at taken(-1) — fail with the
+        // offending (query, id) instead of an index error
+        pool.foreach { case (_, id, _, rel) =>
+          require(!rel.isNaN, s"NaN rel for query=$qid id=$id") }
         // unit-normalize once so candidate-candidate sim is one dot
         val unit = pool.map { case (_, _, v, _) =>
           val n = math.sqrt(v.map(x => x * x).sum)

@@ -1,11 +1,13 @@
 package graft
 
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Structural invariants of the query registry — the contracts the
   * driver's Verify/Bench machinery depends on but nothing previously
   * asserted in one place: unique names, full oracle coverage of the
-  * correctness surface, and a disjoint bench-only arm set.
+  * correctness surface, a disjoint bench-only arm set, and the
+  * driver-harness column-shape contract (flat columns only).
   */
 class RegistrySpec extends AnyFunSuite {
 
@@ -38,5 +40,35 @@ class RegistrySpec extends AnyFunSuite {
       s"oracle surface moved: ${SparkEntry.queries.size} (update the docs!)")
     assert(SparkEntry.benchOnlyQueries.size === 21,
       s"bench arms moved: ${SparkEntry.benchOnlyQueries.size}")
+  }
+}
+
+/** The driver's oracle checker canonicalizes Spark output through
+  * pandas `sort_values`, which cannot hash array/map/struct cells
+  * (r11's `f20_html_extract` failure: `unhashable type:
+  * 'numpy.ndarray'`). That makes "flat columns only" a de-facto hard
+  * contract for every query on the correctness surface — pin it here
+  * so the next array-emitting query fails in `sbt test`, not in the
+  * driver's CORRECTNESS artifact. Schemas are resolved lazily (no
+  * collect), so this stays cheap even across all 167 queries.
+  */
+class RegistryShapeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("no oracle-surface query emits a top-level array/map/struct column") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, run) =>
+        val bad = run(spark, dir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+        bad
+    }
+    assert(offenders.isEmpty,
+      s"driver canonicalizer cannot hash these columns — flatten them " +
+        s"(concat_ws/array_to_string, the reference's CSV shape): " +
+        offenders.mkString("; "))
   }
 }

@@ -476,6 +476,34 @@ object ProductExtract {
       .toDF("url", "category_url")
   }
 
+  /** Spark operator twin of [[nextPageUrl]] over (url, html) listing
+    * pages: one row per page that HAS a next link — (url, next_url),
+    * the raw un-absolutized href (the reference feeds it straight
+    * back to `requests.get`, `products_scraping.py:240-244`). Pages
+    * whose selector misses, whose hit has no href, or whose HTML
+    * doesn't parse produce no row — all three end the reference's
+    * pagination loop. Map-side flatMap, no shuffle: the crawl
+    * frontier derives from a projection of the fetched batch. */
+  def nextPageUrlsFromPages(pages: DataFrame, nextSelector: String,
+      urlCol: String = "url", htmlCol: String = "html"): DataFrame = {
+    // config typo fails LOUDLY on the driver (validateSelectors'
+    // rationale) — the per-row catch below is for malformed HTML
+    // only, and must not convert a bad selector into an empty frame
+    Html.Selector.parse(nextSelector)
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .select(col(urlCol).cast("string").as("url"),
+        col(htmlCol).cast("string").as("html"))
+      .as[(String, String)]
+      .flatMap { case (url, html) =>
+        (try nextPageUrl(html, nextSelector)
+         catch { case scala.util.control.NonFatal(_) => None })
+          .map(n => (url, n))
+      }
+      .toDF("url", "next_url")
+  }
+
   // ---- the Spark operator ----
 
   /** Parse a frame of fetched pages into product rows. Input columns:

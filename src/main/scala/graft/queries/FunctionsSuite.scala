@@ -653,7 +653,57 @@ object FunctionsSuite extends QuerySuite {
     SELECT url, 'https://vip.example.com/s/n' || CAST(nk AS VARCHAR)
     FROM base"""))
 
+  /** f23 — pagination next-link follow
+    * ([[graft.etl.ProductExtract.nextPageUrlsFromPages]], ref
+    * `products_scraping.py:216-244`), the last of S6's four parse
+    * surfaces (detail/menu/card/pagination) and the only one that was
+    * spec-only through r11. One listing page per nation; five shapes
+    * cover every loop-end condition plus first-match precedence, all
+    * against the igloo-style `a.page-link:contains(Next)` selector:
+    * %5=0 class-match but text lacks "Next" (selector miss → no row),
+    * %5=1 a single real next link (raw relative href, NOT
+    * absolutized — the reference feeds it straight to requests.get),
+    * %5=2 a matching anchor with no href (loop ends), %5=3 decoys
+    * (text-no-class, class-wrong-text) before TWO real matches —
+    * document-order selectOne must take the first — and %5=4 no
+    * anchor at all. */
+  private val f23 = GraftQuery(
+    "f23_next_page",
+    (s, dir) => {
+      val nat = Tables(s, dir, "nation")
+      val nk = col("n_nationkey")
+      val realNext = concat(
+        lit("""<a class="page-link" href="/danh-muc/page/"""),
+        nk + 1, lit("""/">Next »</a>"""))
+      val firstWins = concat(
+        lit("""<a href="/no-class">Next</a>"""),
+        lit("""<a class="page-link" href="/decoy">Older</a>"""),
+        lit("""<a class="page-link" href="?page="""), nk,
+        lit("""-s2">Next page</a>"""),
+        lit("""<a class="page-link" href="/page/999/">Next</a>"""))
+      val pages = nat.select(
+        concat(lit("https://shop.example.com/list/p"), nk).as("url"),
+        concat(lit("<nav>"),
+          when(nk % 5 === 0,
+            lit("""<a class="page-link" href="/prev">Prev</a>"""))
+          .when(nk % 5 === 1, realNext)
+          .when(nk % 5 === 2, lit("""<a class="page-link">Next</a>"""))
+          .when(nk % 5 === 3, firstWins)
+          .otherwise(lit("<p>last page</p>")),
+          lit("</nav>")).as("html"))
+      graft.etl.ProductExtract.nextPageUrlsFromPages(
+        pages, "a.page-link:contains(Next)")
+    },
+    Some("""SELECT
+      'https://shop.example.com/list/p' ||
+        CAST(n_nationkey AS VARCHAR) AS url,
+      CASE WHEN n_nationkey % 5 = 1
+        THEN '/danh-muc/page/' || CAST(n_nationkey + 1 AS VARCHAR) || '/'
+        ELSE '?page=' || CAST(n_nationkey AS VARCHAR) || '-s2' END
+        AS next_url
+    FROM nation WHERE n_nationkey % 5 IN (1, 3)"""))
+
   override val suite: Seq[GraftQuery] = Seq(
     f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11, f12, f13, f14,
-    f15, f16, f17, f18, f19, f20, f21, f22)
+    f15, f16, f17, f18, f19, f20, f21, f22, f23)
 }

@@ -281,6 +281,22 @@ class ProductExtractSpec extends SparkSpec {
       ".next").isEmpty)
   }
 
+  test("nextPageUrlsFromPages: raw hrefs for pages with a next link, " +
+      "no row otherwise; a bad selector fails on the driver") {
+    import spark.implicits._
+    val pages = Seq(
+      ("p1", """<a class="next" href="/page/2/">»</a>"""),
+      ("p2", "<p>last page</p>"),
+      ("p3", """<a class="next">hrefless</a>""")).toDF("url", "html")
+    val got = ProductExtract.nextPageUrlsFromPages(pages, ".next")
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("p1", "/page/2/")))
+    // config typo must throw at build time, not yield an empty frame
+    intercept[IllegalArgumentException] {
+      ProductExtract.nextPageUrlsFromPages(pages, "a[href]")
+    }
+  }
+
   test("productCardUrls: own-href precedence, inner-anchor fallback, " +
       "skip patterns, duplicates preserved") {
     val html =

@@ -96,16 +96,18 @@ object Bench {
       .sum / (1024 * 1024)
     catch { case scala.util.control.NonFatal(_) => -1L }
 
-  // ---- forked family-JVM mode (VERDICT r10 item 1, the optional
-  // half): SPARK_GRAFT_BENCH_FORK=1 runs the registry in fresh child
-  // JVMs, one per query-family group, so one family's late-run heap
-  // pressure or codegen-cache growth can never contaminate another's
-  // numbers. Each child is THIS main with SPARK_GRAFT_BENCH_ONLY set,
-  // writing BENCH_PARTIAL.json into its own temp cwd; the parent
-  // merges the partials into one BENCH_FULL.json. A child that fails
-  // falls back to running its group in-process — a degraded artifact
-  // beats no artifact. Default OFF: the per-iteration telemetry is the
-  // primary self-diagnosis; forking is the isolation lever on top. ----
+  // ---- forked family-JVM mode (VERDICT r10 item 1 + r11 item 5):
+  // full-registry runs execute in fresh child JVMs, one per
+  // query-family group, so one family's late-run heap pressure or
+  // codegen-cache growth can never contaminate another's numbers.
+  // Each child is THIS main with SPARK_GRAFT_BENCH_ONLY set, writing
+  // BENCH_PARTIAL.json into its own temp cwd; the parent merges the
+  // partials into one BENCH_FULL.json (recording the group
+  // boundaries as `fork_groups`). A child that fails falls back to
+  // running its group in-process — a degraded artifact beats no
+  // artifact. DEFAULT ON for full runs since r12 (opt out with
+  // SPARK_GRAFT_BENCH_FORK=0); targeted BENCH_ONLY runs stay
+  // in-process. ----
 
   /** Family key = the name prefix up to the first digit run's end
     * (r01→r, d06→d, x17→x …), grouped into 3 balanced child JVMs. */
@@ -192,15 +194,25 @@ object Bench {
     // optional comma-separated name filter for targeted iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val forkMode =
-      sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("1") && only.isEmpty
+    // fork-mode is the DEFAULT for full-registry runs (VERDICT r11
+    // item 5; b0eec66 validated it on the whole registry): family-
+    // grouped child JVMs stop late-run heap pressure from
+    // contaminating early families, so the committed artifact stays
+    // reproducible under the driver's scheduler too. Opt out with
+    // SPARK_GRAFT_BENCH_FORK=0; targeted (BENCH_ONLY) runs stay
+    // in-process — isolation buys nothing for a two-query iteration.
+    val forkMode = only.isEmpty &&
+      !sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0")
 
+    var forkGroups: Option[Seq[Seq[String]]] = None
     val results: Seq[BenchReport.QueryResult] =
       if (!forkMode) runRegistry(only, sfDir, cpus, iters)
       else {
         val allNames =
           (SparkEntry.queries ++ SparkEntry.benchOnlyQueries).keys.toSeq
-        familyGroups(allNames).flatMap { group =>
+        val groups = familyGroups(allNames)
+        forkGroups = Some(groups.map(_.toSeq))
+        groups.flatMap { group =>
           runForked(group) match {
             case Some(doc) => resultsFromPartial(doc)
             case None => runRegistry(Some(group.toSet), sfDir, cpus, iters)
@@ -216,7 +228,8 @@ object Bench {
     val detailFile =
       if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
-      BenchReport.fullJson(iters, sfDir, cpus, results).getBytes("UTF-8"))
+      BenchReport.fullJson(iters, sfDir, cpus, results,
+        forkGroups = forkGroups).getBytes("UTF-8"))
 
     val sfNum = raw".*sf([0-9.]+)/?$$".r
       .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0.1")

@@ -74,6 +74,62 @@ class BenchReportSpec extends AnyFunSuite {
     assert((doc \ "queries" \ "q_fast") == JDouble(0.5))
   }
 
+  test("contendedFlags: high load flags an iteration; flat-load runs " +
+      "stay clean; sentinels read as no-evidence") {
+    def it(sec: Double, cpu: Long, load: Double, gc: Long = 10) =
+      Iter(sec, gc, 2, cpu, 512, 64, load, tainted = false)
+    // clean-session shape: load ~2.7 on 32 cores, stable walls
+    val clean = Seq(it(2.3, 5900, 2.7), it(0.78, 1700, 2.7),
+      it(0.81, 1400, 2.7))
+    assert(contendedFlags(clean, 32) == Seq(false, false, false))
+    assert(!steadyContended(clean, 32))
+    // driver-contended x03 shape: load 6-9, every wall inflated —
+    // load alone must flag it (incl. the steady-defining min)
+    val cont = Seq(it(17.1, 34300, 8.7), it(9.3, 28080, 7.0),
+      it(7.2, 16970, 6.2))
+    assert(contendedFlags(cont, 32) == Seq(true, true, true))
+    assert(steadyContended(cont, 32))
+    // interference without a load spike: a WARM iteration at wall >2x
+    // best AND cpu >1.6x best cpu, GC flat -> flagged; the best
+    // iteration is not, and neither is an expensive COLD pass (idx 0
+    // is exempt from the interference clause — codegen/cache fill is
+    // real work, which is exactly the `clean` shape above)
+    val thrash = Seq(it(0.5, 2000, 3.0), it(1.4, 3600, 3.0),
+      it(0.52, 2100, 3.0))
+    assert(contendedFlags(thrash, 32) == Seq(false, true, false))
+    assert(!steadyContended(thrash, 32)) // steady (0.5) is trustworthy
+    // same wall/cpu inflation but GC-dominated -> heap pressure, NOT
+    // laundered into a contention claim
+    val heap = Seq(it(0.5, 2000, 3.0), it(1.4, 3600, 3.0, gc = 600))
+    assert(contendedFlags(heap, 32) == Seq(false, false))
+    // -1 telemetry sentinels (unsupported probes) produce no evidence
+    val noTel = Seq(it(0.5, -1, -1.0), it(1.4, -1, -1.0))
+    assert(contendedFlags(noTel, 32) == Seq(false, false))
+    // all-failed query: nothing to compare against
+    assert(contendedFlags(Seq(it(-1.0, 10, 2.0)), 32) == Seq(false))
+  }
+
+  test("contention verdicts land in both artifacts") {
+    def it(sec: Double, load: Double) =
+      Iter(sec, 10, 2, 900, 512, 64, load, tainted = false)
+    val rs = Seq(
+      QueryResult("q_clean", Seq(it(1.0, 2.0), it(0.5, 2.0))),
+      QueryResult("q_cont", Seq(it(9.0, 9.0), it(8.0, 9.0))))
+    val doc = JsonMethods.parse(
+      fullJson(2, "d", "32", rs, hostCores = 32,
+        forkGroups = Some(Seq(Seq("q_clean"), Seq("q_cont")))))
+    assert((doc \ "detail" \ "q_cont" \ "contended") ==
+      JArray(List(JBool(true), JBool(true))))
+    assert((doc \ "detail" \ "q_cont" \ "steady_contended") == JBool(true))
+    assert((doc \ "detail" \ "q_clean" \ "steady_contended") == JBool(false))
+    assert((doc \ "env" \ "load_thresh") == JDouble(4.0))
+    assert((doc \ "fork_groups") == JArray(List(
+      JArray(List(JString("q_clean"))), JArray(List(JString("q_cont"))))))
+    val line = JsonMethods.parse(headlineJson(rs, 2, "0.1", Nil,
+      Set.empty, hostCores = 32))
+    assert((line \ "contended") == JInt(1))
+  }
+
   test("JSON string escaping survives hostile names") {
     val doc = JsonMethods.parse(fullJson(1, "dir\"with\\quote", "4",
       Seq(QueryResult("q\"x", Seq(iter(1.0))))))

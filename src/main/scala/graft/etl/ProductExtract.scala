@@ -481,9 +481,15 @@ object ProductExtract {
     * the raw un-absolutized href (the reference feeds it straight
     * back to `requests.get`, `products_scraping.py:240-244`). Pages
     * whose selector misses, whose hit has no href, or whose HTML
-    * doesn't parse produce no row — all three end the reference's
-    * pagination loop. Map-side flatMap, no shuffle: the crawl
-    * frontier derives from a projection of the fetched batch. */
+    * doesn't parse produce no row. Reference fidelity note: of those
+    * three, only the hrefless anchor (url=None) actually ENDS the
+    * reference's loop — a selector miss hits `continue` with url
+    * unchanged, so the reference refetches the same page until its
+    * max_pages=20 bound. The twin's uniform no-row behavior is the
+    * sane batch equivalent (a frontier never re-emits a stalled URL),
+    * not a claim about the reference's control flow. Map-side
+    * flatMap, no shuffle: the crawl frontier derives from a
+    * projection of the fetched batch. */
   def nextPageUrlsFromPages(pages: DataFrame, nextSelector: String,
       urlCol: String = "url", htmlCol: String = "html"): DataFrame = {
     // config typo fails LOUDLY on the driver (validateSelectors'

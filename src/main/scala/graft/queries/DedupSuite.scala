@@ -842,7 +842,109 @@ object DedupSuite extends QuerySuite {
     JOIN sizes sa ON sa.doc_id = i.a_id
     JOIN sizes sb ON sb.doc_id = i.b_id"""))
 
+  /** d17 — SEMANTIC decontamination (the paraphrase-robust sibling of
+    * d09: d09 flags corpus docs sharing exact eval 5-grams, which a
+    * light rewording defeats; d17 flags corpus docs whose EMBEDDING is
+    * cosine-close to any eval embedding — ref anchor: the same
+    * embedding surface as `scripts/transform/generate_embeddings.py`).
+    * Same eval convention as d09/d15 (vec_id ≡ 0 mod 23 stands in for
+    * the external benchmark set).
+    *
+    * Plan shape (100 TB): the corpus side is v14's broadcast-argmin
+    * IVF-cell assignment — one map pass over the corpus plus the cell
+    * groupBy, never an eval-corpus all-pairs. The eval side (tiny, as
+    * benchmark suites are) probes only the cells a per-cell
+    * Cauchy–Schwarz cosine cap cannot exclude:
+    *
+    *   for x in cell c:  dot(e,x) ≤ dot(e,cent_c) + |e|·rad_c
+    *                     (C-S on dot(e, x−cent_c), |x−cent_c| ≤ rad_c)
+    *   ⇒ cos(e,x) ≤ (dot(e,cent_c)/|e| + rad_c) / minNorm_c
+    *
+    * with rad_c = max member→centroid distance and minNorm_c = min
+    * member norm, both free by-products of the assignment pass. The
+    * bound makes the blocking LOSSLESS — unlike v14's plain cell
+    * blocking, no τ-pair can straddle an unprobed cell, so the oracle
+    * is literally the brute-force all-pairs SQL (same stance as v16's
+    * triangle-inequality radius probe; [[SemanticDecontamSpec]] pins
+    * blocked ≡ exact on the fixture). On THIS isotropic fixture the cap
+    * excludes little (measured: plain cell blocking finds only 22 of 84
+    * τ=0.3 pairs at sf0.01 — distance concentration again); the probe
+    * pays exactly when the corpus clusters, which real embedding
+    * corpora do. All inputs to the cap are exact longs cast to double,
+    * so its FP error is a few ulps; the 1e-9 slack only ever ADDS
+    * probes, never drops one. */
+  private val d17 = {
+    val Mod = 23
+    val Tau = 0.3
+    val dotSql = (a: String, b: String) =>
+      s"""CAST(list_sum(list_transform(range(1, 1+len($a)),
+        i -> $a[i]*$b[i])) AS BIGINT)"""
+    GraftQuery(
+      "d17_semantic_decontam",
+      (s, dir) => {
+        import graft.functions.VectorOps.quantize
+        val q = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        val cents = q.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("qv").as("cent_qv"))
+        // corpus: v14's codegen argmin assignment; dc (distance to own
+        // centroid) and ss (self-dot) feed the pruning stats for free
+        val assigned = q.filter(col("vec_id") % Mod =!= 0)
+          .crossJoin(broadcast(cents))
+          .withColumn("d2", call_function("graft_sqdist_long",
+            col("qv"), col("cent_qv")))
+          .groupBy(col("vec_id"), col("qv"))
+          .agg(min(struct(col("d2"), col("cent_id"))).as("nn"))
+          .select(col("vec_id"), col("qv"),
+            col("nn.cent_id").as("cell"), col("nn.d2").as("dc"),
+            call_function("graft_dot_long", col("qv"), col("qv"))
+              .as("ss"))
+        val cellStats = assigned.groupBy("cell")
+          .agg(max(col("dc")).as("rad2"), min(col("ss")).as("min_ss"))
+          .join(cents, col("cell") === col("cent_id"))
+          .select(col("cell"), col("rad2"), col("min_ss"), col("cent_qv"))
+        val evalSide = q.filter(col("vec_id") % Mod === 0)
+          .select(col("vec_id").as("eval_id"), col("qv").as("e_qv"),
+            call_function("graft_dot_long", col("qv"), col("qv"))
+              .as("e_ss"))
+        // (eval × cells) is tiny on both axes — the cap filters it to
+        // the probe set before anything touches the corpus
+        val probes = evalSide.crossJoin(broadcast(cellStats))
+          .withColumn("cap",
+            (call_function("graft_dot_long", col("e_qv"), col("cent_qv"))
+              .cast("double") / sqrt(col("e_ss").cast("double"))
+              + sqrt(col("rad2").cast("double")))
+              / sqrt(col("min_ss").cast("double")))
+          .filter(col("cap") >= lit(Tau) - lit(1e-9))
+          .select(col("eval_id"), col("e_qv"), col("e_ss"), col("cell"))
+        // probe join is broadcast on the probe side — the corpus stays
+        // where its scan put it, exactly d09's shuffle-free stance
+        assigned.join(broadcast(probes), Seq("cell"))
+          .withColumn("cos",
+            call_function("graft_dot_long", col("qv"), col("e_qv"))
+              .cast("double") /
+              (sqrt(col("ss").cast("double")) *
+                sqrt(col("e_ss").cast("double"))))
+          .filter(col("cos") >= Tau)
+          .select(col("vec_id").as("doc_id"), col("eval_id"), col("cos"))
+      },
+      // brute-force all-pairs: legal as the oracle precisely because
+      // the engine's cell probe is lossless (see scaladoc)
+      Some(s"""WITH q AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        FROM embeddings),
+      ev AS (SELECT vec_id AS eval_id, qv FROM q WHERE vec_id % $Mod = 0),
+      corp AS (SELECT vec_id, qv FROM q WHERE vec_id % $Mod <> 0)
+      SELECT c.vec_id AS doc_id, e.eval_id,
+        ${dotSql("c.qv", "e.qv")}::DOUBLE /
+          (sqrt(${dotSql("c.qv", "c.qv")}::DOUBLE)
+         * sqrt(${dotSql("e.qv", "e.qv")}::DOUBLE)) AS cos
+      FROM corp c, ev e
+      WHERE cos >= $Tau"""))
+  }
+
   override val suite: Seq[GraftQuery] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d15, d16)
+      d15, d16, d17)
 }

@@ -36,7 +36,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("the registry is at its committed size (catches silent drops)") {
-    assert(SparkEntry.queries.size === 168,
+    assert(SparkEntry.queries.size === 169,
       s"oracle surface moved: ${SparkEntry.queries.size} (update the docs!)")
     assert(SparkEntry.benchOnlyQueries.size === 21,
       s"bench arms moved: ${SparkEntry.benchOnlyQueries.size}")
@@ -49,8 +49,10 @@ class RegistrySpec extends AnyFunSuite {
   * 'numpy.ndarray'`). That makes "flat columns only" a de-facto hard
   * contract for every query on the correctness surface — pin it here
   * so the next array-emitting query fails in `sbt test`, not in the
-  * driver's CORRECTNESS artifact. Schemas are resolved lazily (no
-  * collect), so this stays cheap even across all 167 queries.
+  * driver's CORRECTNESS artifact. Most builders only resolve a schema;
+  * a few (k-means/DSIR fits) run real Spark jobs eagerly at
+  * construction, so the sweep does execute work — bounded by the
+  * sf0.001 fixture, which keeps it cheap across all 169 queries.
   */
 class RegistryShapeSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"

@@ -85,6 +85,26 @@ object Bench {
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Whole-host USER-mode CPU in ms since boot (/proc/stat first
+    * line: user + nice + steal). Deliberately NOT system time:
+    * kernel threads (writeback kworkers during checkpoint-heavy
+    * streaming queries burned 4-9 "cores" in validation runs) belong
+    * to no process, so counting system time misreads our own kernel
+    * work as a co-tenant; real co-tenants — other JVMs, other
+    * benches — burn user time, and steal is hypervisor-level
+    * co-tenancy by definition. Ticks are USER_HZ = 100/s on every
+    * mainstream Linux (hardcoding avoids a getconf exec per
+    * iteration). -1 where /proc/stat is unreadable (non-Linux) — the
+    * classifier then falls back to load-average heuristics. */
+  private def hostCpuMs(): Long =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      val busy = f(0) + f(1) + (if (f.length > 7) f(7) else 0L)
+      busy * 10L
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   private def heapUsedMb(): Long = {
     val rt = Runtime.getRuntime
     (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
@@ -138,6 +158,11 @@ object Bench {
       val pb = new ProcessBuilder(cmd)
       pb.directory(tmp.toFile)
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", group.mkString(","))
+      // fresh child JVMs pay JIT/codegen warmup inside their first
+      // queries' WARM iterations too (r12: f20 cold 33.4 s in group 0
+      // vs 4.6 s steady) — tell the child to run one untimed warmup
+      // pass before its timed entries (VERDICT r12 item 4)
+      pb.environment().put("SPARK_GRAFT_BENCH_WARMUP", "1")
       pb.environment().remove("SPARK_GRAFT_BENCH_FORK") // no recursion
       pb.redirectErrorStream(false)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
@@ -176,12 +201,18 @@ object Bench {
         case _ => Double.NaN
       }
       val tainted = (d \ "tainted") == JBool(true)
+      // host_cpu_ms is r13+; absent in older partials → -1 sentinel
+      val hostCpu = d \ "host_cpu_ms" match {
+        case a: JArray => a.arr.map(_.asInstanceOf[JInt].num.toLong)
+        case _ => Nil
+      }
       val iters = dbls("times").lazyZip(longs("gc_ms"))
         .lazyZip(longs("cpu_ms")).toSeq
         .zipWithIndex.map { case ((sec, gc, cpu), i) =>
           BenchReport.Iter(sec, gc, longs("gc_n")(i), cpu,
             longs("heap_mb")(i), longs("storage_mb")(i),
-            dbls("load")(i), tainted)
+            dbls("load")(i), tainted,
+            hostCpuMs = hostCpu.applyOrElse(i, (_: Int) => -1L))
         }
       BenchReport.QueryResult(name, iters)
     }
@@ -204,20 +235,41 @@ object Bench {
     val forkMode = only.isEmpty &&
       !sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0")
 
-    var forkGroups: Option[Seq[Seq[String]]] = None
+    // committed clean-session pins for the cross-run regression flag
+    // (VERDICT r12 item 1). Child JVMs run in a temp cwd and simply
+    // find no file — the parent applies the pins when merging.
+    val baseline = loadBaseline(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"))
+
+    var forkGroups: Option[Seq[BenchReport.ForkGroup]] = None
+    var warmedUp: Option[String] = None
     val results: Seq[BenchReport.QueryResult] =
-      if (!forkMode) runRegistry(only, sfDir, cpus, iters)
-      else {
+      if (!forkMode) {
+        val (rs, w) = runRegistry(only, sfDir, cpus, iters)
+        warmedUp = w
+        rs
+      } else {
         val allNames =
           (SparkEntry.queries ++ SparkEntry.benchOnlyQueries).keys.toSeq
         val groups = familyGroups(allNames)
-        forkGroups = Some(groups.map(_.toSeq))
-        groups.flatMap { group =>
+        val ran = groups.map { group =>
           runForked(group) match {
-            case Some(doc) => resultsFromPartial(doc)
-            case None => runRegistry(Some(group.toSet), sfDir, cpus, iters)
+            case Some(doc) =>
+              val w = doc \ "warmup" match {
+                case org.json4s.JString(s) => Some(s)
+                case _ => None
+              }
+              (resultsFromPartial(doc),
+                BenchReport.ForkGroup(group, forked = true, w))
+            case None =>
+              // in-process fallback: no fresh JVM, so no warmup either —
+              // the provenance entry records BOTH degradations
+              (runRegistry(Some(group.toSet), sfDir, cpus, iters)._1,
+                BenchReport.ForkGroup(group, forked = false, None))
           }
         }
+        forkGroups = Some(ran.map(_._2))
+        ran.flatMap(_._1)
       }
 
     // full-precision detail file (every query, all iterations + the
@@ -229,19 +281,54 @@ object Bench {
       if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
       BenchReport.fullJson(iters, sfDir, cpus, results,
-        forkGroups = forkGroups).getBytes("UTF-8"))
+        forkGroups = forkGroups, baseline = baseline,
+        warmup = warmedUp).getBytes("UTF-8"))
 
     val sfNum = raw".*sf([0-9.]+)/?$$".r
       .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0.1")
     // ONE compact line, printed last so it survives tail truncation
     println(BenchReport.headlineJson(
-      results, iters, sfNum, Headline, AbBaselines, detailFile))
+      results, iters, sfNum, Headline, AbBaselines, detailFile,
+      baseline = baseline))
   }
 
+  /** BENCH_BASELINE.json: `{"steady": {query: sec}}` plus provenance
+    * keys the reader ignores. Absent/unparseable → no pins (the flag
+    * simply never fires) — a bench run must not die on its own
+    * calibration file. */
+  private[graft] def loadBaseline(path: String)
+      : Option[Map[String, Double]] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        import org.json4s._
+        val doc = jackson.JsonMethods.parse(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        doc \ "steady" match {
+          case JObject(kvs) => Some(kvs.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+          }.toMap)
+          case _ => None
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] baseline unreadable ($path): " +
+          s"${e.getMessage} — cross-run flag disabled")
+        None
+    }
+
   /** The in-process registry run: one SparkSession, `iters` timed
-    * passes per (filtered) query, telemetry per iteration. */
+    * passes per (filtered) query, telemetry per iteration. Returns the
+    * results plus the name of the untimed warmup query, if one ran
+    * (SPARK_GRAFT_BENCH_WARMUP=1 — set by the fork parent for child
+    * JVMs, where fresh-JVM JIT/codegen cost would otherwise land in
+    * the first family's warm iterations). */
   private def runRegistry(only: Option[Set[String]], sfDir: String,
-      cpus: String, iters: Int): Seq[BenchReport.QueryResult] = {
+      cpus: String, iters: Int)
+      : (Seq[BenchReport.QueryResult], Option[String]) = {
     val spark = GraftSession.builder(cpus).getOrCreate()
     // ERROR, not WARN: benign-but-noisy warnings (e.g. WindowExec's
     // single-partition notice on provably-tiny dim frames) would flood
@@ -269,6 +356,7 @@ object Bench {
       val load0 = loadAvg()
       val (gcMs0, gcN0) = gcStats()
       val cpu0 = processCpuMs()
+      val host0 = hostCpuMs()
       @volatile var result = -1.0
       val worker = new Thread(() => {
         val t0 = System.nanoTime()
@@ -311,6 +399,7 @@ object Bench {
       graft.queries.BenchSuite.PinnedConfKeys.foreach(spark.conf.unset)
       val (gcMs1, gcN1) = gcStats()
       val cpu1 = processCpuMs()
+      val host1 = hostCpuMs()
       BenchReport.Iter(
         sec = sec,
         gcMs = gcMs1 - gcMs0,
@@ -319,11 +408,28 @@ object Bench {
         heapMb = heapUsedMb(),
         storageMb = storageUsedMb(spark),
         load = load0,
-        tainted = taintedBefore || zombieActive)
+        tainted = taintedBefore || zombieActive,
+        hostCpuMs = if (host0 < 0 || host1 < 0) -1L else host1 - host0)
     }
 
-    val results = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
+    val registry = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+
+    // untimed warmup pass (fork children only): the group's first
+    // query runs once and its timing is discarded — it absorbs the
+    // fresh JVM's JIT, codegen-compiler, and shuffle-machinery spin-up
+    // so the first TIMED entries measure the plan, not the VM. The
+    // name lands in the artifact (partial `warmup`, merged into
+    // fork_groups) so early-group numbers are auditable.
+    val warmedUp = registry.headOption
+      .filter(_ => sys.env.get("SPARK_GRAFT_BENCH_WARMUP").contains("1"))
+      .map { case (name, fn) =>
+        System.err.println(s"[bench] warmup $name (untimed) ...")
+        runOnce(name, fn)
+        name
+      }
+
+    val results = registry
       .map { case (name, fn) =>
         // per-query progress to stderr (NOT stdout — the harness parses
         // the stdout tail): makes a wedged or slow query identifiable
@@ -341,6 +447,6 @@ object Bench {
     graft.queries.BenchSuite.releaseCaches(spark)
     graft.queries.VectorSuite.releaseCaches(spark)
     spark.stop()
-    results
+    (results, warmedUp)
   }
 }

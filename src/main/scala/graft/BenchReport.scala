@@ -33,10 +33,18 @@ object BenchReport {
 
   /** One timed iteration with its environment evidence. `sec` is the
     * wall time, or -1.0 (failed) / -2.0 (timed out — see [[Bench]]'s
-    * watchdog). */
+    * watchdog). `hostCpuMs` is the WHOLE host's user-mode (user +
+    * nice + steal) CPU delta over the iteration (/proc/stat; -1 where
+    * unreadable) — `hostCpuMs − cpuMs` is user CPU burned by
+    * processes that are not us, the direct co-tenant measure (system
+    * time is excluded on purpose: kernel writeback workers doing OUR
+    * checkpoint I/O must not read as a co-tenant; since our own cpuMs
+    * includes our sys time the subtraction under-counts slightly —
+    * conservative in the right direction). */
   final case class Iter(
       sec: Double, gcMs: Long, gcN: Long, cpuMs: Long,
-      heapMb: Long, storageMb: Long, load: Double, tainted: Boolean)
+      heapMb: Long, storageMb: Long, load: Double, tainted: Boolean,
+      hostCpuMs: Long = -1L)
 
   final case class QueryResult(name: String, iters: Seq[Iter]) {
     def times: Seq[Double] = iters.map(_.sec)
@@ -53,30 +61,73 @@ object BenchReport {
     else -1.0
   }
 
+  /** The query's own characteristic parallelism (busy cores): the max
+    * over successful iterations of cpu/wall, clamped to the host.
+    * None when CPU telemetry is absent everywhere. Iterations run
+    * back-to-back, so the 1-min load sampled before an iteration is
+    * saturated mostly with THIS query's own prior burn — this is the
+    * number to discount it by. */
+  def selfCores(iters: Seq[Iter], hostCores: Int): Option[Double] = {
+    val xs = iters.filter(i => i.sec > 0 && i.cpuMs >= 0)
+      .map(i => (i.cpuMs / 1000.0) / i.sec)
+    if (xs.isEmpty) None else Some(xs.max.min(hostCores.toDouble))
+  }
+
+  /** CPU burned by processes that are NOT this JVM over the
+    * iteration, in busy cores: (host busy − own) / wall. None where
+    * either probe is unsupported. The direct co-tenant measure — a
+    * load average cannot provide it, because the 1-min average still
+    * carries the PREVIOUS queries' own burn (measured: a verified-
+    * quiet host read median load 6 on 32 cores mid-bench, purely
+    * self-inflicted by back-to-back heavy queries, while host−own
+    * external CPU read ~0). */
+  def externalCores(it: Iter): Option[Double] =
+    if (it.hostCpuMs >= 0 && it.cpuMs >= 0 && it.sec > 0)
+      Some(math.max(0.0, (it.hostCpuMs - it.cpuMs) / 1000.0 / it.sec))
+    else None
+
   /** Per-iteration contention verdict, decidable from the artifact
     * alone (VERDICT r11 item 4 — the flag replaces the last prose step
     * in the "that number is the host, not the plan" argument).
-    * Calibrated against the two committed artifacts for identical
-    * code: the clean session's 564 iterations all ran at 1-min load
-    * 2.4-2.8 on 32 cores (≈ cores/12), while the driver's contended
-    * run sat at 5-9+ — so `load > cores/8` separates them with full
-    * margin on both sides. The second clause catches interference
-    * the load sample misses: the SAME deterministic query burning
-    * >1.6× its own best-iteration CPU while its wall more than
-    * doubles is cache/SMT thrash (the contended x03 signature:
-    * 34.3 s CPU vs 17.0 s baseline), unless GC dominates the
-    * iteration — that is heap pressure, already readable from gc_ms,
-    * and must not be laundered into a contention claim. */
+    *
+    * Primary clause (reworked twice in r13 — ADVICE r12: the raw
+    * `load > cores/8` rule cannot tell host contention from the
+    * benchmark's own multi-core burn and self-flagged 97/189 r12
+    * steadies; discounting the query's own parallelism from the load
+    * still left ~100 false flags because the 1-min average carries
+    * the PRECEDING queries' burn too): the co-tenant evidence is
+    * [[externalCores]] — host busy CPU minus our own, per iteration,
+    * from /proc/stat. Threshold cores/8: a verified-quiet full run
+    * reads ~0 external cores throughout; the r12 driver host ran
+    * co-tenants at 5-10 cores. Fallbacks, in order, where /proc/stat
+    * is unavailable: self-discounted load (`load − max own cpu/wall
+    * > cores/12`), then the legacy raw `load > cores/8` when CPU
+    * telemetry is absent entirely.
+    *
+    * The second clause catches interference CPU accounting misses:
+    * the SAME deterministic query burning >1.6× its own
+    * best-iteration CPU while its wall more than doubles is cache/SMT
+    * thrash (the contended x03 signature: 34.3 s CPU vs 17.0 s
+    * baseline), unless GC dominates the iteration — that is heap
+    * pressure, already readable from gc_ms, and must not be laundered
+    * into a contention claim. */
   def contendedFlags(iters: Seq[Iter], hostCores: Int): Seq[Boolean] = {
     val ok = iters.filter(_.sec >= 0)
     if (ok.isEmpty) return iters.map(_ => false)
     val best = ok.minBy(_.sec)
+    val self = selfCores(iters, hostCores)
     iters.zipWithIndex.map { case (it, idx) =>
       if (it.sec < 0) false
       else {
-        // load/cpu carry -1 "telemetry unsupported" sentinels: a
+        // probes carry -1 "telemetry unsupported" sentinels: a
         // missing probe must read as "no evidence", never as evidence
-        val loadHigh = it.load >= 0 && it.load > hostCores / 8.0
+        val loadHigh = externalCores(it) match {
+          case Some(ext) => ext > hostCores / 8.0
+          case None => it.load >= 0 && (self match {
+            case Some(sc) => it.load - sc > hostCores / 12.0
+            case None => it.load > hostCores / 8.0
+          })
+        }
         val wallInflated = it.sec > 2 * best.sec + 0.2
         val cpuInflated = it.cpuMs >= 0 && best.cpuMs > 0 &&
           it.cpuMs > 1.6 * best.cpuMs
@@ -85,7 +136,7 @@ object BenchReport {
         // shuffle writes, codegen, and cache fill are real extra work
         // there — cold wall+CPU above the warm baseline is expected,
         // not evidence (the clean-session x03 cold runs 3x its warm
-        // wall at 3.5x its warm CPU). The load clause still applies.
+        // wall at 3.5x its warm CPU). The primary clause still applies.
         loadHigh || (idx > 0 && wallInflated && cpuInflated && !gcDominant)
       }
     }
@@ -98,6 +149,32 @@ object BenchReport {
     okIdx.nonEmpty &&
       contendedFlags(iters, hostCores)(okIdx.minBy(_._1.sec)._2)
   }
+
+  /** Cross-run regression flag (VERDICT r12 item 1 — the within-query
+    * classifier's blind spot: a query whose EVERY iteration is
+    * uniformly inflated looks internally consistent, which is exactly
+    * how r08 at 5.2× and r20 at 6.7× their committed steadies sailed
+    * through r12 unflagged). `pin` is the query's committed
+    * clean-session steady from BENCH_BASELINE.json; the flag fires
+    * when this run's steady exceeds 2× the pin (plus a 0.2 s floor so
+    * millisecond queries don't flag on job-scheduling noise) WHILE the
+    * within-run signals are clean — a steady that is itself
+    * contention-flagged already carries its explanation and must not
+    * double-report. */
+  def regressedVsBaseline(iters: Seq[Iter], hostCores: Int,
+      pin: Double): Boolean = {
+    val s = steadyOf(iters.map(_.sec))
+    s >= 0 && pin > 0 && s > 2 * pin + 0.2 &&
+      !steadyContended(iters, hostCores)
+  }
+
+  /** Fork-mode provenance for one family group: which queries shared a
+    * child JVM, whether the fork actually succeeded (ADVICE r12: a
+    * failed child silently ran in-process in the parent, and the old
+    * artifact overstated isolation for those queries), and which query
+    * the child ran untimed as its JIT/codegen warmup. */
+  final case class ForkGroup(queries: Seq[String], forked: Boolean,
+      warmup: Option[String])
 
   private def jsStr(s: String): String =
     "\"" + s.flatMap {
@@ -123,18 +200,25 @@ object BenchReport {
 
   /** The BENCH_FULL.json document. Top-level `steady`/`cold` keep the
     * shape earlier rounds' tooling reads; `detail` carries the
-    * per-iteration evidence; `env` pins the run's fixed context. */
+    * per-iteration evidence; `env` pins the run's fixed context;
+    * `baseline` is the committed clean-session pin set (null when
+    * BENCH_BASELINE.json was absent — a child JVM's partial, or a
+    * checkout without the pin file). */
   def fullJson(iters: Int, sfDir: String, cpus: String,
       results: Seq[QueryResult],
       hostCores: Int = Runtime.getRuntime.availableProcessors(),
-      forkGroups: Option[Seq[Seq[String]]] = None): String = {
+      forkGroups: Option[Seq[ForkGroup]] = None,
+      baseline: Option[Map[String, Double]] = None,
+      warmup: Option[String] = None): String = {
     val steady = results.map(q => q.name -> steadyOf(q.times))
     val detail = results.map { q =>
+      val pin = baseline.flatMap(_.get(q.name))
       q.name -> obj(Seq(
         "times" -> arr(q.times.map(jsNum)),
         "gc_ms" -> arr(q.iters.map(_.gcMs.toString)),
         "gc_n" -> arr(q.iters.map(_.gcN.toString)),
         "cpu_ms" -> arr(q.iters.map(_.cpuMs.toString)),
+        "host_cpu_ms" -> arr(q.iters.map(_.hostCpuMs.toString)),
         "heap_mb" -> arr(q.iters.map(_.heapMb.toString)),
         "storage_mb" -> arr(q.iters.map(_.storageMb.toString)),
         "load" -> arr(q.iters.map(i => jsNum(i.load))),
@@ -142,12 +226,22 @@ object BenchReport {
           contendedFlags(q.iters, hostCores).map(_.toString)),
         "steady_contended" ->
           steadyContended(q.iters, hostCores).toString,
+        "baseline_sec" -> pin.map(jsNum).getOrElse("null"),
+        "regressed_vs_baseline" -> pin.map(p =>
+          regressedVsBaseline(q.iters, hostCores, p).toString)
+          .getOrElse("false"),
         "tainted" -> q.tainted.toString))
     }
     val rt = Runtime.getRuntime
     val env = obj(Seq(
       "jvm_max_heap_mb" -> (rt.maxMemory() / (1024 * 1024)).toString,
       "host_cores" -> hostCores.toString,
+      // thresholds, in contendedFlags' fallback order: external busy
+      // cores (host_cpu_ms − cpu_ms)/wall vs ext_busy_thresh; then
+      // self-discounted load vs ext_load_margin; then raw load vs
+      // load_thresh when CPU telemetry is absent entirely
+      "ext_busy_thresh" -> jsNum(hostCores / 8.0),
+      "ext_load_margin" -> jsNum(hostCores / 12.0),
       "load_thresh" -> jsNum(hostCores / 8.0),
       "jvm_uptime_s" -> jsNum(
         java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -157,10 +251,20 @@ object BenchReport {
       "sf_dir" -> jsStr(sfDir),
       "cpus" -> jsNumOrStr(cpus),
       "env" -> env,
+      // the untimed warmup THIS JVM ran before its timed entries
+      // (set in child partials; the merged artifact carries it per
+      // group inside fork_groups)
+      "warmup" -> warmup.map(jsStr).getOrElse("null"),
       // fork-mode provenance: which queries shared a child JVM — the
-      // per-family isolation boundary the numbers were taken under
+      // per-family isolation boundary the numbers were taken under —
+      // with per-group fork success (a failed child runs in-process
+      // in the parent) and the group's untimed warmup query
       "fork_groups" -> forkGroups.map(gs =>
-        arr(gs.map(g => arr(g.map(jsStr))))).getOrElse("null"),
+        arr(gs.map(g => obj(Seq(
+          "queries" -> arr(g.queries.map(jsStr)),
+          "forked" -> g.forked.toString,
+          "warmup" -> g.warmup.map(jsStr).getOrElse("null"))))))
+        .getOrElse("null"),
       "steady" -> obj(steady.map { case (k, v) => k -> jsNum(v) }),
       "cold" -> obj(results.map(q => q.name -> jsNum(q.times.head))),
       "detail" -> obj(detail)))
@@ -173,8 +277,8 @@ object BenchReport {
   def headlineJson(results: Seq[QueryResult], iters: Int, sfNum: String,
       headline: Seq[String], abBaselines: Set[String],
       detailFile: String = "BENCH_FULL.json",
-      hostCores: Int = Runtime.getRuntime.availableProcessors())
-      : String = {
+      hostCores: Int = Runtime.getRuntime.availableProcessors(),
+      baseline: Option[Map[String, Double]] = None): String = {
     val steady = results.map(q => q.name -> steadyOf(q.times)).toMap
     def totalOf(m: Map[String, Double]) = m.values.map(_.max(0.0)).sum
     def r3(d: Double) = f"$d%.3f"
@@ -195,6 +299,12 @@ object BenchReport {
       // per-iteration evidence before grading regressions
       "contended" -> results.count(q =>
         steadyContended(q.iters, hostCores)).toString,
+      // queries >2x their committed clean-session pin with clean
+      // within-run signals (detail.<q>.regressed_vs_baseline) — the
+      // cross-run check the within-query classifier cannot make
+      "regressed" -> results.count(q =>
+        baseline.flatMap(_.get(q.name)).exists(p =>
+          regressedVsBaseline(q.iters, hostCores, p))).toString,
       "total_with_ab_baselines" -> r3(totalOf(steady)),
       "detail" -> jsStr(detailFile),
       "queries" -> obj(head.map { case (k, v) => k -> r3(v) })))

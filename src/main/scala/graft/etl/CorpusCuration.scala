@@ -159,4 +159,133 @@ object CorpusCuration {
         (if (evalDocs.isDefined) Seq(scrubbed) else Nil) ++
         (if (dsirTarget.isDefined) Seq(selected) else Nil))
   }
+
+  // ------------------------------------------------- incremental form
+
+  /** Standing indexes the nightly incremental curation probes — every
+    * corpus-global model the batch funnel computes inline, persisted
+    * once so a slice never rescans the corpus (VERDICT r12 item 7):
+    *
+    *  - `boilerplate`: the standing corpus's top-K segment dictionary
+    *    ([[graft.ops.Boilerplate.topSegments]]);
+    *  - `evalDict`: the eval set's span-hash dictionary (static — eval
+    *    sets change by release, not by slice);
+    *  - `dsir`: optional fit-once importance model
+    *    ([[graft.ops.Dsir]]), scored per slice;
+    *  - `seenHashes`: one `__h` column — md5 of every doc text already
+    *    accepted into the curated corpus (the exact-dedup probe set;
+    *    the incremental twin of [[graft.ops.TextDedupIndex]]'s
+    *    candidate index, exact rather than near).
+    *
+    * Refresh contract: `boilerplate` (and `dsir`) are snapshots — the
+    * incremental output equals the batch form only while the standing
+    * dictionary still equals what the batch would compute over
+    * corpus ∪ slices (boilerplate is corpus-dominated in practice;
+    * refit on the cadence the corpus doubles). `seenHashes` has no
+    * such drift: [[curateIncremental]] returns the exact update. */
+  final case class Indexes(
+      boilerplate: DataFrame,
+      evalDict: Option[DataFrame],
+      dsir: Option[graft.ops.Dsir.DsirModel],
+      seenHashes: DataFrame)
+
+  /** Fit the standing indexes from the raw corpus + its curated
+    * output (one extra gates pass over the raw corpus for the
+    * boilerplate dictionary — map-side except the segment groupBy). */
+  def fitIndexes(docs: DataFrame, curated: DataFrame, idCol: String,
+      textCol: String, evalDocs: Option[DataFrame] = None,
+      dsir: Option[graft.ops.Dsir.DsirModel] = None,
+      cfg: Config = Config()): Indexes = {
+    val repetitionSurvivors = gateStage(docs, idCol, textCol, cfg)
+    Indexes(
+      boilerplate = graft.ops.Boilerplate.topSegments(
+        repetitionSurvivors, idCol, textCol,
+        cfg.boilerplateSegTokens, cfg.boilerplateTopK),
+      evalDict = evalDocs.map(evalDictOf(_, textCol, cfg)),
+      dsir = dsir,
+      seenHashes = curated
+        .select(md5(col(textCol).cast("binary")).as("__h")).distinct())
+  }
+
+  /** One slice through the funnel against the standing indexes —
+    * identical stage semantics to [[curate]], zero corpus scans:
+    * in-row gates → boilerplate strip against the FIXED dictionary →
+    * eval scrub → optional DSIR score → within-slice keep-first dedup
+    * → anti-join the seen-hash index. Returns the accepted docs and
+    * the updated hash index (old ∪ accepted), which the caller
+    * persists for the next slice.
+    *
+    * Equality contract (pinned in CurateIncrementalSpec): feeding
+    * slices in ascending-id order through this function reproduces
+    * the batch [[curate]] survivor set over corpus ∪ slices exactly,
+    * PROVIDED the standing boilerplate dictionary equals the batch
+    * one (see [[Indexes]] refresh contract) — keep-first-by-id and
+    * accept-first-arrival coincide under ordered slices. */
+  final case class IncrementalResult(curated: DataFrame,
+      updated: Indexes)
+
+  def curateIncremental(slice: DataFrame, idx: Indexes, idCol: String,
+      textCol: String, cfg: Config = Config()): IncrementalResult = {
+    val repetition = gateStage(slice, idCol, textCol, cfg)
+    val deboiler = graft.ops.Boilerplate
+      .stripWith(repetition, idx.boilerplate, idCol, textCol,
+        cfg.boilerplateSegTokens)
+      .filter(col(textCol) =!= "")
+    val scrubbed = idx.evalDict match {
+      case Some(dict) => RepeatedSpans
+        .strip(deboiler, dict, idCol, textCol, cfg.scrubSpanTokens)
+        .filter(col(textCol) =!= "")
+      case None => deboiler
+    }
+    val selected = idx.dsir match {
+      case Some(model) => scrubbed.join(
+        graft.ops.Dsir.score(model, scrubbed, Seq(idCol), textCol)
+          .filter(col("selected")).select(col(idCol)),
+        Seq(idCol))
+      case None => scrubbed
+    }
+    // within-slice keep-first, then the index anti-join — the only
+    // touch of standing state, an equi-join on the hash
+    val accepted = graft.ops.Ops.dedupKeepFirstAgg(
+        selected.withColumn("__h", md5(col(textCol).cast("binary"))),
+        keys = Seq("__h"), orderCols = Seq(idCol))
+      .join(idx.seenHashes, Seq("__h"), "left_anti")
+    IncrementalResult(
+      curated = accepted.drop("__h")
+        .withColumn("n_tokens", tokCount(textCol)),
+      updated = idx.copy(seenHashes = idx.seenHashes
+        .union(accepted.select(col("__h"))).distinct()))
+  }
+
+  /** Stages 1+2 of the funnel fused into one pass (in-row quality +
+    * repetition gates). [[curate]] keeps the two stages separate
+    * because its drop report needs each stage's survivor stats; the
+    * filters here are the same predicates in the same order, and the
+    * batch-vs-incremental equality spec (CurateIncrementalSpec) is
+    * what pins the two forms against drift. */
+  private def gateStage(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame =
+    docs.select(col(idCol), col(textCol))
+      .withColumn("__tk", tokens(col(textCol)))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .withColumn("__uniq",
+        size(array_distinct(col("__tk"))).cast("double") / col("__n"))
+      .withColumn("__g2", shingles(col("__tk"), 2))
+      .withColumn("__dup2",
+        when(size(col("__g2")) > 0,
+          (size(col("__g2")) - size(array_distinct(col("__g2"))))
+            .cast("double") / size(col("__g2"))).otherwise(0.0))
+      .filter(col("__n") >= cfg.minTokens &&
+        col("__uniq") >= cfg.minUniqRatio &&
+        col("__dup2") <= cfg.maxDup2Frac)
+      .select(col(idCol), col(textCol))
+
+  /** The eval-span dictionary (`h`), shared by [[curate]] and
+    * [[fitIndexes]]. */
+  private def evalDictOf(ev: DataFrame, textCol: String,
+      cfg: Config): DataFrame =
+    ev.select(explode(array_distinct(transform(
+        shingles(tokens(col(textCol)), cfg.scrubSpanTokens),
+        g => graft.functions.TextOps.md5Long60(g)))).as("h"))
+      .distinct()
 }

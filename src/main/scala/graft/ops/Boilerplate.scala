@@ -47,11 +47,24 @@ object Boilerplate {
     * boilerplate). The trailing partial segment is dropped from the
     * reassembly, identically to the t16 oracle semantics. */
   def strip(docs: DataFrame, idCol: String, textCol: String,
-      segTokens: Int = 2, topK: Int = 20): DataFrame = {
-    val boiler = topSegments(docs, idCol, textCol, segTokens, topK)
+      segTokens: Int = 2, topK: Int = 20): DataFrame =
+    stripWith(docs,
+      topSegments(docs, idCol, textCol, segTokens, topK),
+      idCol, textCol, segTokens)
+
+  /** [[strip]] against a FIXED boilerplate list (`boiler`: one
+    * `segment` column) instead of one recomputed from `docs` — the
+    * incremental form: a nightly slice strips against the standing
+    * corpus's dictionary without touching the corpus
+    * ([[graft.etl.CorpusCuration.curateIncremental]]). Also the
+    * production shape when the cleaner is configured with an audited
+    * boilerplate list rather than a per-run one. */
+  def stripWith(docs: DataFrame, boiler: DataFrame, idCol: String,
+      textCol: String, segTokens: Int = 2): DataFrame = {
+    val boilerFlag = boiler
       .select(col("segment"), lit(true).as("__boiler"))
     val cleaned = segments(docs, idCol, textCol, segTokens)
-      .join(broadcast(boiler), Seq("segment"), "left")
+      .join(broadcast(boilerFlag), Seq("segment"), "left")
       .groupBy(idCol)
       .agg(concat_ws(" ",
         transform(

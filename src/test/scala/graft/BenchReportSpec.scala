@@ -117,17 +117,105 @@ class BenchReportSpec extends AnyFunSuite {
       QueryResult("q_cont", Seq(it(9.0, 9.0), it(8.0, 9.0))))
     val doc = JsonMethods.parse(
       fullJson(2, "d", "32", rs, hostCores = 32,
-        forkGroups = Some(Seq(Seq("q_clean"), Seq("q_cont")))))
+        forkGroups = Some(Seq(
+          ForkGroup(Seq("q_clean"), forked = true, Some("q_clean")),
+          ForkGroup(Seq("q_cont"), forked = false, None)))))
     assert((doc \ "detail" \ "q_cont" \ "contended") ==
       JArray(List(JBool(true), JBool(true))))
     assert((doc \ "detail" \ "q_cont" \ "steady_contended") == JBool(true))
     assert((doc \ "detail" \ "q_clean" \ "steady_contended") == JBool(false))
     assert((doc \ "env" \ "load_thresh") == JDouble(4.0))
-    assert((doc \ "fork_groups") == JArray(List(
-      JArray(List(JString("q_clean"))), JArray(List(JString("q_cont"))))))
+    assert((doc \ "env" \ "ext_load_margin") == JDouble(32 / 12.0))
+    // fork provenance carries per-group fork success + warmup (ADVICE
+    // r12: a failed child runs in-process — the artifact must say so)
+    val gs = (doc \ "fork_groups").asInstanceOf[JArray].arr
+    assert(gs.map(g => g \ "queries") == List(
+      JArray(List(JString("q_clean"))), JArray(List(JString("q_cont")))))
+    assert(gs.map(g => g \ "forked") == List(JBool(true), JBool(false)))
+    assert(gs.map(g => g \ "warmup") == List(JString("q_clean"), JNull))
     val line = JsonMethods.parse(headlineJson(rs, 2, "0.1", Nil,
       Set.empty, hostCores = 32))
     assert((line \ "contended") == JInt(1))
+  }
+
+  test("direct external-CPU evidence (host_cpu_ms) overrides every " +
+      "load heuristic: own burn reads as 0 external, a co-tenant as " +
+      "its cores") {
+    def it(sec: Double, cpuMs: Long, hostMs: Long, load: Double) =
+      Iter(sec, 10, 2, cpuMs, 512, 64, load, tainted = false,
+        hostCpuMs = hostMs)
+    // the measured mid-bench shape on a VERIFIED-quiet host: load 6+
+    // (self-inflicted by preceding heavy queries, 1-min decay) but
+    // host busy ≈ own busy — must NOT flag
+    val quiet = Seq(it(0.3, 450, 500, 6.1), it(0.2, 300, 320, 6.1))
+    assert(contendedFlags(quiet, 32) == Seq(false, false))
+    assert(externalCores(quiet.head).exists(_ < 0.2))
+    // r12 driver shape: co-tenant burning ~6 cores while we burn ~1
+    val cotenant = Seq(it(2.0, 2000, 14000, 7.0), it(1.9, 1900, 13500, 7.0))
+    assert(contendedFlags(cotenant, 32) == Seq(true, true))
+    // host probe missing (-1, non-Linux) → falls back to the
+    // discounted-load rule, which DOES flag this low-own/high-load shape
+    val noHost = Seq(it(2.0, 2000, -1, 7.0), it(1.9, 1900, -1, 7.0))
+    assert(contendedFlags(noHost, 32) == Seq(true, true))
+  }
+
+  test("the load clause discounts the query's own parallelism before " +
+      "thresholding (ADVICE r12: self-load must not read as a co-tenant)") {
+    def it(sec: Double, cpuMs: Long, load: Double) =
+      Iter(sec, 10, 2, cpuMs, 512, 64, load, tainted = false)
+    // c07_pagerank's shape: ~14 busy cores of its OWN, load 5.6-6.0 —
+    // the r12 rule flagged this; discounted external load is ~0
+    val heavyClean = Seq(it(3.0, 42000, 5.8), it(2.8, 40000, 6.0))
+    assert(contendedFlags(heavyClean, 32) == Seq(false, false))
+    assert(selfCores(heavyClean, 32).exists(c => c > 13 && c < 15))
+    // a genuinely contended low-parallelism query: own burn ~1 core,
+    // load 7 — external ~6 cores, flagged under the same rule
+    val cont = Seq(it(3.0, 3000, 7.0), it(2.8, 2900, 7.2))
+    assert(contendedFlags(cont, 32) == Seq(true, true))
+    // no CPU telemetry anywhere -> discount unavailable -> legacy raw
+    // threshold (cores/8) still applies
+    val noCpu = Seq(it(3.0, -1, 7.0), it(2.8, -1, 2.0))
+    assert(contendedFlags(noCpu, 32) == Seq(true, false))
+  }
+
+  test("regressed_vs_baseline fires on the r08/r20 signature and only " +
+      "then: uniform inflation, clean within-run signals") {
+    def it(sec: Double, load: Double) =
+      Iter(sec, 10, 2, (sec * 900).toLong, 512, 64, load, tainted = false)
+    // r08's r12 shape: steady 1.824 vs pinned 0.351, load moderate,
+    // CPU proportional — within-run clean, cross-run regressed
+    val r08 = Seq(it(2.1, 2.5), it(1.9, 2.5), it(1.824, 2.5))
+    assert(regressedVsBaseline(r08, 32, pin = 0.351))
+    // same steady but the steady iteration is contention-flagged ->
+    // already explained, not double-reported as a regression
+    val cont = Seq(it(2.1, 9.0), it(1.9, 9.0), it(1.824, 9.0))
+    assert(!regressedVsBaseline(cont, 32, pin = 0.351))
+    // small absolute drift on a millisecond query stays below the
+    // 2x + 0.2s floor
+    assert(!regressedVsBaseline(Seq(it(0.12, 2.5)), 32, pin = 0.05))
+    // healthy steady at its pin
+    assert(!regressedVsBaseline(Seq(it(0.36, 2.5)), 32, pin = 0.351))
+    // all-failed query never counts as regressed
+    val failed = Seq(Iter(-1.0, 0, 0, -1, 0, 0, -1.0, tainted = false))
+    assert(!regressedVsBaseline(failed, 32, pin = 0.351))
+
+    // and the artifact wiring: baseline_sec + flag in detail, count in
+    // the headline line
+    val rs = Seq(QueryResult("r08_join_agg", r08),
+      QueryResult("q_unpinned", Seq(it(0.5, 2.5))))
+    val pins = Some(Map("r08_join_agg" -> 0.351))
+    val doc = JsonMethods.parse(fullJson(3, "d", "32", rs,
+      hostCores = 32, baseline = pins))
+    assert((doc \ "detail" \ "r08_join_agg" \ "baseline_sec")
+      == JDouble(0.351))
+    assert((doc \ "detail" \ "r08_join_agg" \ "regressed_vs_baseline")
+      == JBool(true))
+    assert((doc \ "detail" \ "q_unpinned" \ "baseline_sec") == JNull)
+    assert((doc \ "detail" \ "q_unpinned" \ "regressed_vs_baseline")
+      == JBool(false))
+    val line = JsonMethods.parse(headlineJson(rs, 3, "0.1", Nil,
+      Set.empty, hostCores = 32, baseline = pins))
+    assert((line \ "regressed") == JInt(1))
   }
 
   test("JSON string escaping survives hostile names") {

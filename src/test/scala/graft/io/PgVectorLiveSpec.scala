@@ -1,0 +1,91 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** LIVE pgvector integration (VERDICT r11 item 8 / r12 item 6): the
+  * one seam [[PgVectorSpec]]'s Derby stand-in cannot prove — a real
+  * Postgres accepting the staged text literal into a `VECTOR(dim)`
+  * column and serving vector ops over it (ref
+  * `bytesme_psql_schema.sql:301-317`, `psql_load.sql:3-7`).
+  *
+  * Opt-in by environment: set GRAFT_PG_URL to a JDBC URL for a
+  * pgvector-enabled Postgres (docker-compose.pgvector.yml starts one)
+  * and put the postgresql JDBC driver on the test classpath. Without
+  * the URL the spec CANCELS (reported as canceled, not passed) — the
+  * sandbox has no Postgres and no egress, so in-sandbox runs document
+  * the gap instead of faking green.
+  */
+class PgVectorLiveSpec extends SparkSpec {
+
+  private def pgUrl: String = {
+    val url = sys.env.getOrElse("GRAFT_PG_URL",
+      cancel("GRAFT_PG_URL not set — live pgvector target unavailable " +
+        "(see docker-compose.pgvector.yml)"))
+    try Class.forName("org.postgresql.Driver")
+    catch {
+      case _: ClassNotFoundException =>
+        cancel("postgresql JDBC driver not on classpath")
+    }
+    url
+  }
+
+  private lazy val emb = graft.Tables(spark,
+    "/root/testdata/sf0.001", "embeddings")
+
+  private lazy val dim: Int =
+    emb.select(size(col("embedding"))).head().getInt(0)
+
+  test("staged embeddings load into a VECTOR(dim) column and read " +
+      "back bit-exact") {
+    val url = pgUrl
+    PgVector.register(dim)
+    val staged = PgVector.stageForLoad(
+      emb.select("vec_id", "embedding"), "embedding")
+    // the writer CREATEs the table; the staged column's DDL override
+    // makes it vector(dim), and the server casts each literal on
+    // INSERT — the reference's own load path
+    Sinks.jdbcWriter(staged, "emb_live", batchSize = 50)
+      .option("url", url)
+      .option("createTableColumnTypes",
+        PgVector.createColumnTypes("embedding", dim))
+      .mode("overwrite")
+      .save()
+    // a vector column surfaces through JDBC as its text form;
+    // parseVector is the exact inverse of the staging literal
+    val back = Sinks.readJdbc(spark, url, "emb_live")
+      .withColumn("embedding",
+        PgVector.parseVector(col("embedding").cast("string")))
+    assert(back.count() == emb.count())
+    val mismatch = back.alias("b").join(emb.alias("e"), "vec_id")
+      .filter(col("b.embedding") =!= col("e.embedding"))
+    assert(mismatch.count() == 0, "vector round-trip not bit-exact")
+  }
+
+  test("server-side L2 top-k over the loaded vectors agrees with the " +
+      "engine's exact kNN") {
+    val url = pgUrl
+    val k = 5
+    val qRow = emb.orderBy("vec_id").select("vec_id", "embedding").head()
+    val qid = qRow.getLong(0)
+    val qvec = qRow.getSeq[Float](1)
+    val qLit = qvec.mkString("[", ",", "]")
+    // pgvector's `<->` (L2) over the vector column, pushed down as a
+    // server-side query — the reference's search path
+    val pg = spark.read.format("jdbc")
+      .option("url", url)
+      .option("query",
+        s"""SELECT vec_id FROM emb_live WHERE vec_id <> $qid
+            ORDER BY embedding <-> '$qLit' LIMIT $k""")
+      .load()
+      .collect().map(_.getLong(0)).toSet
+    val engine = graft.vector.VectorSearch.knn(
+        emb.filter(col("vec_id") =!= qid), "vec_id", "embedding",
+        emb.filter(col("vec_id") === qid)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        "qid", "embedding", k)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pg == engine, s"pgvector=$pg engine=$engine")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** The persisted-IVF embedding dedup probe (VERDICT r12 item 3): the
+  * pruned executed plan and pair-set parity with the batch cell-blocked
+  * form (`v14_blocked_neardup`).
+  *
+  * Numeric note: v14's oracle works in round(x*1e6)-quantized longs,
+  * the library in raw doubles. Parity between the two is legitimate to
+  * pin because the fixture's decision margins dwarf the quantization
+  * error (~1e-6 relative): measured min argmin gap 2.3e-4 squared
+  * units, min |cos − τ| 5.8e-5.
+  */
+class VectorDedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val Tau = 0.3
+
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  test("full-corpus probe reproduces batch v14's pair set exactly") {
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_dedup_full").toString
+    val cents = VectorDedupIndex.seedCentroids(emb, "vec_id", "embedding", 8)
+    assert(cents.map(_._1) == (0L until 8L), "v14's seed convention")
+    VectorDedupIndex.writeIndex(emb, "vec_id", "embedding", cents, path)
+    // probing the corpus against itself yields each v14 pair in both
+    // directions; orient to a<b for the comparison
+    val got = VectorDedupIndex.probePairs(spark, path, cents,
+        emb, "vec_id", "embedding", Tau)
+      .filter(col("corpus_id") < col("new_id"))
+      .select("corpus_id", "new_id")
+      .as[(Long, Long)].collect().toSet
+    val want = SparkEntry.queries("v14_blocked_neardup")(spark, dir)
+      .filter(col("cos") >= Tau) // v14 reports down to > 0.3 strict; align
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(got.nonEmpty, "degenerate: no pairs above tau on the fixture")
+  }
+
+  test("incremental probe equals the union-batch form's cross slice " +
+      "and reads only the probed cell partitions") {
+    // nightly split: the last few ids arrive as tonight's batch
+    val maxId = emb.agg(max("vec_id")).as[Long].head()
+    val batch = emb.filter(col("vec_id") > maxId - 5)
+    val corpus = emb.filter(col("vec_id") <= maxId - 5)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_dedup_incr").toString
+    // centroids from the standing corpus (ids 0..7 are in it), so the
+    // index and the union-batch reference assign identically
+    val cents = VectorDedupIndex.seedCentroids(
+      corpus, "vec_id", "embedding", 8)
+    VectorDedupIndex.writeIndex(corpus, "vec_id", "embedding", cents, path)
+
+    val got = VectorDedupIndex.probePairs(spark, path, cents,
+      batch, "vec_id", "embedding", Tau)
+    got.collect() // finalize AQE before reading the executed plan
+    val gotPairs = got.select("corpus_id", "new_id")
+      .as[(Long, Long)].collect().toSet
+
+    // reference: the batch v14 recipe over corpus ∪ batch (= the whole
+    // fixture, same centroids), restricted to (corpus, batch) pairs
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    val union = SparkEntry.queries("v14_blocked_neardup")(spark, dir)
+      .filter(col("cos") >= Tau)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val want = union.collect {
+      case (a, b) if !batchIds(a) && batchIds(b) => (a, b)
+      case (a, b) if batchIds(a) && !batchIds(b) => (b, a)
+    }.toSet
+    assert(gotPairs == want,
+      s"missing=${(want -- gotPairs).take(5)} " +
+        s"extra=${(gotPairs -- want).take(5)}")
+    assert(gotPairs.nonEmpty,
+      "degenerate: tonight's batch collides with nothing")
+
+    // the scale contract: the index scan is partition-pruned to the
+    // batch's cells — PartitionFilters on the cell column, non-empty
+    val plan = got.queryExecution.executedPlan.toString
+    val scan = plan.split("\n").find(_.contains("PartitionFilters"))
+    assert(scan.isDefined, plan)
+    assert(!scan.get.contains("PartitionFilters: []"),
+      s"index scan reads all partitions:\n$plan")
+    assert("""PartitionFilters: \[[^\]]*ivf_cell""".r
+      .findFirstIn(scan.get).isDefined, scan.get)
+  }
+
+  test("an empty micro-batch probes nothing and does not crash") {
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_dedup_empty").toString
+    val cents = VectorDedupIndex.seedCentroids(emb, "vec_id", "embedding", 8)
+    VectorDedupIndex.writeIndex(emb, "vec_id", "embedding", cents, path)
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(VectorDedupIndex.probePairs(spark, path, cents,
+      empty, "vec_id", "embedding", Tau).count() == 0)
+  }
+}

@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Generate an sf1 PERFORMANCE fixture (10x sf0.1) for the scaling
+checkpoint (VERDICT r12 item 5) — driver-side tooling, not library code.
+
+Usage: python3 tools/gen_sf1.py [out_dir]   (default target/sf1)
+
+Derivation, copy i in 0..9 with key stride S=1e8 (all copies disjoint,
+all FK relationships preserved within a copy):
+- region/nation: dims, copied once (unshifted — FK targets).
+- customer/supplier/part/orders/lineitem: every non-nation key +i*S.
+- events: event_id/user_id +i*S, ts unchanged (10 disjoint user
+  universes in the same time window — sessionization/stream state
+  scales linearly, as production fan-out would).
+- documents: doc_id +i*S; for i>0 every token of length >= 5 gets a
+  per-copy suffix. This keeps doc length, token counts, shingle
+  counts and the SHORT-token (stopword) profile intact while making
+  copies' shingle sets disjoint: cross-copy Jaccard lands well under
+  dedup thresholds, so LSH/MinHash workloads scale linearly instead
+  of drowning in 10 exact copies of every doc (45 manufactured dup
+  pairs each) that no real 10x corpus growth would produce.
+- embeddings: vec_id +i*S; for i>0 a per-(copy,dim) deterministic
+  sign flip — preserves norms and within-copy geometry, decorrelates
+  across copies.
+
+This fixture is for THROUGHPUT measurement only — correctness oracles
+stay on the driver-generated SFs.
+"""
+import os, sys
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+S = 100_000_000
+COPIES = 10
+
+
+def main(out):
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO 16")
+
+    def gen(table, per_copy_sql, copies=COPIES):
+        sql = " UNION ALL ".join(
+            per_copy_sql.format(i=i, shift=i * S) for i in range(copies))
+        con.execute(
+            f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
+        print(f"{table:12s} {n:>9,} rows")
+
+    for t in ("region", "nation"):
+        gen(t, f"SELECT * FROM '{SRC}/{t}.parquet'", copies=1)
+
+    gen("customer", f"""
+        SELECT c_custkey + {{shift}} AS c_custkey, c_name, c_address,
+               c_nationkey, c_phone, c_acctbal, c_mktsegment, c_comment
+        FROM '{SRC}/customer.parquet'""")
+    gen("supplier", f"""
+        SELECT s_suppkey + {{shift}} AS s_suppkey, s_name, s_address,
+               s_nationkey, s_phone, s_acctbal, s_comment
+        FROM '{SRC}/supplier.parquet'""")
+    gen("part", f"""
+        SELECT p_partkey + {{shift}} AS p_partkey, p_name, p_mfgr,
+               p_brand, p_type, p_size, p_container, p_retailprice,
+               p_comment
+        FROM '{SRC}/part.parquet'""")
+    gen("orders", f"""
+        SELECT o_orderkey + {{shift}} AS o_orderkey,
+               o_custkey + {{shift}} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+               o_clerk, o_shippriority, o_comment
+        FROM '{SRC}/orders.parquet'""")
+    gen("lineitem", f"""
+        SELECT l_orderkey + {{shift}} AS l_orderkey,
+               l_partkey + {{shift}} AS l_partkey,
+               l_suppkey + {{shift}} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate,
+               l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode,
+               l_comment
+        FROM '{SRC}/lineitem.parquet'""")
+    gen("events", f"""
+        SELECT event_id + {{shift}} AS event_id, ts,
+               user_id + {{shift}} AS user_id, event_type, value, props
+        FROM '{SRC}/events.parquet'""")
+    gen("documents", f"""
+        SELECT doc_id + {{shift}} AS doc_id,
+               CASE WHEN {{i}} = 0 THEN text
+                    ELSE array_to_string(list_transform(
+                      string_split(text, ' '),
+                      t -> CASE WHEN len(t) >= 5
+                                THEN t || 'q{{i}}' ELSE t END), ' ')
+               END AS text,
+               lang, source,
+               CAST(len(CASE WHEN {{i}} = 0 THEN text
+                    ELSE array_to_string(list_transform(
+                      string_split(text, ' '),
+                      t -> CASE WHEN len(t) >= 5
+                                THEN t || 'q{{i}}' ELSE t END), ' ')
+               END) AS BIGINT) AS n_chars
+        FROM '{SRC}/documents.parquet'""")
+    gen("embeddings", f"""
+        SELECT vec_id + {{shift}} AS vec_id,
+               CASE WHEN {{i}} = 0 THEN embedding
+                 ELSE list_transform(range(1, 1 + len(embedding)),
+                   j -> embedding[j] *
+                     CASE WHEN ({{i}} * 7 + j) % 2 = 0
+                          THEN 1.0 ELSE -1.0 END)
+               END::FLOAT[] AS embedding,
+               label
+        FROM '{SRC}/embeddings.parquet'""")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "target/sf1")

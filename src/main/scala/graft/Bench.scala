@@ -239,7 +239,8 @@ object Bench {
     // (VERDICT r12 item 1). Child JVMs run in a temp cwd and simply
     // find no file — the parent applies the pins when merging.
     val baseline = loadBaseline(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"),
+      sfDir)
 
     var forkGroups: Option[Seq[BenchReport.ForkGroup]] = None
     var warmedUp: Option[String] = None
@@ -292,11 +293,14 @@ object Bench {
       baseline = baseline))
   }
 
-  /** BENCH_BASELINE.json: `{"steady": {query: sec}}` plus provenance
-    * keys the reader ignores. Absent/unparseable → no pins (the flag
-    * simply never fires) — a bench run must not die on its own
-    * calibration file. */
-  private[graft] def loadBaseline(path: String)
+  /** BENCH_BASELINE.json: `{"sf_dir": ..., "steady": {query: sec}}`
+    * plus provenance keys the reader ignores. Pins only apply when
+    * THIS run's sf_dir matches the pinned one — an sf1 scaling run
+    * compared against sf0.1 pins manufactured 4 false `regressed`
+    * flags in validation. Absent/unparseable/mismatched → no pins
+    * (the flag simply never fires) — a bench run must not die on its
+    * own calibration file. */
+  private[graft] def loadBaseline(path: String, sfDir: String)
       : Option[Map[String, Double]] =
     try {
       val p = java.nio.file.Paths.get(path)
@@ -305,7 +309,16 @@ object Bench {
         import org.json4s._
         val doc = jackson.JsonMethods.parse(
           new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-        doc \ "steady" match {
+        val pinnedSf = doc \ "sf_dir" match {
+          case JString(s) => Some(s)
+          case _ => None
+        }
+        if (!pinnedSf.contains(sfDir)) {
+          System.err.println(s"[bench] baseline is for " +
+            s"${pinnedSf.getOrElse("?")}, this run is $sfDir — " +
+            "cross-run flag disabled")
+          None
+        } else doc \ "steady" match {
           case JObject(kvs) => Some(kvs.collect {
             case (k, JDouble(v)) => k -> v
             case (k, JInt(v)) => k -> v.toDouble

@@ -51,32 +51,28 @@ def main(out):
         gen(t, f"SELECT * FROM '{SRC}/{t}.parquet'", copies=1)
 
     gen("customer", f"""
-        SELECT c_custkey + {{shift}} AS c_custkey, c_name, c_address,
-               c_nationkey, c_phone, c_acctbal, c_mktsegment, c_comment
+        SELECT c_custkey + {{shift}} AS c_custkey, c_name,
+               c_nationkey, c_acctbal, c_mktsegment
         FROM '{SRC}/customer.parquet'""")
     gen("supplier", f"""
-        SELECT s_suppkey + {{shift}} AS s_suppkey, s_name, s_address,
-               s_nationkey, s_phone, s_acctbal, s_comment
+        SELECT s_suppkey + {{shift}} AS s_suppkey, s_name,
+               s_nationkey, s_acctbal
         FROM '{SRC}/supplier.parquet'""")
     gen("part", f"""
-        SELECT p_partkey + {{shift}} AS p_partkey, p_name, p_mfgr,
-               p_brand, p_type, p_size, p_container, p_retailprice,
-               p_comment
+        SELECT p_partkey + {{shift}} AS p_partkey, p_name,
+               p_brand, p_type, p_size, p_retailprice
         FROM '{SRC}/part.parquet'""")
     gen("orders", f"""
         SELECT o_orderkey + {{shift}} AS o_orderkey,
                o_custkey + {{shift}} AS o_custkey,
-               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
-               o_clerk, o_shippriority, o_comment
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         FROM '{SRC}/orders.parquet'""")
     gen("lineitem", f"""
         SELECT l_orderkey + {{shift}} AS l_orderkey,
                l_partkey + {{shift}} AS l_partkey,
                l_suppkey + {{shift}} AS l_suppkey,
                l_linenumber, l_quantity, l_extendedprice, l_discount,
-               l_tax, l_returnflag, l_linestatus, l_shipdate,
-               l_commitdate, l_receiptdate, l_shipinstruct, l_shipmode,
-               l_comment
+               l_tax, l_returnflag, l_linestatus, l_shipdate
         FROM '{SRC}/lineitem.parquet'""")
     gen("events", f"""
         SELECT event_id + {{shift}} AS event_id, ts,

@@ -237,10 +237,16 @@ object Bench {
 
     // committed clean-session pins for the cross-run regression flag
     // (VERDICT r12 item 1). Child JVMs run in a temp cwd and simply
-    // find no file — the parent applies the pins when merging.
-    val baseline = loadBaseline(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"),
-      sfDir)
+    // find no file — the parent applies the pins when merging. Pins
+    // apply to FULL runs only: they were measured under fork-mode's
+    // per-child warmup, and a targeted in-process run pays cold-JVM
+    // costs in every iteration (measured: a lone r08 reads 0.817 s
+    // vs its 0.31 s full-run pin — conditions, not a regression).
+    val baseline =
+      if (only.isDefined) None
+      else loadBaseline(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+          "BENCH_BASELINE.json"), sfDir)
 
     var forkGroups: Option[Seq[BenchReport.ForkGroup]] = None
     var warmedUp: Option[String] = None

@@ -219,6 +219,12 @@ object BenchReport {
         "gc_n" -> arr(q.iters.map(_.gcN.toString)),
         "cpu_ms" -> arr(q.iters.map(_.cpuMs.toString)),
         "host_cpu_ms" -> arr(q.iters.map(_.hostCpuMs.toString)),
+        // the derived co-tenant measure, precomputed so a reader need
+        // not re-derive it: (host user+nice+steal − own)/wall. On this
+        // class of VM a borderline value next to a regressed flag
+        // reads as sub-threshold steal/contention, not a plan change.
+        "ext_cores" -> arr(q.iters.map(i => externalCores(i)
+          .map(e => jsNum(math.rint(e * 100) / 100)).getOrElse("null"))),
         "heap_mb" -> arr(q.iters.map(_.heapMb.toString)),
         "storage_mb" -> arr(q.iters.map(_.storageMb.toString)),
         "load" -> arr(q.iters.map(i => jsNum(i.load))),

@@ -34,16 +34,25 @@ import graft.vector.VectorSearch
   */
 object VectorDedupIndex {
 
-  /** Deterministic seed centroids — the v14/v06 convention: the
-    * nCells lowest-id corpus vectors (TakeOrdered, no global sort).
-    * Production uses [[graft.vector.Kmeans.fit]] output instead. */
+  /** Deterministic seed centroids — the v14/v06 convention with a
+    * duplicate guard: the nCells lowest-id DISTINCT corpus vectors.
+    * The guard matters: on a corpus with exact duplicates (the very
+    * thing a dedup index exists for) the naive lowest-N-ids can all
+    * be copies of one vector, which degenerates every cell to the
+    * same centroid and collapses the whole corpus into one cell —
+    * measured: a replica-heavy bench corpus produced 412M candidate
+    * pairs in ONE unsplittable cell (single-threaded verify) vs 26M
+    * across 16 real cells. Costs one distinct-vector aggregate at
+    * build time; production uses [[graft.vector.Kmeans.fit]] output
+    * instead. */
   def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int): Seq[(Long, Seq[Double])] =
     corpus.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
+      .groupBy("vec").agg(min(col("id")).as("id"))
       .orderBy("id").limit(nCells)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .map(r => (r.getAs[Long]("id"), r.getSeq[Double](0)))
       .toSeq
 
   /** Build + persist the cell-partitioned corpus index. One corpus

@@ -356,7 +356,9 @@ object BenchSuite extends QuerySuite {
     // x22/x23 disable AQE's own skew mitigation so the salting A/B
     // isolates the manual technique; unset falls back to the default
     // (true), which is also what the GraftSession builder pins
-    "spark.sql.adaptive.skewJoin.enabled")
+    "spark.sql.adaptive.skewJoin.enabled",
+    // x27 splits its ~100 MB bench-scale index into task-sized chunks
+    "spark.sql.files.maxPartitionBytes")
 
   private val x09 = GraftQuery(
     "x09_bloom_join",
@@ -609,6 +611,86 @@ object BenchSuite extends QuerySuite {
       res.corpus
     })
 
+  /** x27 — persisted-index vector dedup PROBE (the nightly form of
+    * v14, [[graft.ops.VectorDedupIndex]]): the one-time setup writes
+    * the 200k-vector inflated corpus `partitionBy(ivf_cell)`
+    * (memoized per (session, dir) — the index is the reusable nightly
+    * artifact, exactly x03's stance); the timed query probes a ~1%
+    * batch against the cell directories and cosine-verifies. The A/B
+    * reading: the batch alternative re-runs blocked pairs over the
+    * WHOLE corpus each night — the probe touches only the batch's
+    * cells (τ=0.9 keeps the verify output to the ~100-replica
+    * families the inflation plants per base vector).
+    *
+    * Parallelism note (measured): the bench-scale index is ~100 MB of
+    * parquet, which the default 128 MB maxPartitionBytes bin-packs
+    * into 1-2 input tasks — the per-pair verify then runs effectively
+    * single-threaded (76 s warm). At 100 TB the layout provides task
+    * granularity naturally; here the arm pins a 4 MB split so the
+    * measurement exercises the intended parallel shape (Bench unsets
+    * the key after every query via [[PinnedConfKeys]]). */
+  private val vdiMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, Seq[(Long, Seq[Double])])]
+  private val x27 = GraftQuery("x27_vector_dedup_probe",
+    (s, dir) => {
+      s.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+      val (path, cents) = vdiMemo.getOrElseUpdate((s, dir), {
+        val corpus = inflated(s, dir)
+        val cs = graft.ops.VectorDedupIndex
+          .seedCentroids(corpus, "id", "vec", 16)
+        val p = java.nio.file.Files
+          .createTempDirectory("x27_vdi").toString
+        graft.ops.VectorDedupIndex
+          .writeIndex(corpus, "id", "vec", cs, p)
+        (p, cs)
+      })
+      graft.ops.VectorDedupIndex.probePairs(s, path, cents,
+          inflated(s, dir).filter(col("id") % 97 === 0),
+          "id", "vec", tau = 0.9)
+        .groupBy("cell").agg(count(lit(1)).as("n_pairs"))
+    })
+
+  /** x28 — INCREMENTAL curation of a nightly slice
+    * ([[graft.etl.CorpusCuration.curateIncremental]]) — the A/B of
+    * x26's whole-corpus funnel: the one-time setup curates the
+    * standing corpus, fits the indexes, and parquets them (memoized —
+    * production state lives in the lake); the timed query pushes the
+    * mod-31 slice through gates → fixed-dictionary strip → eval scrub
+    * → keep-first + hash anti-join. Same eval convention as x26
+    * (mod-23). The number to compare: x26 re-runs the full funnel on
+    * everything; x28 does slice-sized work + one broadcast dictionary
+    * join + one hash anti-join. */
+  private val curMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private val x28 = GraftQuery("x28_curate_incremental",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val eval = docs.filter(col("doc_id") % 23 === 0)
+      val base = curMemo.getOrElseUpdate((s, dir), {
+        val standing = docs.filter(
+          col("doc_id") % 23 =!= 0 && col("doc_id") % 31 =!= 0)
+        val res = graft.etl.CorpusCuration.curate(
+          standing, "doc_id", "text", evalDocs = Some(eval))
+        val idx = graft.etl.CorpusCuration.fitIndexes(standing,
+          res.corpus.select("doc_id", "text"), "doc_id", "text",
+          evalDocs = Some(eval))
+        val p = java.nio.file.Files
+          .createTempDirectory("x28_cur").toString
+        idx.boilerplate.write.parquet(s"$p/boiler")
+        idx.evalDict.get.write.parquet(s"$p/eval")
+        idx.seenHashes.write.parquet(s"$p/seen")
+        res.release()
+        p
+      })
+      val standing = graft.etl.CorpusCuration.Indexes(
+        s.read.parquet(s"$base/boiler"),
+        Some(s.read.parquet(s"$base/eval")), None,
+        s.read.parquet(s"$base/seen"))
+      graft.etl.CorpusCuration.curateIncremental(
+        docs.filter(col("doc_id") % 23 =!= 0 && col("doc_id") % 31 === 0),
+        standing, "doc_id", "text").curated
+    })
+
   override val suite: Seq[GraftQuery] =
     Seq(x02, x04, x07, x08, x11)
 
@@ -617,5 +699,5 @@ object BenchSuite extends QuerySuite {
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
     Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16, x17, x18,
-      x19, x20, x21, x22, x23, x24, x25, x26)
+      x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
 }

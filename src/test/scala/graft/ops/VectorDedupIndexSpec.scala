@@ -91,6 +91,48 @@ class VectorDedupIndexSpec extends SparkSpec {
       .findFirstIn(scan.get).isDefined, scan.get)
   }
 
+  test("streaming ingest probes the index per micro-batch " +
+      "(foreachBatch — the nightly flow as a stream, mirroring " +
+      "TextDedupIndexSpec)") {
+    val maxId = emb.agg(max("vec_id")).as[Long].head()
+    val batch = emb.filter(col("vec_id") > maxId - 5)
+    val corpus = emb.filter(col("vec_id") <= maxId - 5)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("ivf_stream_idx").toString
+    val cents = VectorDedupIndex.seedCentroids(
+      corpus, "vec_id", "embedding", 8)
+    VectorDedupIndex.writeIndex(corpus, "vec_id", "embedding",
+      cents, idxPath)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("ivf_stream_src").toString
+    batch.write.mode("overwrite").parquet(srcDir)
+    val cp = java.nio.file.Files
+      .createTempDirectory("ivf_stream_cp").toString
+    val hits = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = spark.readStream
+      .schema(batch.schema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          hits.synchronized {
+            hits ++= VectorDedupIndex.probePairs(spark, idxPath, cents,
+                b, "vec_id", "embedding", Tau)
+              .select("corpus_id", "new_id")
+              .as[(Long, Long)].collect()
+          }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val want = VectorDedupIndex.probePairs(spark, idxPath, cents,
+        batch, "vec_id", "embedding", Tau)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(hits.toSet == want && want.nonEmpty, s"got $hits want $want")
+  }
+
   test("an empty micro-batch probes nothing and does not crash") {
     val path = java.nio.file.Files
       .createTempDirectory("ivf_dedup_empty").toString

@@ -57,8 +57,10 @@ object VectorSearch {
       assigned: DataFrame, centroids: Seq[(Long, Seq[Double])]) {
 
     /** (distance-to-centroid, cell) candidates as one literal-array
-      * expression over `vec` — evaluated map-side, fully codegen. */
-    private[vector] def cellCandidates(vec: Column): Column =
+      * expression over `vec` — evaluated map-side, fully codegen.
+      * `private[graft]`: [[graft.ops.SemanticDecontam]] reuses the
+      * pair to get nearest-cell AND its distance in one expression. */
+    private[graft] def cellCandidates(vec: Column): Column =
       array(centroids.map { case (cellId, cvec) =>
         struct(
           l2(vec, typedLit(cvec)).as("d"),

@@ -410,6 +410,84 @@ case class PqAdcLit(codes: Expression, qidx: Expression, tables: Expression)
   * seconds of codegen at m=32/ncent=64. Ties (equal squared distance)
   * keep the lowest centroid index — matching the driver-side
   * `PqModel.encodeOne` exactly (same sequential double sums). */
+/** Index of the nearest centroid (squared L2; ties → lowest index)
+  * over a centroid MATRIX literal — the scalable cluster-assignment
+  * primitive (IVF build, vector-dedup probe, SemanticDecontam at
+  * large k). Why an expression and not composition: the
+  * per-centroid struct-literal argmin (`IvfIndex.cellCandidates`)
+  * builds an nCells×dim-node expression TREE whose generated code
+  * degenerates past a few dozen cells (measured: 160 cells × 64 dims
+  * stalled a 2M-row assignment for 20+ min), and the join+aggregate
+  * form OOMs carrying vectors as group keys through a sort-fallback
+  * aggregate (measured at 8g). This is the PqEncode shape: the
+  * matrix rides as ONE literal, the loop is flat generated code,
+  * O(k·d) per row with no tree growth, zero shuffle. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType),
+    ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val cent = cents.getArray(c)
+      val n = math.min(vec.numElements(), cent.numElements())
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x = vec.getDouble(i) - cent.getDouble(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, cents) => {
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val cent = ctx.freshName("cent")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      s"""
+        int $k = $cents.numElements();
+        int $best = 0;
+        double $bestD = Double.MAX_VALUE;
+        for (int $c = 0; $c < $k; $c++) {
+          org.apache.spark.sql.catalyst.util.ArrayData $cent =
+            $cents.getArray($c);
+          int $n = java.lang.Math.min(
+            $vec.numElements(), $cent.numElements());
+          double $d = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = $vec.getDouble($i) - $cent.getDouble($i);
+            $d += $x * $x;
+          }
+          if ($d < $bestD) { $bestD = $d; $best = $c; }
+        }
+        ${ev.value} = $best;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 case class PqEncode(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(ArrayType(DoubleType),
@@ -573,6 +651,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_pq_encode",
         "_FUNC_(vec, codebooks) - PQ nearest-centroid codes per subspace"),
       (es: Seq[Expression]) => PqEncode(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_nearest_centroid"),
+      info("graft_nearest_centroid",
+        "_FUNC_(vec, centroids) - index of the nearest centroid " +
+          "(squared L2, ties to the lowest index)"),
+      (es: Seq[Expression]) => NearestCentroid(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("graft_pq_adc_lit"),
       info("graft_pq_adc_lit",
         "_FUNC_(codes, qidx, tables) - ADC against literal query tables"),

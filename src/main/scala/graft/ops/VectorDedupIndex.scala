@@ -76,11 +76,14 @@ object VectorDedupIndex {
       centroids: Seq[(Long, Seq[Double])], batch: DataFrame,
       idCol: String, vecCol: String, tau: Double,
       cellCol: String = "ivf_cell"): DataFrame = {
-    val index = VectorSearch.IvfIndex(null, centroids)
-    val nb = batch
-      .select(col(idCol).cast("long").as("new_id"),
-        col(vecCol).cast("array<double>").as("new_vec"))
-      .withColumn("cell", index.nearestCell(col("new_vec")))
+    // batch assignment: the same matrix-literal argmin as the index
+    // build (map-side, scales in centroid count)
+    val nb = VectorSearch.assignCells(
+        batch.select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("vec")),
+        "vec", centroids)
+      .select(col("id").as("new_id"), col("vec").as("new_vec"),
+        col("cell"))
       .withColumn("new_ss",
         call_function("graft_dot", col("new_vec"), col("new_vec")))
     val cells = nb.select("cell").distinct()

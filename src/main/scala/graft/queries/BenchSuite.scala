@@ -35,6 +35,13 @@ object BenchSuite extends QuerySuite {
   private def inflated(s: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate((s, dir),
       Tables(s, dir, "embeddings")
+        // the embeddings fixture is ONE parquet file with one row
+        // group → one scan task → explode keeps ONE partition, and
+        // every x-arm's corpus pass would run single-task (measured:
+        // a 2M-row × 160-centroid assignment wedged at 1.2 cores for
+        // 20+ min at sf1). Repartition the SMALL pre-explode frame so
+        // the cached corpus has real task granularity.
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding"),
           explode(sequence(lit(0L), lit(99L))).as("rep"))
         .select((col("vec_id") * 100 + col("rep")).as("id"),
@@ -636,8 +643,16 @@ object BenchSuite extends QuerySuite {
       s.conf.set("spark.sql.files.maxPartitionBytes", "4m")
       val (path, cents) = vdiMemo.getOrElseUpdate((s, dir), {
         val corpus = inflated(s, dir)
+        // cell count scales with the corpus (~12.5k vectors/cell) —
+        // the knob every IVF deployment turns. A FIXED cell count is
+        // the one way this shape goes super-linear: candidate pairs
+        // are N·B/cells, so frozen cells with N and B both up 10×
+        // measured 100× the pairs (53 s at sf1 vs the 5.5 s linear
+        // shape with scaled cells). With cells ∝ N, probe work stays
+        // ∝ batch size — independent of corpus size.
+        val nCells = math.max(16, (corpus.count() / 12500L).toInt)
         val cs = graft.ops.VectorDedupIndex
-          .seedCentroids(corpus, "id", "vec", 16)
+          .seedCentroids(corpus, "id", "vec", nCells)
         val p = java.nio.file.Files
           .createTempDirectory("x27_vdi").toString
         graft.ops.VectorDedupIndex

@@ -94,21 +94,41 @@ object VectorSearch {
     buildIvfWith(corpus, idCol, vecCol, cents)
   }
 
+  /** Map-side nearest-centroid assignment that scales in centroid
+    * count: ONE `graft_nearest_centroid` expression over the centroid
+    * MATRIX literal (flat generated loop — [[graft.expr
+    * .NearestCentroid]]). The alternatives both fail at large k,
+    * measured: the per-centroid struct-literal argmin
+    * ([[IvfIndex.cellCandidates]]) builds an nCells×dim expression
+    * tree that degenerates past a few dozen cells (160×64 stalled a
+    * 2M-row assignment 20+ min), and a join+aggregate form OOMs
+    * carrying vectors as group keys through a sort-fallback
+    * aggregate. Ties → lowest cell id (matrix rows id-sorted),
+    * matching cellCandidates' (d, cell) tiebreak. Appends `cell`. */
+  private[graft] def assignCells(rows: DataFrame, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    val sorted = centroids.sortBy(_._1)
+    val ids = sorted.map(_._1)
+    val matrix = sorted.map(_._2)
+    rows.withColumn("cell",
+      element_at(typedLit(ids),
+        call_function("graft_nearest_centroid",
+          col(vecCol), typedLit(matrix)) + 1))
+  }
+
   /** Build the IVF index from GIVEN centroids — e.g. [[Kmeans.fit]]
     * output, the production path (trained cells are tighter, so
     * `nprobe` cells capture more true neighbors than seed cells at
-    * the same read cost). Same map-side literal-argmin assignment as
-    * [[buildIvf]]. */
+    * the same read cost). Assignment is the map-side matrix-literal
+    * argmin ([[assignCells]]), which scales in centroid count. */
   def buildIvfWith(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Seq[Double])]): IvfIndex = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val ids = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
     val index = IvfIndex(null, centroids)
-    val assigned = ids
-      .withColumn("cell", index.nearestCell(col("vec")))
-      .repartition(col("cell"))
-    index.copy(assigned = assigned)
+    index.copy(assigned =
+      assignCells(ids, "vec", centroids).repartition(col("cell")))
   }
 
   /** Persist the IVF-assigned corpus `partitionBy(cell)` — the layout

@@ -100,4 +100,24 @@ class VectorSearchSpec extends SparkSpec {
       k = 1000000, multiprobe = mp).count()
     assert(hits(true) >= hits(false))
   }
+
+  test("assignCells (the matrix-literal argmin) matches the " +
+      "struct-literal argmin cell for cell") {
+    // buildIvfWith switched to graft_nearest_centroid because the
+    // per-centroid struct-literal tree degenerates past a few dozen
+    // cells (a 160-cell × 64-dim tree stalled a 2M-row assignment);
+    // both forms share the (distance, lowest-cell) tiebreak, so their
+    // assignments must be identical wherever both run
+    val rows = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val cents = rows.orderBy("id").limit(8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val index = VectorSearch.IvfIndex(null, cents)
+    val viaStruct = rows
+      .withColumn("cell", index.nearestCell(col("vec")))
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    val viaMatrix = VectorSearch.assignCells(rows, "vec", cents)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(viaMatrix == viaStruct)
+  }
 }

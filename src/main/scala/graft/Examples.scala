@@ -205,6 +205,45 @@ object Examples {
     println(s"kmeans: 4 trained cells, first centroid dim0 = " +
       f"${cents.head._2.head}%.4f (deterministic under any partitioning)")
 
+    // --- the nightly incremental surfaces (round 13) ---
+    // 1. persisted vector-dedup index: build once, probe tonight's
+    //    batch against only its cell directories
+    val embRaw = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val idxPath = Files.createTempDirectory("graft_ex_vdi").toString
+    val standing = embRaw.filter(col("vec_id") % 11 =!= 0)
+    val tonight = embRaw.filter(col("vec_id") % 11 === 0)
+    val seeds = graft.ops.VectorDedupIndex
+      .seedCentroids(standing, "vec_id", "embedding", 8)
+    graft.ops.VectorDedupIndex
+      .writeIndex(standing, "vec_id", "embedding", seeds, idxPath)
+    val probed = graft.ops.VectorDedupIndex.probePairs(spark, idxPath,
+      seeds, tonight, "vec_id", "embedding", tau = 0.3)
+    println(s"vector dedup index: tonight's ${tonight.count()}-vector " +
+      s"batch collides with ${probed.count()} corpus vectors " +
+      "(scan read only the batch's cells)")
+
+    // 2. semantic decontamination: eval-vs-corpus cosine overlap,
+    //    lossless cell pruning (d17's library form)
+    val flagged = graft.ops.SemanticDecontam.flagged(
+      embRaw.filter(col("vec_id") % 23 =!= 0), "vec_id", "embedding",
+      embRaw.filter(col("vec_id") % 23 === 0), "vec_id", "embedding",
+      seeds, tau = 0.3)
+    println(s"semantic decontam: ${flagged.count()} corpus-eval pairs " +
+      "above tau (blocking provably lossless - brute-force-equal)")
+
+    // 3. incremental curation: the whole funnel on a slice, zero
+    //    corpus scans
+    val idx0 = graft.etl.CorpusCuration.fitIndexes(
+      corpus.filter(col("doc_id") % 31 =!= 0 && col("doc_id") % 23 =!= 0),
+      curated.corpus.select("doc_id", "text"), "doc_id", "text",
+      evalDocs = Some(evalSet))
+    val nightSlice = corpus.filter(
+      col("doc_id") % 31 === 0 && col("doc_id") % 23 =!= 0)
+    val inc = graft.etl.CorpusCuration.curateIncremental(
+      nightSlice, idx0, "doc_id", "text")
+    println(s"incremental curation: ${nightSlice.count()}-doc slice -> " +
+      s"${inc.curated.count()} accepted against standing indexes")
+
     spark.stop()
   }
 }

@@ -434,21 +434,29 @@ object Bench {
     val registry = (SparkEntry.queries ++ SparkEntry.benchOnlyQueries)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
-    // untimed warmup pass (fork children only): the group's first
-    // query runs once and its timing is discarded — it absorbs the
-    // fresh JVM's JIT, codegen-compiler, and shuffle-machinery spin-up
-    // so the first TIMED entries measure the plan, not the VM. The
-    // name lands in the artifact (partial `warmup`, merged into
-    // fork_groups) so early-group numbers are auditable.
-    val warmedUp = registry.headOption
+    // untimed warmup pass (fork children only): the group's
+    // alphabetically-FIRST query runs once and its timing is discarded
+    // — it absorbs the fresh JVM's JIT, codegen-compiler, and
+    // shuffle-machinery spin-up so the first TIMED entries measure the
+    // plan, not the VM. The name lands in the artifact (partial
+    // `warmup`, merged into fork_groups) so early-group numbers are
+    // auditable. Sorted, not headOption: the registry is a HashMap, so
+    // headOption made the warmup query hash-order arbitrary (ADVICE
+    // r13) — which query's cold cost got absorbed differed run to run.
+    val orderedNames = registry.keys.toSeq.sorted
+    val warmedUp = orderedNames.headOption
       .filter(_ => sys.env.get("SPARK_GRAFT_BENCH_WARMUP").contains("1"))
-      .map { case (name, fn) =>
+      .map { name =>
         System.err.println(s"[bench] warmup $name (untimed) ...")
-        runOnce(name, fn)
+        runOnce(name, registry(name))
         name
       }
 
-    val results = registry
+    // timed entries run in the same sorted order — reproducible
+    // within-group position (who benefits from whose JIT residue) run
+    // over run, instead of HashMap iteration order
+    val results = orderedNames
+      .map { name => (name, registry(name)) }
       .map { case (name, fn) =>
         // per-query progress to stderr (NOT stdout — the harness parses
         // the stdout tail): makes a wedged or slow query identifiable

@@ -194,6 +194,25 @@ object BenchReport {
   private def jsNumOrStr(s: String): String =
     if (s.matches("-?\\d+(\\.\\d+)?")) s else jsStr(s)
 
+  /** Run-level external-CPU evidence (VERDICT r13 item 1): total CPU
+    * seconds burned by processes that are NOT this JVM across every
+    * iteration of the run, plus the single worst per-iteration
+    * external-cores reading. A "clean but slow" run (no contended
+    * flag, yet >2× its pin) carries its own adjudication: a near-zero
+    * total says the host really was quiet and the pin (or in-JVM
+    * state) is the suspect; a large total says sub-threshold
+    * steal/co-tenancy accumulated without ever tripping the
+    * per-iteration cores/8 gate. */
+  def extCpuTotals(results: Seq[QueryResult])
+      : (Double, Double) = {
+    val per = for {
+      q <- results
+      it <- q.iters
+      ext <- externalCores(it)
+    } yield (ext * it.sec, ext)
+    (per.map(_._1).sum, if (per.isEmpty) 0.0 else per.map(_._2).max)
+  }
+
   private def arr(xs: Iterable[String]) = xs.mkString("[", ",", "]")
   private def obj(kvs: Iterable[(String, String)]) =
     kvs.map { case (k, v) => jsStr(k) + ":" + v }.mkString("{", ",", "}")
@@ -239,6 +258,7 @@ object BenchReport {
         "tainted" -> q.tainted.toString))
     }
     val rt = Runtime.getRuntime
+    val (extSecTotal, extCoresMax) = extCpuTotals(results)
     val env = obj(Seq(
       "jvm_max_heap_mb" -> (rt.maxMemory() / (1024 * 1024)).toString,
       "host_cores" -> hostCores.toString,
@@ -257,6 +277,10 @@ object BenchReport {
       "sf_dir" -> jsStr(sfDir),
       "cpus" -> jsNumOrStr(cpus),
       "env" -> env,
+      // run-level co-tenant evidence (see extCpuTotals): external CPU
+      // seconds summed over the whole run + worst per-iteration cores
+      "ext_cpu_sec_total" -> jsNum(math.rint(extSecTotal * 10) / 10),
+      "ext_cores_max" -> jsNum(math.rint(extCoresMax * 100) / 100),
       // the untimed warmup THIS JVM ran before its timed entries
       // (set in child partials; the merged artifact carries it per
       // group inside fork_groups)
@@ -290,6 +314,7 @@ object BenchReport {
     def r3(d: Double) = f"$d%.3f"
     val engineTotal = totalOf(steady.filterNot(kv => abBaselines(kv._1)))
     val head = headline.flatMap(h => steady.get(h).map(h -> _))
+    val (extSecTotal, _) = extCpuTotals(results)
     obj(Seq(
       "metric" -> jsStr("engine_total_steady_sec"),
       "value" -> r3(engineTotal),
@@ -311,6 +336,10 @@ object BenchReport {
       "regressed" -> results.count(q =>
         baseline.flatMap(_.get(q.name)).exists(p =>
           regressedVsBaseline(q.iters, hostCores, p))).toString,
+      // CPU seconds burned by non-this-JVM processes over the whole
+      // run — the evidence line for "regressed flags with clean
+      // within-run signals" (near 0 ⇒ host quiet, suspect the pin)
+      "ext_cpu_sec" -> jsNum(math.rint(extSecTotal * 10) / 10),
       "total_with_ab_baselines" -> r3(totalOf(steady)),
       "detail" -> jsStr(detailFile),
       "queries" -> obj(head.map { case (k, v) => k -> r3(v) })))

@@ -51,6 +51,28 @@ class BenchReportSpec extends AnyFunSuite {
     assert((doc \ "env" \ "host_cores").asInstanceOf[JInt].num.toInt > 0)
   }
 
+  test("run-level external-CPU totals land in both artifacts " +
+      "(VERDICT r13 item 1: clean-but-slow runs carry evidence)") {
+    // own cpu 900ms; host 2900ms over 1.0s -> 2.0 ext cores, 2.0 ext sec
+    // second iter: host 1400ms over 0.5s -> 1.0 ext cores, 0.5 ext sec
+    val rs = Seq(QueryResult("q", Seq(
+      Iter(1.0, 10, 2, 900, 512, 64, 3.5, tainted = false,
+        hostCpuMs = 2900),
+      Iter(0.5, 10, 2, 900, 512, 64, 3.5, tainted = false,
+        hostCpuMs = 1400))))
+    val (tot, mx) = extCpuTotals(rs)
+    assert(math.abs(tot - 2.5) < 1e-9)
+    assert(math.abs(mx - 2.0) < 1e-9)
+    val doc = JsonMethods.parse(fullJson(2, "d", "32", rs))
+    assert((doc \ "ext_cpu_sec_total") == JDouble(2.5))
+    assert((doc \ "ext_cores_max") == JDouble(2.0))
+    val line = JsonMethods.parse(headlineJson(rs, 2, "0.1", Nil, Set()))
+    assert((line \ "ext_cpu_sec") == JDouble(2.5))
+    // -1 "unsupported" sentinels contribute nothing, not garbage
+    val (tot0, mx0) = extCpuTotals(results)
+    assert(tot0 == 0.0 && mx0 == 0.0)
+  }
+
   test("a zombie taints its own and subsequent entries") {
     val doc = JsonMethods.parse(fullJson(2, "d", "4", results))
     assert((doc \ "detail" \ "q_wedged" \ "tainted") == JBool(true))

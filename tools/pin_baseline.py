@@ -5,19 +5,33 @@ clean-session steady pins that Bench's cross-run regression flag
 
 Usage: python3 tools/pin_baseline.py BENCH_FULL.json [note...]
 
-Policy (VERDICT r12 item 1):
-- only CLEAN steadies are pinnable: a query whose steady iteration is
-  contention-flagged, tainted, or failed in the source run keeps its
-  previous pin (or stays unpinned) — a contaminated number must never
-  become the yardstick;
-- re-pinning takes the per-query MIN of the old and new clean steady,
-  so pins only ever tighten on unchanged code; after an intentional
-  perf change, delete the query's entry (or the file) and re-pin.
+Policy (VERDICT r13 item 1 — replaces the r12 min-ratcheting policy,
+which converged every pin to its best-ever reading so ordinary noise
+tripped the 2x+0.2s gate: 7 false regressions in the r13 driver run):
+- only CLEAN runs contribute: a query whose steady iteration is
+  contention-flagged, tainted, or failed in the source run adds
+  nothing to its history — a contaminated number must never become
+  the yardstick;
+- each clean run contributes the MEDIAN of its successful iterations
+  (the run's typical cost; the min is codegen-cache/scheduler luck);
+- the file keeps a bounded per-query history of run medians (newest
+  last, capped at HISTORY_CAP); the pin is the median of that
+  history, so one lucky or unlucky run moves the pin by at most one
+  rank instead of ratcheting it permanently;
+- Bench compares its run MIN against the pin, so the gate has slack
+  on both sides: pin = typical-of-typicals, measured = best-of-run.
+After an intentional perf change, delete the query's entry (or the
+file) so stale history doesn't flag the new steady.
 
-The written shape is what Bench.loadBaseline reads:
-  {"pinned_from": ..., "sf_dir": ..., "note": ..., "steady": {q: sec}}
+The written shape is what Bench.loadBaseline reads (it only consumes
+`sf_dir` + `steady`; `history` is this tool's own state):
+  {"pinned_from": ..., "sf_dir": ..., "note": ...,
+   "steady": {q: sec}, "history": {q: [sec, ...]}}
 """
 import sys, json, os
+from statistics import median
+
+HISTORY_CAP = 5
 
 
 def main(full_path, note):
@@ -26,30 +40,36 @@ def main(full_path, note):
     fresh = {}
     skipped = []
     for name, d in sorted(detail.items()):
-        steady = min((t for t in d["times"] if t >= 0), default=-1.0)
-        if steady < 0 or d.get("tainted") or \
+        ok = [t for t in d["times"] if t >= 0]
+        if not ok or d.get("tainted") or \
                 d.get("steady_contended") in (True, "true"):
             skipped.append(name)
             continue
-        fresh[name] = round(steady, 4)
+        fresh[name] = round(median(ok), 4)
 
     out = "BENCH_BASELINE.json"
-    prev = {}
+    hist = {}
     if os.path.exists(out):
-        prev = json.load(open(out)).get("steady", {})
-    merged = dict(prev)
+        prev = json.load(open(out))
+        hist = prev.get("history", {})
+        if not hist:
+            # migrate a pre-history pin file: its steady values seed
+            # one-entry histories so old clean evidence isn't discarded
+            hist = {q: [s] for q, s in prev.get("steady", {}).items()}
     for name, sec in fresh.items():
-        merged[name] = min(prev.get(name, sec), sec)
+        hist[name] = (hist.get(name, []) + [sec])[-HISTORY_CAP:]
+    steady = {q: round(median(h), 4) for q, h in hist.items()}
 
     json.dump({
         "pinned_from": os.path.basename(full_path),
         "sf_dir": doc.get("sf_dir"),
         "host_cores": doc.get("env", {}).get("host_cores"),
         "note": " ".join(note) or
-            "clean-session steady pins; see tools/pin_baseline.py policy",
-        "steady": dict(sorted(merged.items())),
+            "median-of-clean-run-medians pins; see tools/pin_baseline.py",
+        "steady": dict(sorted(steady.items())),
+        "history": dict(sorted(hist.items())),
     }, open(out, "w"), indent=1)
-    print(f"pinned {len(fresh)} fresh / {len(merged)} total; "
+    print(f"pinned {len(fresh)} fresh / {len(steady)} total; "
           f"skipped (unclean in source): {len(skipped)}")
     if skipped:
         print("  " + ", ".join(skipped[:20]) +

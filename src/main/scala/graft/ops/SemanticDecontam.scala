@@ -14,39 +14,55 @@ import graft.vector.VectorSearch
   * embedding.
   *
   * Plan shape — strictly better than the oracle twin's relational
-  * recipe: corpus cell assignment is the [[VectorSearch.IvfIndex]]
-  * centroid-literal argmin (pure map-side codegen — no crossJoin, no
-  * groupBy for the assignment at all); the per-cell pruning stats
-  * (radius, min norm) are ONE small aggregate; the eval side probes
-  * only cells the per-cell Cauchy–Schwarz cosine cap cannot exclude
+  * recipe: corpus cell assignment is [[VectorSearch.assignCellsWithDist]]
+  * — the `graft_nearest_centroid` matrix-literal argmin plus one O(d)
+  * distance against the chosen row, pure map-side codegen with no
+  * crossJoin, no groupBy, and no per-centroid expression TREE (the
+  * struct-literal form this replaced degenerates past a few dozen
+  * cells: 160 cells × 64 dims stalled a 2M-row pass 20+ min — ADVICE
+  * r13; the migration is what makes this form safe at production cell
+  * counts, bench arm `x29_decontam_128cells`). The per-cell pruning
+  * stats (radius, min norm) are ONE small aggregate; the eval side
+  * probes only cells the per-cell Cauchy–Schwarz cosine cap cannot
+  * exclude
   *
   *   cos(e, x) ≤ (dot(e,cent_c)/|e| + rad_c) / minNorm_c   (x ∈ c)
   *
   * which makes the blocking LOSSLESS — no τ-pair can hide in an
   * unprobed cell (SemanticDecontamLibSpec pins pair-set equality with
   * the oracle form; the FP slack only ever ADDS probes). At 100 TB:
-  * the corpus is scanned once map-side, shuffles once for the
-  * cell-stats aggregate and once for the verify join's corpus-side
-  * cell clustering — or zero times when the corpus is already
-  * cell-partitioned ([[VectorDedupIndex.writeIndex]] layout, probe
-  * via broadcast on the tiny (eval × probed-cell) frame).
+  * the corpus is scanned TWICE, both passes pure map-side — once into
+  * the cell-stats aggregate, once into the verify join (which shuffles
+  * only for its corpus-side cell clustering). Two cheap map passes are
+  * the right trade at this scale: caching a corpus-sized `assigned`
+  * frame to save one of them would pin ~the whole input in
+  * executor/disk storage. Callers who probe repeatedly should instead
+  * keep the corpus cell-partitioned on disk
+  * ([[VectorDedupIndex.writeIndex]] layout) — then BOTH passes read
+  * pruned cell directories and the assignment is free.
   */
 object SemanticDecontam {
 
   /** (corpus_id, eval_id, cos) for every corpus-eval pair with
     * cosine ≥ tau. `centroids` from [[VectorDedupIndex.seedCentroids]]
-    * or [[graft.vector.Kmeans.fit]]; vectors cast to array<double>. */
+    * or [[graft.vector.Kmeans.fit]]; vectors cast to array<double>.
+    * `tau` must be positive: the Cauchy–Schwarz cap divides by the
+    * cell's min norm, which for a NEGATIVE numerator shrinks the bound
+    * below the true maximum cosine — a cell whose pairs all lie in
+    * [tau, 0) could then be wrongly pruned (ADVICE r13). tau ≤ 0 is
+    * also semantically vacuous here: "decontaminate everything less
+    * than orthogonal" keeps nothing. */
   def flagged(corpus: DataFrame, cIdCol: String, cVecCol: String,
       eval: DataFrame, eIdCol: String, eVecCol: String,
       centroids: Seq[(Long, Seq[Double])], tau: Double): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
-    val index = VectorSearch.IvfIndex(null, centroids)
-    val assigned = corpus
-      .select(col(cIdCol).cast("long").as("corpus_id"),
-        col(cVecCol).cast("array<double>").as("vec"))
-      .withColumn("cell", index.nearestCell(col("vec")))
-      .withColumn("dc",
-        array_min(index.cellCandidates(col("vec"))).getField("d"))
+    require(tau > 0,
+      s"tau must be > 0 (the per-cell cosine cap is only an upper " +
+        s"bound for positive thresholds), got $tau")
+    val assigned = VectorSearch.assignCellsWithDist(
+      corpus.select(col(cIdCol).cast("long").as("corpus_id"),
+        col(cVecCol).cast("array<double>").as("vec")),
+      "vec", centroids, "dc")
       .withColumn("ss", call_function("graft_dot", col("vec"), col("vec")))
     val cellStats = assigned.groupBy("cell")
       .agg(max(col("dc")).as("rad"), min(col("ss")).as("min_ss"))

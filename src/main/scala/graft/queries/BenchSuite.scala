@@ -706,6 +706,37 @@ object BenchSuite extends QuerySuite {
         standing, "doc_id", "text").curated
     })
 
+  /** x29 — the library semantic-decontamination pass at PRODUCTION
+    * cell count (VERDICT r13 item 2's "done" gate): 128 cells × 64
+    * dims over the 200k inflated corpus — the configuration whose
+    * struct-literal argmin PERFORMANCE.md measured degenerating
+    * (160×64 stalled a 2M-row pass 20+ min; even at this scale the
+    * old tree cost minutes of codegen). After the migration to
+    * [[VectorSearch.assignCellsWithDist]] the assignment is one flat
+    * O(k·d) generated loop, so this arm runs in seconds — its very
+    * presence in the artifact is the non-degeneration proof. Setup
+    * (seed centroids: one distinct-vector aggregate) is memoized; the
+    * timed body is the two map-side corpus passes + cell-stats
+    * aggregate + capped verify join. τ=0.9: the inflation plants 100
+    * exact replicas per base vector, so each eval vector flags its
+    * replica family — decontamination-shaped output, bounded size. */
+  private val sdMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, Seq[Double])]]
+  private val x29 = GraftQuery("x29_decontam_128cells",
+    (s, dir) => {
+      val corpus = inflated(s, dir)
+      val cents = sdMemo.getOrElseUpdate((s, dir),
+        graft.ops.VectorDedupIndex
+          .seedCentroids(corpus, "id", "vec", 128))
+      val eval = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % 251 === 0)
+        .select(col("vec_id"), col("embedding"))
+      graft.ops.SemanticDecontam.flagged(
+          corpus, "id", "vec", eval, "vec_id", "embedding",
+          cents, tau = 0.9)
+        .groupBy("eval_id").agg(count(lit(1)).as("n_flagged"))
+    })
+
   override val suite: Seq[GraftQuery] =
     Seq(x02, x04, x07, x08, x11)
 
@@ -714,5 +745,5 @@ object BenchSuite extends QuerySuite {
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
     Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16, x17, x18,
-      x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
+      x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29)
 }

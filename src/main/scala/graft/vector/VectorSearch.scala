@@ -116,6 +116,30 @@ object VectorSearch {
           col(vecCol), typedLit(matrix)) + 1))
   }
 
+  /** [[assignCells]] plus the L2 distance to the chosen centroid in
+    * `distCol` — the pair [[graft.ops.SemanticDecontam]] needs for its
+    * per-cell radius stats. The argmin runs through the same scalable
+    * matrix-literal expression; the distance is then ONE O(d)
+    * `graft_l2_distance` against `element_at(matrix, argmin+1)` —
+    * never a second O(k·d) pass, and never the per-centroid
+    * struct-literal tree that degenerates at large k (the r13-measured
+    * 160-cell stall this replaces; ADVICE r13). Appends `cell` and
+    * `distCol`. */
+  private[graft] def assignCellsWithDist(rows: DataFrame, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])], distCol: String): DataFrame = {
+    val sorted = centroids.sortBy(_._1)
+    val ids = sorted.map(_._1)
+    val matrix = sorted.map(_._2)
+    rows
+      .withColumn("__ci",
+        call_function("graft_nearest_centroid",
+          col(vecCol), typedLit(matrix)))
+      .withColumn("cell", element_at(typedLit(ids), col("__ci") + 1))
+      .withColumn(distCol,
+        l2(col(vecCol), element_at(typedLit(matrix), col("__ci") + 1)))
+      .drop("__ci")
+  }
+
   /** Build the IVF index from GIVEN centroids — e.g. [[Kmeans.fit]]
     * output, the production path (trained cells are tighter, so
     * `nprobe` cells capture more true neighbors than seed cells at

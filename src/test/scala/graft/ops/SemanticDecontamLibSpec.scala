@@ -65,4 +65,15 @@ class SemanticDecontamLibSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("tau <= 0 is rejected: the Cauchy-Schwarz cap is only an " +
+      "upper bound for positive thresholds (ADVICE r13)") {
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val df = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SemanticDecontam.flagged(df, "vec_id", "embedding",
+        df, "vec_id", "embedding", cents, 0.0)
+    }
+    assert(e.getMessage.contains("tau"))
+  }
 }

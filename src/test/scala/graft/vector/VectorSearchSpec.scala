@@ -120,4 +120,29 @@ class VectorSearchSpec extends SparkSpec {
       .select("id", "cell").as[(Long, Long)].collect().toMap
     assert(viaMatrix == viaStruct)
   }
+
+  test("assignCellsWithDist: same cell as assignCells, distance " +
+      "equals the struct-literal argmin's d (ADVICE r13 migration)") {
+    val rows = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val cents = rows.orderBy("id").limit(8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val index = VectorSearch.IvfIndex(null, cents)
+    val viaStruct = rows
+      .withColumn("cell", index.nearestCell(col("vec")))
+      .withColumn("dc",
+        array_min(index.cellCandidates(col("vec"))).getField("d"))
+      .select("id", "cell", "dc").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val got = VectorSearch.assignCellsWithDist(rows, "vec", cents, "dc")
+      .select("id", "cell", "dc").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == viaStruct.keySet)
+    got.foreach { case (id, (cell, dc)) =>
+      assert(cell == viaStruct(id)._1, s"cell mismatch at $id")
+      // both compute sqrt(sum of squared diffs) against the SAME
+      // chosen centroid — bit-identical, not merely close
+      assert(dc == viaStruct(id)._2, s"dist mismatch at $id")
+    }
+  }
 }

@@ -488,6 +488,113 @@ case class NearestCentroid(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Indices of the N nearest centroids, nearest first (squared L2;
+  * ties → lowest index) — [[NearestCentroid]]'s multiprobe sibling,
+  * the recall knob for blocked vector dedup
+  * ([[graft.ops.VectorDedupIndex.probePairs]]' nprobe) and IVF probe
+  * cell selection at large centroid counts (the struct-literal
+  * `array_sort(cellCandidates)` form builds the same degenerate
+  * k×dim expression tree as the argmin it replaced). One flat loop
+  * with an n-slot insertion (n is small — 2..8 in practice), O(k·(d +
+  * n)) per row, no tree growth, zero shuffle. Ordering matches
+  * `array_sort` over (distance, cell-id) structs exactly: insertion
+  * is stable on equal distances, and the matrix rows are id-sorted by
+  * the caller. */
+case class NearestCentroidK(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType),
+    ArrayType(ArrayType(DoubleType)), IntegerType)
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid_k"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    val nn = math.max(0, math.min(c.asInstanceOf[Int], k))
+    val bestD = Array.fill(nn)(Double.MaxValue)
+    val bestI = new Array[Int](nn)
+    var cIdx = 0
+    while (cIdx < k) {
+      val cent = cents.getArray(cIdx)
+      val n = math.min(vec.numElements(), cent.numElements())
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x = vec.getDouble(i) - cent.getDouble(i)
+        d += x * x
+        i += 1
+      }
+      // strict < : an equal-distance later centroid never displaces
+      // an earlier one — the (d, lowest index) tiebreak
+      if (nn > 0 && d < bestD(nn - 1)) {
+        var pos = nn - 1
+        while (pos > 0 && d < bestD(pos - 1)) {
+          bestD(pos) = bestD(pos - 1)
+          bestI(pos) = bestI(pos - 1)
+          pos -= 1
+        }
+        bestD(pos) = d
+        bestI(pos) = cIdx
+      }
+      cIdx += 1
+    }
+    new GenericArrayData(bestI)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, cents, np) => {
+      val k = ctx.freshName("k")
+      val nn = ctx.freshName("nn")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val cent = ctx.freshName("cent")
+      val bestD = ctx.freshName("bestD")
+      val bestI = ctx.freshName("bestI")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val pos = ctx.freshName("pos")
+      s"""
+        int $k = $cents.numElements();
+        int $nn = java.lang.Math.max(0, java.lang.Math.min($np, $k));
+        double[] $bestD = new double[$nn];
+        int[] $bestI = new int[$nn];
+        java.util.Arrays.fill($bestD, Double.MAX_VALUE);
+        for (int $c = 0; $c < $k; $c++) {
+          org.apache.spark.sql.catalyst.util.ArrayData $cent =
+            $cents.getArray($c);
+          int $n = java.lang.Math.min(
+            $vec.numElements(), $cent.numElements());
+          double $d = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = $vec.getDouble($i) - $cent.getDouble($i);
+            $d += $x * $x;
+          }
+          if ($nn > 0 && $d < $bestD[$nn - 1]) {
+            int $pos = $nn - 1;
+            while ($pos > 0 && $d < $bestD[$pos - 1]) {
+              $bestD[$pos] = $bestD[$pos - 1];
+              $bestI[$pos] = $bestI[$pos - 1];
+              $pos--;
+            }
+            $bestD[$pos] = $d;
+            $bestI[$pos] = $c;
+          }
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($bestI);
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 case class PqEncode(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(ArrayType(DoubleType),
@@ -656,6 +763,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(vec, centroids) - index of the nearest centroid " +
           "(squared L2, ties to the lowest index)"),
       (es: Seq[Expression]) => NearestCentroid(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_nearest_centroid_k"),
+      info("graft_nearest_centroid_k",
+        "_FUNC_(vec, centroids, n) - indices of the n nearest " +
+          "centroids, nearest first (squared L2, ties to the lowest)"),
+      (es: Seq[Expression]) => NearestCentroidK(es(0), es(1), es(2))))
     ext.injectFunction((FunctionIdentifier("graft_pq_adc_lit"),
       info("graft_pq_adc_lit",
         "_FUNC_(codes, qidx, tables) - ADC against literal query tables"),

@@ -77,4 +77,36 @@ object Layout {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode(SaveMode.Overwrite).parquet(outPath)
   }
+
+  /** [[compact]] for a `partitionBy(partCols)` layout, PRESERVING the
+    * layout — the maintenance half of nightly index appends
+    * ([[graft.ops.VectorDedupIndex.admitBatch]] /
+    * [[graft.ops.TextDedupIndex.admitBatch]] leave one file per
+    * partition value per night; a year of appends is 365 footer reads
+    * per directory). Hash-clustering ON the partition columns puts
+    * each partition value in exactly one task, so the rewrite emits
+    * exactly one file per partition directory (`maxRecordsPerFile`
+    * splits only a genuinely oversized one). `sortCols` co-sorts rows
+    * within each file for tight row-group stats.
+    *
+    * Writes to `outPath` — never in place (Spark cannot safely
+    * overwrite its own input); the caller swaps directories after
+    * validating. Skew caveat: a single very hot partition value is
+    * rewritten by one task — acceptable for maintenance, and the
+    * occupancy skew that causes it is itself the re-fit signal (see
+    * VectorDedupIndex's drift contract). */
+  def compactPartitioned(spark: SparkSession, inPath: String,
+      outPath: String, partCols: Seq[String],
+      sortCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    val df = spark.read.parquet(inPath)
+    val clustered = df.repartition(partCols.map(col): _*)
+    val sorted =
+      if (sortCols.isEmpty) clustered
+      else clustered.sortWithinPartitions(sortCols.map(col): _*)
+    sorted.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .mode(SaveMode.Overwrite).parquet(outPath)
+  }
 }

@@ -61,6 +61,34 @@ object TextDedupIndex {
       .write.partitionBy("band", "bgroup")
       .mode("overwrite").parquet(path)
 
+  /** Append an accepted batch's band rows into the persisted index —
+    * the vector twin is [[VectorDedupIndex.admitBatch]], same nightly
+    * contract (VERDICT r13 item 3): probe → dedup → admit survivors,
+    * so tomorrow's batch dedups against tonight's. Hashing is
+    * deterministic and row-local, so admitted rows are
+    * indistinguishable from build-time rows (spec pins N admit cycles
+    * ≡ one full rebuild). Hash-clustering on (band, bgroup) leaves
+    * exactly ONE new file per touched partition directory per admit;
+    * run [[compactIndex]] on the cadence that keeps files-per-
+    * directory bounded. */
+  def admitBatch(docs: DataFrame, indexPath: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 8, rowsPerBand: Int = 2): Unit =
+    bandRows(docs, idCol, textCol, k, rowsPerBand)
+      .withColumn("bgroup", pmod(col("bkey"), lit(GroupMod)))
+      .repartition(col("band"), col("bgroup"))
+      .write.partitionBy("band", "bgroup")
+      .mode("append").parquet(indexPath)
+
+  /** Rewrite the index with one bkey-sorted file per (band, bgroup)
+    * directory — the small-file maintenance pass for nightly
+    * [[admitBatch]] appends. Writes to `outPath` (never in place);
+    * swap after validating. */
+  def compactIndex(spark: SparkSession, indexPath: String,
+      outPath: String): Unit =
+    graft.io.Layout.compactPartitioned(spark, indexPath, outPath,
+      Seq("band", "bgroup"), sortCols = Seq("bkey"))
+
   /** Candidate (corpus_id, new_id) pairs for a new batch against the
     * persisted index, reading ONLY the index partitions the batch
     * hashes into. The batch is assumed small next to the corpus (the

@@ -26,11 +26,36 @@ import graft.vector.VectorSearch
   *
   * Recall contract: identical to the batch form — a near-dup pair
   * straddling a cell boundary is missed (the standard blocked-dedup
-  * trade-off; multiprobe assignment is the knob, and
-  * `d17_semantic_decontam`'s per-cell cosine cap shows the lossless
-  * alternative when the threshold form allows it). What IS exact:
-  * probing finds precisely the pairs the batch v14 recipe finds on
-  * corpus ∪ batch restricted to (corpus, batch) — pinned in the spec.
+  * trade-off; [[probePairs]]' `nprobe` widens the batch side across
+  * its n nearest cells, and `d17_semantic_decontam`'s per-cell cosine
+  * cap shows the lossless alternative when the threshold form allows
+  * it). What IS exact: probing finds precisely the pairs the batch
+  * v14 recipe finds on corpus ∪ batch restricted to (corpus, batch) —
+  * pinned in the spec.
+  *
+  * Nightly lifecycle (VERDICT r13 item 3 — probe alone is half a
+  * loop): probe the batch → dedup → [[admitBatch]] the survivors so
+  * tomorrow's batch dedups against them too. Appends are written with
+  * the SAME frozen centroid matrix, which keeps the index exactly
+  * consistent (a probe finds a pair iff both rows assign to the same
+  * cell under the one shared matrix — regardless of when each row was
+  * admitted; spec pins N admit cycles ≡ one full rebuild, content and
+  * probe-for-probe). Two maintenance contracts ride along:
+  *
+  *  - **Small files**: each admit leaves ≤ 1 file per touched cell;
+  *    after many nights run [[compactIndex]] (one file per cell
+  *    again, id-sorted) on whatever cadence keeps
+  *    [[cellOccupancy]].n_files bounded — weekly at one admit/night.
+  *  - **Centroid drift**: frozen centroids never make the index WRONG
+  *    (consistency above), but as incoming data drifts away from the
+  *    seed distribution, new rows crowd into few cells — probe cost
+  *    per batch grows toward a corpus scan and blocked recall decays
+  *    to that of one giant bucket. The signal is occupancy skew:
+  *    re-fit centroids ([[graft.vector.Kmeans.fit]] on a sample) and
+  *    rebuild via [[writeIndex]] when [[cellOccupancy]]'s max/mean
+  *    ratio crosses a few ×, or when cells ∝ N stops holding because
+  *    N doubled (the x27 lesson: frozen CELL COUNT at 10× rows
+  *    measured 100× the candidate pairs).
   */
 object VectorDedupIndex {
 
@@ -65,23 +90,85 @@ object VectorDedupIndex {
       VectorSearch.buildIvfWith(corpus, idCol, vecCol, centroids),
       path, cellCol)
 
+  /** Append an accepted batch into the persisted index — the other
+    * half of the nightly loop ([[writeIndex]] once, then probe +
+    * admit forever). Rows are assigned with the SAME matrix-literal
+    * argmin as the original build (the caller passes the same
+    * persisted centroids), hash-clustered on the cell so the append
+    * leaves exactly ONE new file per touched cell directory, and
+    * written `mode(append)` — existing files are never rewritten, so
+    * a crashed admit is re-runnable after deleting the partial files.
+    * Column order matches [[writeIndex]]'s layout (id, vec + the
+    * partition column). */
+  def admitBatch(batch: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      indexPath: String, idCol: String, vecCol: String,
+      cellCol: String = "ivf_cell"): Unit =
+    VectorSearch.assignCells(
+        batch.select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("vec")),
+        "vec", centroids)
+      .withColumnRenamed("cell", cellCol)
+      .repartition(col(cellCol))
+      .write.partitionBy(cellCol).mode("append").parquet(indexPath)
+
+  /** Rewrite the index with one id-sorted file per cell — run on the
+    * cadence that keeps [[cellOccupancy]].n_files bounded under
+    * nightly [[admitBatch]] appends. Writes to `outPath` (never in
+    * place); swap directories after validating. */
+  def compactIndex(spark: SparkSession, indexPath: String,
+      outPath: String, cellCol: String = "ivf_cell"): Unit =
+    graft.io.Layout.compactPartitioned(spark, indexPath, outPath,
+      Seq(cellCol), sortCols = Seq("id"))
+
+  /** (cell, n_rows, n_files) — the maintenance dashboard: n_files
+    * growth says compact, max/mean n_rows skew says the frozen
+    * centroids have drifted and it is re-fit time (see the class
+    * doc's drift contract). One column-pruned scan of the index; a
+    * maintenance audit, not a per-batch operation. */
+  def cellOccupancy(spark: SparkSession, indexPath: String,
+      cellCol: String = "ivf_cell"): DataFrame =
+    spark.read.parquet(indexPath)
+      // input_file_name() is non-deterministic — project it BEFORE the
+      // aggregate (Spark rejects it inside an agg function's args)
+      .select(col(cellCol).cast("long").as("cell"),
+        input_file_name().as("__f"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("__f")).as("n_files"))
+
   /** (corpus_id, new_id, cell, cos) pairs with cosine ≥ tau between a
     * new batch and the persisted index, reading ONLY the cell
     * partitions the batch assigns into. The batch is small by the
     * incremental contract (it is broadcast); like
     * [[TextDedupIndex.probeCandidates]] it is deliberately NOT cached —
     * re-assigning a micro-batch twice costs next to nothing, while a
-    * per-batch cache in a long-lived nightly session leaks blocks. */
+    * per-batch cache in a long-lived nightly session leaks blocks.
+    *
+    * `nprobe` is the recall knob (VERDICT r13 item 4): each batch row
+    * probes its n nearest cells instead of one, so a near-dup pair
+    * whose members straddle a cell boundary is found whenever the
+    * corpus row's cell is among the batch row's n nearest — at the
+    * cost of reading up to n× the cell directories (pinned in
+    * VectorDedupIndexSpec: a planted boundary pair that nprobe=1
+    * misses, nprobe=2 finds). Assignment stays one flat codegen
+    * expression ([[graft.expr.NearestCentroidK]]); a (corpus, batch)
+    * pair still appears at most once — the corpus row lives in
+    * exactly one cell. */
   def probePairs(spark: SparkSession, indexPath: String,
       centroids: Seq[(Long, Seq[Double])], batch: DataFrame,
       idCol: String, vecCol: String, tau: Double,
-      cellCol: String = "ivf_cell"): DataFrame = {
+      cellCol: String = "ivf_cell", nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     // batch assignment: the same matrix-literal argmin as the index
-    // build (map-side, scales in centroid count)
-    val nb = VectorSearch.assignCells(
-        batch.select(col(idCol).cast("long").as("id"),
-          col(vecCol).cast("array<double>").as("vec")),
-        "vec", centroids)
+    // build (map-side, scales in centroid count); multiprobe explodes
+    // each row across its n nearest cells, nearest first
+    val base = batch.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val assigned =
+      if (nprobe == 1) VectorSearch.assignCells(base, "vec", centroids)
+      else base.withColumn("cell",
+        explode(VectorSearch.probeCellsLit(col("vec"), centroids, nprobe)))
+    val nb = assigned
       .select(col("id").as("new_id"), col("vec").as("new_vec"),
         col("cell"))
       .withColumn("new_ss",

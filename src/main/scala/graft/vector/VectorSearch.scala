@@ -71,11 +71,27 @@ object VectorSearch {
     def nearestCell(vec: Column): Column =
       array_min(cellCandidates(vec)).getField("cell")
 
-    /** The query's nprobe nearest cells. */
+    /** The query's nprobe nearest cells, nearest first — through the
+      * scalable [[probeCellsLit]] expression since r14 (the old
+      * `array_sort(cellCandidates)` composition builds the same
+      * per-centroid tree that degenerates at large k; ordering parity
+      * with it is pinned in VectorSearchSpec). */
     def probeCells(vec: Column, nprobe: Int): Column =
-      transform(
-        slice(array_sort(cellCandidates(vec)), 1, nprobe),
-        c => c.getField("cell"))
+      probeCellsLit(vec, centroids, nprobe)
+  }
+
+  /** The nprobe nearest cell IDS for a vector, nearest first, over the
+    * centroid MATRIX literal — `graft_nearest_centroid_k`'s flat
+    * n-slot insertion loop ([[graft.expr.NearestCentroidK]]), mapped
+    * from matrix positions back to cell ids. Same (distance, lowest
+    * cell id) tiebreak as the struct-literal form. */
+  private[graft] def probeCellsLit(vec: Column,
+      centroids: Seq[(Long, Seq[Double])], nprobe: Int): Column = {
+    val sorted = centroids.sortBy(_._1)
+    transform(
+      call_function("graft_nearest_centroid_k",
+        vec, typedLit(sorted.map(_._2)), lit(nprobe)),
+      i => element_at(typedLit(sorted.map(_._1)), i + 1))
   }
 
   /** Build the IVF index: pick nCells seed centroids deterministically

@@ -98,6 +98,49 @@ class TextDedupIndexSpec extends SparkSpec {
     assert(TextDedupIndex.probeCandidates(spark, path, tiny).count() == 0)
   }
 
+  test("admitBatch: N nightly admits ≡ one full rebuild — band-row " +
+      "content, probe results, bounded files; compaction restores " +
+      "one file per directory (VERDICT r13 item 3)") {
+    val s1 = (40 until 60).map(i => (i.toLong, sentence(i)))
+      .toDF("doc_id", "text")
+    val s2 = (60 until 80).map(i => (i.toLong, sentence(i)))
+      .toDF("doc_id", "text")
+    val incr = java.nio.file.Files
+      .createTempDirectory("lsh_admit_incr").toString
+    TextDedupIndex.writeIndex(corpus, incr)
+    TextDedupIndex.admitBatch(s1, incr)
+    TextDedupIndex.admitBatch(s2, incr)
+    val full = java.nio.file.Files
+      .createTempDirectory("lsh_admit_full").toString
+    TextDedupIndex.writeIndex(
+      corpus.unionByName(s1).unionByName(s2), full)
+
+    def content(p: String) = spark.read.parquet(p)
+      .select(col("doc_id"), col("band").cast("long"), col("bkey"),
+        col("bgroup").cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(content(incr) == content(full))
+
+    def pairs(p: String) = TextDedupIndex
+      .probeCandidates(spark, p, batch)
+      .as[(Long, Long)].collect().toSet
+    val got = pairs(incr)
+    assert(got == pairs(full) && got.nonEmpty)
+
+    // ≤ 1 file per directory per write that touched it; compaction
+    // brings it back to exactly 1 with content intact
+    def maxFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("band=")).flatMap(_.listFiles())
+      .filter(_.getName.startsWith("bgroup=")).map(
+        _.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFiles(incr) <= 3, s"files per dir: ${maxFiles(incr)}")
+    val compacted = java.nio.file.Files
+      .createTempDirectory("lsh_admit_comp").toString
+    TextDedupIndex.compactIndex(spark, incr, compacted)
+    assert(maxFiles(compacted) == 1)
+    assert(content(compacted) == content(full))
+  }
+
   test("index layout bounds partition count by bands x GroupMod") {
     val path = java.nio.file.Files
       .createTempDirectory("lsh_layout").toString

@@ -133,6 +133,115 @@ class VectorDedupIndexSpec extends SparkSpec {
     assert(hits.toSet == want && want.nonEmpty, s"got $hits want $want")
   }
 
+  test("admitBatch: N nightly admits ≡ one full rebuild — index " +
+      "content, probe results, and bounded files per cell " +
+      "(VERDICT r13 item 3)") {
+    val b0 = emb.filter(col("vec_id") < 200)
+    val b1 = emb.filter(col("vec_id") >= 200 && col("vec_id") < 350)
+    val b2 = emb.filter(col("vec_id") >= 350)
+    val cents = VectorDedupIndex.seedCentroids(b0, "vec_id", "embedding", 8)
+
+    val incr = java.nio.file.Files
+      .createTempDirectory("vdi_admit_incr").toString
+    VectorDedupIndex.writeIndex(b0, "vec_id", "embedding", cents, incr)
+    VectorDedupIndex.admitBatch(b1, cents, incr, "vec_id", "embedding")
+    VectorDedupIndex.admitBatch(b2, cents, incr, "vec_id", "embedding")
+    val full = java.nio.file.Files
+      .createTempDirectory("vdi_admit_full").toString
+    VectorDedupIndex.writeIndex(emb, "vec_id", "embedding", cents, full)
+
+    def content(p: String) = spark.read.parquet(p)
+      .select(col("id"), col("ivf_cell").cast("long"),
+        col("vec").cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(content(incr) == content(full))
+
+    // probe-for-probe: tomorrow's batch sees the same pairs either way
+    val probe = emb.filter(col("vec_id") % 7 === 0)
+    def pairs(p: String) = VectorDedupIndex.probePairs(spark, p, cents,
+        probe, "vec_id", "embedding", Tau)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    val gotIncr = pairs(incr)
+    assert(gotIncr == pairs(full) && gotIncr.nonEmpty)
+
+    // small-file contract: ≤ 1 file per cell per write that touched it,
+    // and compaction brings every cell back to exactly one file
+    // without changing content
+    val occ = VectorDedupIndex.cellOccupancy(spark, incr)
+      .select(col("cell"), col("n_files")).as[(Long, Long)]
+      .collect().toMap
+    assert(occ.values.max <= 3, s"files per cell: $occ")
+    val compacted = java.nio.file.Files
+      .createTempDirectory("vdi_admit_comp").toString
+    VectorDedupIndex.compactIndex(spark, incr, compacted)
+    val occC = VectorDedupIndex.cellOccupancy(spark, compacted)
+      .select(col("cell"), col("n_files")).as[(Long, Long)]
+      .collect().toMap
+    assert(occC.keySet == occ.keySet && occC.values.forall(_ == 1L),
+      s"post-compaction files per cell: $occC")
+    assert(content(compacted) == content(full))
+  }
+
+  test("cumulative admit-then-probe cycles reproduce the full " +
+      "rebuild's pair set (the nightly loop never loses a pair)") {
+    // seed = one row (no internal pairs), then three nightly slices;
+    // each night ADMITS its slice and probes it — so within-slice and
+    // cross-slice pairs are both seen exactly when they form
+    val cents = VectorDedupIndex.seedCentroids(emb, "vec_id", "embedding", 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("vdi_cycles").toString
+    VectorDedupIndex.writeIndex(
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding", cents, path)
+    val slices = Seq(
+      emb.filter(col("vec_id") > 0 && col("vec_id") < 170),
+      emb.filter(col("vec_id") >= 170 && col("vec_id") < 340),
+      emb.filter(col("vec_id") >= 340))
+    val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+    slices.foreach { s =>
+      VectorDedupIndex.admitBatch(s, cents, path, "vec_id", "embedding")
+      seen ++= VectorDedupIndex.probePairs(spark, path, cents,
+          s, "vec_id", "embedding", Tau)
+        .select("corpus_id", "new_id").as[(Long, Long)].collect()
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    }
+    // reference: the fully-rebuilt index probed with the whole corpus
+    val want = VectorDedupIndex.probePairs(spark, path, cents,
+        emb, "vec_id", "embedding", Tau)
+      .filter(col("corpus_id") < col("new_id"))
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(seen.toSet == want,
+      s"missing=${(want -- seen).take(5)} extra=${(seen -- want).take(5)}")
+    assert(want.nonEmpty)
+  }
+
+  test("nprobe=2 finds a boundary-straddling pair that nprobe=1 " +
+      "misses, and the scan stays partition-pruned (VERDICT r13 " +
+      "item 4)") {
+    // geometry: centroids at the axes; the batch vector leans toward
+    // cell 1 but its true near-dup lives in cell 0
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.0)), // cell 0 — cos with batch = 0.6
+      (11L, Seq(0.0, 1.0))) // cell 1 — cos with batch = 0.8
+      .toDF("vec_id", "embedding")
+    val batch = Seq((99L, Seq(0.6, 0.8))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("vdi_multiprobe").toString
+    VectorDedupIndex.writeIndex(corpus, "vec_id", "embedding", cents, path)
+    def pairs(np: Int) = VectorDedupIndex.probePairs(spark, path, cents,
+      batch, "vec_id", "embedding", tau = 0.55, nprobe = np)
+    assert(pairs(1).select("corpus_id").as[Long].collect().toSet
+      == Set(11L))
+    val two = pairs(2)
+    two.collect()
+    assert(two.select("corpus_id").as[Long].collect().toSet
+      == Set(10L, 11L))
+    val scan = two.queryExecution.executedPlan.toString
+      .split("\n").find(_.contains("PartitionFilters"))
+    assert(scan.isDefined && !scan.get.contains("PartitionFilters: []"),
+      s"multiprobe scan reads all partitions: $scan")
+  }
+
   test("an empty micro-batch probes nothing and does not crash") {
     val path = java.nio.file.Files
       .createTempDirectory("ivf_dedup_empty").toString

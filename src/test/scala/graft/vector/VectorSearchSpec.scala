@@ -121,6 +121,30 @@ class VectorSearchSpec extends SparkSpec {
     assert(viaMatrix == viaStruct)
   }
 
+  test("probeCells (graft_nearest_centroid_k) matches the old " +
+      "array_sort(cellCandidates) composition order for order") {
+    // IvfIndex.probeCells migrated to the flat n-slot expression in
+    // r14 (the struct-literal sort degenerates at large k, like the
+    // argmin before it); both share the (distance, lowest cell id)
+    // tiebreak, so the probe sequences must be identical
+    val rows = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val cents = rows.orderBy("id").limit(8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val index = VectorSearch.IvfIndex(null, cents)
+    for (np <- Seq(1, 3, 8)) {
+      val viaStruct = rows.withColumn("p",
+          transform(
+            slice(array_sort(index.cellCandidates(col("vec"))), 1, np),
+            c => c.getField("cell")))
+        .select("id", "p").as[(Long, Seq[Long])].collect().toMap
+      val viaExpr = rows.withColumn("p",
+          index.probeCells(col("vec"), np))
+        .select("id", "p").as[(Long, Seq[Long])].collect().toMap
+      assert(viaExpr == viaStruct, s"nprobe=$np")
+    }
+  }
+
   test("assignCellsWithDist: same cell as assignCells, distance " +
       "equals the struct-literal argmin's d (ADVICE r13 migration)") {
     val rows = emb.select(col("vec_id").as("id"),

@@ -207,6 +207,44 @@ object CorpusCuration {
         .select(md5(col(textCol).cast("binary")).as("__h")).distinct())
   }
 
+  /** Re-fit the refreshable standing indexes from the ACCUMULATED raw
+    * corpus (original docs ∪ every admitted slice's raw docs) — the
+    * staleness policy the [[Indexes]] refresh contract called a
+    * footnote, as an API (VERDICT r13 item 5). What refreshes and
+    * what must not:
+    *
+    *  - `boilerplate` re-fits: one gates pass + segment groupBy over
+    *    `accumulated` — byte-identical to what [[fitIndexes]] would
+    *    produce on the same frame (pinned in CurateIncrementalSpec),
+    *    so post-refresh slices strip exactly as the batch funnel
+    *    would. Cadence: whenever the accumulated corpus has grown
+    *    enough to move the top-K (doubling is the practical rule —
+    *    boilerplate is corpus-dominated, so small slices cannot).
+    *  - `dsir` replaces only when the caller hands a re-fit model
+    *    (same stance as [[fitIndexes]]: the model's target predicate
+    *    is the caller's), else the standing one is kept.
+    *  - `evalDict` and `seenHashes` are deliberately NOT touched:
+    *    eval sets change by release (swap via `copy`), and the hash
+    *    set is exact state that [[curateIncremental]] already updates
+    *    per slice — "refreshing" it from text would silently undo
+    *    accepted history.
+    *
+    * Scope: refresh makes FUTURE slices match the batch funnel's
+    * current dictionary; it does not retroactively re-curate docs
+    * admitted under the old one (the batch funnel re-strips
+    * everything on every run — that is exactly the full-rescan cost
+    * this pipeline exists to avoid). The residual distance is pinned
+    * in the spec. */
+  def refreshIndexes(accumulated: DataFrame, idx: Indexes,
+      idCol: String, textCol: String,
+      dsir: Option[graft.ops.Dsir.DsirModel] = None,
+      cfg: Config = Config()): Indexes =
+    idx.copy(
+      boilerplate = graft.ops.Boilerplate.topSegments(
+        gateStage(accumulated, idCol, textCol, cfg), idCol, textCol,
+        cfg.boilerplateSegTokens, cfg.boilerplateTopK),
+      dsir = dsir.orElse(idx.dsir))
+
   /** One slice through the funnel against the standing indexes —
     * identical stage semantics to [[curate]], zero corpus scans:
     * in-row gates → boilerplate strip against the FIXED dictionary →

@@ -109,6 +109,63 @@ class CurateIncrementalSpec extends SparkSpec {
       200L, 203L)).size == 8, s"novel docs must survive: ${got.keySet}")
   }
 
+  test("refreshIndexes: a stale dictionary drifts slices off the " +
+      "batch funnel; refresh restores slice-exact equality " +
+      "(VERDICT r13 item 5)") {
+    val cfgR = CorpusCuration.Config(boilerplateTopK = 1)
+    def filler(i: Int) = (0 until 6).map(j => s"t${i}_$j").mkString(" ")
+    // the stream's boilerplate CHANGES: the standing corpus trails
+    // "sub now" (dfd 20), the slice trails "buy this" (dfd 40) — so
+    // the union's top-1 dictionary is no longer the standing one,
+    // violating exactly the precondition the other test satisfies
+    val corpus0 = (0 until 20)
+      .map(i => (i.toLong, s"${filler(i)} sub now")).toDF("doc_id", "text")
+    val slice = (100 until 140)
+      .map(i => (i.toLong, s"${filler(i)} buy this")).toDF("doc_id", "text")
+    val union = corpus0.unionByName(slice)
+    def dictOf(idx: CorpusCuration.Indexes) = idx.boilerplate
+      .select("segment").as[String].collect().toSet
+
+    val batch = CorpusCuration.curate(union, "doc_id", "text", cfg = cfgR)
+    val want = survivors(batch.corpus)
+
+    val init = CorpusCuration.curate(corpus0, "doc_id", "text", cfg = cfgR)
+    val idx0 = CorpusCuration.fitIndexes(corpus0,
+      init.corpus.select("doc_id", "text"), "doc_id", "text", cfg = cfgR)
+    assert(dictOf(idx0) == Set("sub now"))
+
+    // stale: the slice keeps its new boilerplate — drifted off batch
+    val stale = CorpusCuration.curateIncremental(
+      slice, idx0, "doc_id", "text", cfgR)
+    val staleOut = survivors(stale.curated)
+    assert(staleOut(100L).contains("buy this") &&
+      want(100L) != staleOut(100L))
+
+    // refresh: re-fit over the accumulated raw corpus — byte-equal to
+    // fitIndexes on the same frame, exact state untouched
+    val idxR = CorpusCuration.refreshIndexes(
+      union, idx0, "doc_id", "text", cfg = cfgR)
+    val viaFit = CorpusCuration.fitIndexes(union,
+      init.corpus.select("doc_id", "text"), "doc_id", "text", cfg = cfgR)
+    assert(dictOf(idxR) == dictOf(viaFit) &&
+      dictOf(idxR) == Set("buy this"))
+    assert(idxR.seenHashes eq idx0.seenHashes,
+      "refresh must not rebuild exact dedup state")
+
+    // post-refresh, the slice matches the batch funnel EXACTLY
+    val fresh = CorpusCuration.curateIncremental(
+      slice, idxR, "doc_id", "text", cfgR)
+    assert(survivors(fresh.curated) ==
+      want.view.filterKeys(_ >= 100L).toMap)
+
+    // the residual (documented) distance: refresh is not retroactive —
+    // batch re-strips NOTHING from corpus0 under the new dictionary,
+    // while the admitted corpus0 had "sub now" stripped under the old
+    assert(want(0L).contains("sub now") &&
+      !survivors(init.corpus)(0L).contains("sub now"))
+    batch.release(); init.release()
+  }
+
   test("slice curation never scans standing-corpus documents") {
     // the incremental plan's only standing-state inputs are the
     // indexes: dictionary (broadcast), eval dict, hash set. Pin it by

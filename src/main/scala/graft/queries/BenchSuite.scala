@@ -737,6 +737,56 @@ object BenchSuite extends QuerySuite {
         .groupBy("eval_id").agg(count(lit(1)).as("n_flagged"))
     })
 
+  /** x30 — x27's probe at nprobe=2 (VERDICT r13 item 4's cost-slope
+    * leg): same memoized index, same 1% batch, but every batch row
+    * probes its TWO nearest cells. Read x30 − x27 as the price of the
+    * recall knob: up to 2× the cell directories read and up to 2× the
+    * verify pairs; the spec-pinned benefit is the boundary-straddling
+    * near-dups nprobe=1 structurally misses. */
+  private val x30 = GraftQuery("x30_dedup_probe_np2",
+    (s, dir) => {
+      s.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+      val (path, cents) = vdiMemo.getOrElseUpdate((s, dir), {
+        val corpus = inflated(s, dir)
+        val nCells = math.max(16, (corpus.count() / 12500L).toInt)
+        val cs = graft.ops.VectorDedupIndex
+          .seedCentroids(corpus, "id", "vec", nCells)
+        val p = java.nio.file.Files
+          .createTempDirectory("x27_vdi").toString
+        graft.ops.VectorDedupIndex
+          .writeIndex(corpus, "id", "vec", cs, p)
+        (p, cs)
+      })
+      graft.ops.VectorDedupIndex.probePairs(s, path, cents,
+          inflated(s, dir).filter(col("id") % 97 === 0),
+          "id", "vec", tau = 0.9, nprobe = 2)
+        .groupBy("cell").agg(count(lit(1)).as("n_pairs"))
+    })
+
+  /** x31 — x29's decontamination pass over TRAINED centroids
+    * (VERDICT r13 stretch 8): 3 Lloyd rounds instead of seed vectors,
+    * same 128 cells, same τ. The Cauchy–Schwarz cap prunes a cell
+    * when (dot(e,cent)/|e| + rad)/minNorm < τ — tighter cells ⇒
+    * smaller rad ⇒ fewer probed cells, so x31 − x29 quantifies the
+    * scaladoc's "pays exactly when the corpus clusters" claim on this
+    * fixture (training cost excluded: centroids memoized, as in
+    * production where the model is a standing artifact). */
+  private val sdKmMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, Seq[Double])]]
+  private val x31 = GraftQuery("x31_decontam_trained",
+    (s, dir) => {
+      val corpus = inflated(s, dir)
+      val cents = sdKmMemo.getOrElseUpdate((s, dir),
+        graft.vector.Kmeans.fit(corpus, "id", "vec", k = 128, iters = 3))
+      val eval = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % 251 === 0)
+        .select(col("vec_id"), col("embedding"))
+      graft.ops.SemanticDecontam.flagged(
+          corpus, "id", "vec", eval, "vec_id", "embedding",
+          cents, tau = 0.9)
+        .groupBy("eval_id").agg(count(lit(1)).as("n_flagged"))
+    })
+
   override val suite: Seq[GraftQuery] =
     Seq(x02, x04, x07, x08, x11)
 
@@ -745,5 +795,5 @@ object BenchSuite extends QuerySuite {
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
     Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16, x17, x18,
-      x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29)
+      x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31)
 }

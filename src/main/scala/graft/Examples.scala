@@ -244,6 +244,38 @@ object Examples {
     println(s"incremental curation: ${nightSlice.count()}-doc slice -> " +
       s"${inc.curated.count()} accepted against standing indexes")
 
+    // --- the nightly loop's other half (round 14) ---
+    // 1. admit tonight's accepted batch into the standing vector
+    //    index (same frozen centroids — probe-consistency guaranteed),
+    //    then read the maintenance dashboard and compact
+    graft.ops.VectorDedupIndex.admitBatch(
+      tonight, seeds, idxPath, "vec_id", "embedding")
+    val occ = graft.ops.VectorDedupIndex.cellOccupancy(spark, idxPath)
+      .agg(max("n_files"), sum("n_rows")).head()
+    println(s"admit: index now ${occ.getLong(1)} vectors, " +
+      s"max ${occ.getLong(0)} files/cell")
+    val compactedIdx = Files.createTempDirectory("graft_ex_vdic").toString
+    graft.ops.VectorDedupIndex.compactIndex(spark, idxPath, compactedIdx)
+    println(s"compact: back to one sorted file per cell at $compactedIdx")
+
+    // 2. multiprobe: tomorrow's batch probes its 2 nearest cells —
+    //    catches near-dups straddling a cell boundary
+    val probed2 = graft.ops.VectorDedupIndex.probePairs(spark,
+      compactedIdx, seeds, tonight, "vec_id", "embedding",
+      tau = 0.3, nprobe = 2)
+    println(s"multiprobe nprobe=2: ${probed2.count()} pairs " +
+      s"(nprobe=1 saw ${probed.count()} against the pre-admit index)")
+
+    // 3. refresh the standing curation dictionary once the corpus has
+    //    grown enough to move the top-K — future slices then strip
+    //    exactly as the batch funnel would
+    val accumulated = corpus.filter(col("doc_id") % 23 =!= 0)
+    val idxR = graft.etl.CorpusCuration.refreshIndexes(
+      accumulated, inc.updated, "doc_id", "text")
+    println(s"refreshIndexes: dictionary re-fit over " +
+      s"${accumulated.count()} accumulated docs " +
+      s"(${idxR.boilerplate.count()} segments; hash state untouched)")
+
     spark.stop()
   }
 }

@@ -19,8 +19,14 @@ all FK relationships preserved within a copy):
   of drowning in 10 exact copies of every doc (45 manufactured dup
   pairs each) that no real 10x corpus growth would produce.
 - embeddings: vec_id +i*S; for i>0 a per-(copy,dim) deterministic
-  sign flip — preserves norms and within-copy geometry, decorrelates
-  across copies.
+  HASH-based sign flip — preserves norms and within-copy geometry,
+  decorrelates across copies. Hash-based, not arithmetic (ADVICE
+  r13): the old `(i*7 + j) % 2` flip depended only on the parity of
+  i+j, so the 10 copies collapsed into 2 flip patterns — 4-5 exact
+  cross-copy duplicates per base vector, precisely the manufactured-
+  dup inflation this fixture exists to avoid. duckdb's hash() of
+  i*1000003 + j gives each copy its own pattern (verified: all 45
+  cross-copy pattern pairs differ).
 
 This fixture is for THROUGHPUT measurement only — correctness oracles
 stay on the driver-generated SFs.
@@ -99,7 +105,7 @@ def main(out):
                CASE WHEN {{i}} = 0 THEN embedding
                  ELSE list_transform(range(1, 1 + len(embedding)),
                    j -> embedding[j] *
-                     CASE WHEN ({{i}} * 7 + j) % 2 = 0
+                     CASE WHEN hash({{i}} * 1000003 + j) % 2 = 0
                           THEN 1.0 ELSE -1.0 END)
                END::FLOAT[] AS embedding,
                label

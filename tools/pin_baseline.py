@@ -3,7 +3,13 @@
 clean-session steady pins that Bench's cross-run regression flag
 (`regressed_vs_baseline`) compares against.
 
-Usage: python3 tools/pin_baseline.py BENCH_FULL.json [note...]
+Usage: python3 tools/pin_baseline.py BENCH_FULL.json [-o PINFILE] [note...]
+
+-o PINFILE writes/merges a different pin file (default
+BENCH_BASELINE.json) — SF-scoped pin sets live in separate files
+(e.g. BENCH_BASELINE_SF1.json), selected at bench time via
+SPARK_GRAFT_BENCH_BASELINE; Bench itself refuses pins whose sf_dir
+differs from the run's.
 
 Policy (VERDICT r13 item 1 — replaces the r12 min-ratcheting policy,
 which converged every pin to its best-ever reading so ordinary noise
@@ -34,7 +40,7 @@ from statistics import median
 HISTORY_CAP = 5
 
 
-def main(full_path, note):
+def main(full_path, note, out="BENCH_BASELINE.json"):
     doc = json.load(open(full_path))
     detail = doc.get("detail", {})
     fresh = {}
@@ -47,7 +53,6 @@ def main(full_path, note):
             continue
         fresh[name] = round(median(ok), 4)
 
-    out = "BENCH_BASELINE.json"
     hist = {}
     if os.path.exists(out):
         prev = json.load(open(out))
@@ -79,4 +84,10 @@ def main(full_path, note):
 if __name__ == "__main__":
     if len(sys.argv) < 2:
         sys.exit(__doc__)
-    main(sys.argv[1], sys.argv[2:])
+    args = sys.argv[1:]
+    outfile = "BENCH_BASELINE.json"
+    if "-o" in args:
+        i = args.index("-o")
+        outfile = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    main(args[0], args[1:], outfile)

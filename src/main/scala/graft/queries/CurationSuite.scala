@@ -727,7 +727,82 @@ object CurationSuite extends QuerySuite {
       s.score >= c.cutoff AS kept
     FROM scored s JOIN cuts c USING (source)"""))
 
+  /** c17 — per-bucket distribution-drift profile
+    * ([[graft.ops.Drift.histogramProfile]]): the nightly alarm input
+    * for the standing-index staleness contracts (refreshIndexes
+    * cadence, VectorDedupIndex re-fit). Ref = even event ids, cur =
+    * odd, the `value` signal bucketed at width 8 (a power of two so
+    * the bucketing division is IEEE-exact cross-engine). TVD over
+    * PSI/KL on purpose: no transcendentals → integer counts with
+    * per-row trailing divisions → hash-exact vs DuckDB. */
+  private val c17 = GraftQuery(
+    "c17_drift_profile",
+    (s, dir) => {
+      val e = Tables(s, dir, "events")
+      graft.ops.Drift.histogramProfile(
+          e.filter(col("event_id") % 2 === 0),
+          e.filter(col("event_id") % 2 === 1),
+          "value", bucketWidth = 8.0, maxBucket = 63)
+        .select("bucket", "n_ref", "n_cur", "tv_num", "tv_contrib")
+    },
+    Some("""WITH r AS (
+      SELECT CAST(LEAST(GREATEST(FLOOR(value/8.0), 0), 63) AS BIGINT)
+        AS bucket, CAST(count(*) AS BIGINT) AS n_ref
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+    c AS (
+      SELECT CAST(LEAST(GREATEST(FLOOR(value/8.0), 0), 63) AS BIGINT)
+        AS bucket, CAST(count(*) AS BIGINT) AS n_cur
+      FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+    j AS (
+      SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+        COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+    t AS (
+      SELECT *, CAST(SUM(n_ref) OVER () AS BIGINT) AS t_ref,
+        CAST(SUM(n_cur) OVER () AS BIGINT) AS t_cur
+      FROM j)
+    SELECT bucket, n_ref, n_cur,
+      ABS(n_ref*t_cur - n_cur*t_ref) AS tv_num,
+      CAST(ABS(n_ref*t_cur - n_cur*t_ref) AS DOUBLE)
+        / (2.0 * t_ref * t_cur) AS tv_contrib
+    FROM t"""))
+
+  /** c18 — the scalar total-variation distance
+    * ([[graft.ops.Drift.tvd]]): ½ Σ |p−q| as an exact integer
+    * numerator sum with ONE trailing division — the number a nightly
+    * pipeline thresholds to trigger a dictionary/centroid re-fit. */
+  private val c18 = GraftQuery(
+    "c18_drift_tvd",
+    (s, dir) => {
+      val e = Tables(s, dir, "events")
+      graft.ops.Drift.tvd(
+        e.filter(col("event_id") % 2 === 0),
+        e.filter(col("event_id") % 2 === 1),
+        "value", bucketWidth = 8.0, maxBucket = 63)
+    },
+    Some("""WITH r AS (
+      SELECT CAST(LEAST(GREATEST(FLOOR(value/8.0), 0), 63) AS BIGINT)
+        AS bucket, CAST(count(*) AS BIGINT) AS n_ref
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+    c AS (
+      SELECT CAST(LEAST(GREATEST(FLOOR(value/8.0), 0), 63) AS BIGINT)
+        AS bucket, CAST(count(*) AS BIGINT) AS n_cur
+      FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+    j AS (
+      SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+        COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+    t AS (
+      SELECT *, CAST(SUM(n_ref) OVER () AS BIGINT) AS t_ref,
+        CAST(SUM(n_cur) OVER () AS BIGINT) AS t_cur
+      FROM j)
+    SELECT CAST(SUM(ABS(n_ref*t_cur - n_cur*t_ref)) AS DOUBLE)
+        / (2.0 * MAX(t_ref) * MAX(t_cur)) AS tvd,
+      CAST(count(*) AS BIGINT) AS n_buckets,
+      MAX(t_ref) AS t_ref, MAX(t_cur) AS t_cur
+    FROM t"""))
+
   override val suite: Seq[GraftQuery] =
     Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12, c13,
-      c14, c15, c16)
+      c14, c15, c16, c17, c18)
 }

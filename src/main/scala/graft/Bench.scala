@@ -220,7 +220,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to ALL host cores, not a fixed small number: a bench
+    // that silently runs local[4] on a 32-core box produces numbers
+    // incomparable with every pinned baseline (this exact mistake
+    // cost a round-14 afternoon — the artifact's `cpus` field is the
+    // tell, and the driver always sets the env explicitly)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     // optional comma-separated name filter for targeted iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

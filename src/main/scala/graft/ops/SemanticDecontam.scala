@@ -72,15 +72,13 @@ object SemanticDecontam {
       .withColumn("e_ss",
         call_function("graft_dot", col("e_vec"), col("e_vec")))
     // (eval × cells) is tiny on both axes; cellStats carries no
-    // centroid vectors — dot(e, cent_c) is a CASE over the (small)
-    // centroid set with the vectors as plan literals, the same trick
-    // as the assignment argmin
-    val dotCent = centroids.map { case (cid, cv) =>
-      (col("cell") === lit(cid),
-        call_function("graft_dot", col("e_vec"), typedLit(cv)))
-    }.foldRight(lit(Double.NaN): org.apache.spark.sql.Column) {
-      case ((pred, d), acc) => when(pred, d).otherwise(acc)
-    }
+    // centroid vectors — dot(e, cent_c) looks the centroid up in ONE
+    // cell→vector MAP literal (a per-centroid CASE chain is the same
+    // O(cells×dim) expression-tree growth as the struct-literal
+    // argmin this op already migrated away from; the map literal is
+    // one plan node at any cell count)
+    val dotCent = call_function("graft_dot", col("e_vec"),
+      element_at(typedLit(centroids.toMap), col("cell")))
     val probes = evalSide.crossJoin(broadcast(cellStats))
       .withColumn("cap",
         (dotCent / sqrt(col("e_ss")) + col("rad")) / sqrt(col("min_ss")))

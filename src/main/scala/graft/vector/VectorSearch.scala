@@ -256,6 +256,27 @@ object VectorSearch {
       .withColumn(bucketCol, lshBucket(col("vec"), planes))
       .write.partitionBy(bucketCol).mode("overwrite").parquet(path)
 
+  /** Append a batch into a persisted LSH index — [[writeLshIndexed]]'s
+    * nightly other half, completing the admit contract across all
+    * three persisted layouts ([[graft.ops.VectorDedupIndex.admitBatch]]
+    * on IVF cells, [[graft.ops.TextDedupIndex.admitBatch]] on MinHash
+    * bands, this on sign buckets): bucket map-side with the SAME
+    * plane literals, hash-cluster so each admit leaves exactly one
+    * new file per touched bucket directory, `mode(append)`. Bucketing
+    * is row-local and deterministic, so admitted rows are
+    * indistinguishable from build-time rows — probes see them
+    * immediately (spec pins admit ≡ rebuild, search-for-search);
+    * compact with [[graft.io.Layout.compactPartitioned]] on the usual
+    * cadence. */
+  def admitLshIndexed(batch: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], path: String,
+      bucketCol: String = "lsh_bucket"): Unit =
+    batch.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn(bucketCol, lshBucket(col("vec"), planes))
+      .repartition(col(bucketCol))
+      .write.partitionBy(bucketCol).mode("append").parquet(path)
+
   /** Probe a persisted LSH index: the query set's probe buckets are
     * computed driver-side (queries are small by contract) and pushed
     * as a partition filter, so only the probed bucket directories are

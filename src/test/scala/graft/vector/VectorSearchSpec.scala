@@ -121,6 +121,45 @@ class VectorSearchSpec extends SparkSpec {
     assert(viaMatrix == viaStruct)
   }
 
+  test("admitLshIndexed: N admits ≡ one full rebuild — search " +
+      "results and bounded files per bucket (the LSH leg of the " +
+      "r14 admit contract)") {
+    val planes = Seq.tabulate(8)(b =>
+      Seq.tabulate(16)(i => ((b * 13 + i * 7) % 11 - 5).toDouble))
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val incr = java.nio.file.Files
+      .createTempDirectory("lsh_admit_incr").toString
+    VectorSearch.writeLshIndexed(half1, "vec_id", "embedding",
+      planes, incr)
+    VectorSearch.admitLshIndexed(half2, "vec_id", "embedding",
+      planes, incr)
+    val full = java.nio.file.Files
+      .createTempDirectory("lsh_admit_full").toString
+    VectorSearch.writeLshIndexed(emb, "vec_id", "embedding",
+      planes, full)
+    def content(p: String) = spark.read.parquet(p)
+      .select(col("id"), col("lsh_bucket").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(content(incr) == content(full))
+    val queries = emb.filter(col("vec_id") < 5)
+    def hits(p: String) = VectorSearch.searchLshIndexed(spark, p,
+        queries, "vec_id", "embedding", planes, k = 10)
+      .select("query_id", "id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(hits(incr) == hits(full) && hits(incr).nonEmpty)
+    // ≤ 1 file per bucket per write; compaction restores exactly 1
+    def maxFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("lsh_bucket=")).map(
+        _.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFiles(incr) <= 2)
+    val comp = java.nio.file.Files
+      .createTempDirectory("lsh_admit_comp").toString
+    graft.io.Layout.compactPartitioned(spark, incr, comp,
+      Seq("lsh_bucket"), sortCols = Seq("id"))
+    assert(maxFiles(comp) == 1 && content(comp) == content(full))
+  }
+
   test("probeCells (graft_nearest_centroid_k) matches the old " +
       "array_sort(cellCandidates) composition order for order") {
     // IvfIndex.probeCells migrated to the flat n-slot expression in

@@ -276,6 +276,17 @@ object Examples {
       s"${accumulated.count()} accumulated docs " +
       s"(${idxR.boilerplate.count()} segments; hash state untouched)")
 
+    // 4. drift detection — the number that DECIDES when to refresh:
+    //    TVD between the standing corpus's signal and tonight's slice
+    val evs = Tables(spark, "/root/testdata/sf0.001", "events")
+    val drift = graft.ops.Drift.tvd(
+        evs.filter(col("event_id") % 2 === 0),
+        evs.filter(col("event_id") % 2 === 1),
+        "value", bucketWidth = 8.0).head()
+    println(f"drift: tvd=${drift.getAs[Double]("tvd")}%.4f over " +
+      s"${drift.getAs[Long]("n_buckets")} buckets — refresh when it " +
+      "crosses your re-fit threshold (0.1-0.25 band)")
+
     spark.stop()
   }
 }

@@ -13,9 +13,12 @@ import graft.SparkSpec
   * Opt-in by environment: set GRAFT_PG_URL to a JDBC URL for a
   * pgvector-enabled Postgres (docker-compose.pgvector.yml starts one)
   * and put the postgresql JDBC driver on the test classpath. Without
-  * the URL the spec CANCELS (reported as canceled, not passed) — the
-  * sandbox has no Postgres and no egress, so in-sandbox runs document
-  * the gap instead of faking green.
+  * the URL the spec CANCELS (reported as canceled, not passed) —
+  * in-sandbox runs document the gap instead of faking green.
+  * (Checked r14: the sandbox ships Postgres 15 binaries, but neither
+  * the pgvector extension .so nor a postgresql JDBC jar, and there is
+  * no egress to fetch them — so the seam stays env-gated until run
+  * on a host with both, e.g. via docker-compose.pgvector.yml.)
   */
 class PgVectorLiveSpec extends SparkSpec {
 

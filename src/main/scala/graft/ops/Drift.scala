@@ -34,20 +34,41 @@ object Drift {
     least(greatest(floor(v / lit(width)), lit(0.0)),
       lit(maxBucket.toDouble)).cast("long")
 
+  /** Null/NaN policy: rows whose value is null (or fails the double
+    * cast) or NaN contribute to NEITHER side's histogram. Without the
+    * filter a null bucket appears on each side, and null join keys
+    * never match in the full-outer join — the null mass would show up
+    * as TWO unmatched rows, double-counted as fully-moved drift, while
+    * NaN would silently clamp into maxBucket (ADVICE r14). Callers who
+    * need the null rate as a drift signal should compare it
+    * explicitly (it is one `count(value IS NULL)` per slice). */
   private def counts(df: DataFrame, valueCol: String, width: Double,
       maxBucket: Int, as: String): DataFrame =
-    df.select(bucketOf(col(valueCol).cast("double"), width, maxBucket)
-        .as("bucket"))
+    df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .select(bucketOf(col("__v"), width, maxBucket).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as(as))
+
+  /** decimal(18,0) widening for the TVD numerator's cross products:
+    * two slice counts multiply, and at 100 TB scale (slice totals
+    * ~1e10-1e14) the product exceeds Long.MaxValue — non-ANSI Spark
+    * would silently wrap to a wrong TVD while DuckDB errors, breaking
+    * both correctness and oracle parity (ADVICE r14). 18-digit inputs
+    * give a 36-digit product — exact integers in decimal(38,0), room
+    * to 1e18 rows per slice — and the arithmetic stays transcendental-
+    * free, so cross-engine hash-exactness is preserved. */
+  private def dec(c: Column): Column = c.cast("decimal(18,0)")
 
   /** Per-bucket drift profile: (bucket, n_ref, n_cur, t_ref, t_cur,
     * tv_num, tv_contrib). `tv_num = |n_ref·t_cur − n_cur·t_ref|` is
     * the integer TVD numerator over the common denominator
-    * `2·t_ref·t_cur`; summing tv_num stays in exact integers, so the
-    * scalar [[tvd]] is one trailing division — no order-sensitive
-    * float summation anywhere (oracle `c17_drift_profile`). The
-    * totals window runs on the ≤ maxBucket+1-row joined frame — tiny
-    * by construction, never the data. */
+    * `2·t_ref·t_cur`, computed in decimal(38,0) (see [[dec]] — the
+    * long×long form wraps past ~3e9-row slices); summing tv_num stays
+    * in exact scale-0 decimals, so the scalar [[tvd]] is one trailing
+    * division — no order-sensitive float summation anywhere (oracle
+    * `c17_drift_profile`). The totals window runs on the
+    * ≤ maxBucket+1-row joined frame — tiny by construction, never the
+    * data. */
   def histogramProfile(ref: DataFrame, cur: DataFrame, valueCol: String,
       bucketWidth: Double, maxBucket: Int = 63): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
@@ -59,16 +80,30 @@ object Drift {
       .withColumn("t_ref", sum(col("n_ref")).over())
       .withColumn("t_cur", sum(col("n_cur")).over())
       .withColumn("tv_num",
-        abs(col("n_ref") * col("t_cur") - col("n_cur") * col("t_ref")))
-      .withColumn("tv_contrib", col("tv_num").cast("double") /
-        (lit(2.0) * col("t_ref") * col("t_cur")))
+        abs(dec(col("n_ref")) * dec(col("t_cur")) -
+          dec(col("n_cur")) * dec(col("t_ref"))))
+      // degenerate-slice guard: an empty ref or cur slice makes the
+      // contribution 0/0 — emit an explicit null, not a double NaN,
+      // so a `tv_contrib > x` alarm reads "degenerate input", never
+      // "no drift" (ADVICE r14; same contract as [[tvd]])
+      .withColumn("tv_contrib",
+        when(col("t_ref") === 0 || col("t_cur") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("tv_num").cast("double") /
+            (lit(2.0) * col("t_ref") * col("t_cur"))))
   }
 
   /** The scalar: (tvd, n_buckets, t_ref, t_cur) — ½ Σ |p − q| as the
     * exact integer numerator sum over the common denominator, ONE
     * trailing division (oracle `c18_drift_tvd`). 0 = identical
     * distributions, 1 = disjoint. Alarm on the threshold your re-fit
-    * cost tolerates (0.1–0.25 is the usual band). */
+    * cost tolerates (0.1–0.25 is the usual band).
+    *
+    * Degenerate input: an EMPTY ref or cur slice (t_ref or t_cur = 0
+    * after the null/NaN filter) yields `tvd = null`, deliberately —
+    * a nightly `tvd > threshold` alarm must not silently never fire
+    * on a broken upstream; treat a null tvd as "check the inputs",
+    * and check t_ref/t_cur (always returned) in the same pass. */
   def tvd(ref: DataFrame, cur: DataFrame, valueCol: String,
       bucketWidth: Double, maxBucket: Int = 63): DataFrame =
     histogramProfile(ref, cur, valueCol, bucketWidth, maxBucket)
@@ -76,8 +111,10 @@ object Drift {
         count(lit(1)).as("n_buckets"),
         max(col("t_ref")).as("t_ref"), max(col("t_cur")).as("t_cur"))
       .select(
-        (col("num").cast("double") /
-          (lit(2.0) * col("t_ref") * col("t_cur"))).as("tvd"),
+        when(col("t_ref") === 0 || col("t_cur") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("num").cast("double") /
+            (lit(2.0) * col("t_ref") * col("t_cur"))).as("tvd"),
         col("n_buckets"), col("t_ref"), col("t_cur"))
 
   /** Embedding-space drift: the L2 distance between the two slices'

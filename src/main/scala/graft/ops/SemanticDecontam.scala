@@ -56,6 +56,13 @@ object SemanticDecontam {
       eval: DataFrame, eIdCol: String, eVecCol: String,
       centroids: Seq[(Long, Seq[Double])], tau: Double): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
+    // a duplicated cell id would make centroids.toMap silently keep
+    // the LAST entry while the id-sorted assignment matrix keeps both
+    // rows — the Cauchy–Schwarz cap could then be computed against a
+    // different centroid than the argmin chose, breaking the lossless
+    // guarantee (ADVICE r14). Fail loudly instead.
+    require(centroids.map(_._1).distinct.size == centroids.size,
+      s"centroid cell ids must be distinct, got ${centroids.map(_._1)}")
     require(tau > 0,
       s"tau must be > 0 (the per-cell cosine cap is only an upper " +
         s"bound for positive thresholds), got $tau")

@@ -748,11 +748,13 @@ object CurationSuite extends QuerySuite {
     Some("""WITH r AS (
       SELECT CAST(LEAST(GREATEST(FLOOR(value/8.0), 0), 63) AS BIGINT)
         AS bucket, CAST(count(*) AS BIGINT) AS n_ref
-      FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+      FROM events WHERE event_id % 2 = 0
+        AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1),
     c AS (
       SELECT CAST(LEAST(GREATEST(FLOOR(value/8.0), 0), 63) AS BIGINT)
         AS bucket, CAST(count(*) AS BIGINT) AS n_cur
-      FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+      FROM events WHERE event_id % 2 = 1
+        AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1),
     j AS (
       SELECT COALESCE(r.bucket, c.bucket) AS bucket,
         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
@@ -762,9 +764,15 @@ object CurationSuite extends QuerySuite {
         CAST(SUM(n_cur) OVER () AS BIGINT) AS t_cur
       FROM j)
     SELECT bucket, n_ref, n_cur,
-      ABS(n_ref*t_cur - n_cur*t_ref) AS tv_num,
-      CAST(ABS(n_ref*t_cur - n_cur*t_ref) AS DOUBLE)
-        / (2.0 * t_ref * t_cur) AS tv_contrib
+      ABS(CAST(n_ref AS DECIMAL(18,0)) * CAST(t_cur AS DECIMAL(18,0))
+        - CAST(n_cur AS DECIMAL(18,0)) * CAST(t_ref AS DECIMAL(18,0)))
+        AS tv_num,
+      CASE WHEN t_ref = 0 OR t_cur = 0 THEN NULL
+        ELSE CAST(ABS(CAST(n_ref AS DECIMAL(18,0))
+            * CAST(t_cur AS DECIMAL(18,0))
+            - CAST(n_cur AS DECIMAL(18,0))
+            * CAST(t_ref AS DECIMAL(18,0))) AS DOUBLE)
+          / (2.0 * t_ref * t_cur) END AS tv_contrib
     FROM t"""))
 
   /** c18 — the scalar total-variation distance
@@ -783,11 +791,13 @@ object CurationSuite extends QuerySuite {
     Some("""WITH r AS (
       SELECT CAST(LEAST(GREATEST(FLOOR(value/8.0), 0), 63) AS BIGINT)
         AS bucket, CAST(count(*) AS BIGINT) AS n_ref
-      FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+      FROM events WHERE event_id % 2 = 0
+        AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1),
     c AS (
       SELECT CAST(LEAST(GREATEST(FLOOR(value/8.0), 0), 63) AS BIGINT)
         AS bucket, CAST(count(*) AS BIGINT) AS n_cur
-      FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+      FROM events WHERE event_id % 2 = 1
+        AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1),
     j AS (
       SELECT COALESCE(r.bucket, c.bucket) AS bucket,
         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
@@ -796,8 +806,12 @@ object CurationSuite extends QuerySuite {
       SELECT *, CAST(SUM(n_ref) OVER () AS BIGINT) AS t_ref,
         CAST(SUM(n_cur) OVER () AS BIGINT) AS t_cur
       FROM j)
-    SELECT CAST(SUM(ABS(n_ref*t_cur - n_cur*t_ref)) AS DOUBLE)
-        / (2.0 * MAX(t_ref) * MAX(t_cur)) AS tvd,
+    SELECT CASE WHEN MAX(t_ref) = 0 OR MAX(t_cur) = 0 THEN NULL
+        ELSE CAST(SUM(ABS(CAST(n_ref AS DECIMAL(18,0))
+            * CAST(t_cur AS DECIMAL(18,0))
+            - CAST(n_cur AS DECIMAL(18,0))
+            * CAST(t_ref AS DECIMAL(18,0)))) AS DOUBLE)
+          / (2.0 * MAX(t_ref) * MAX(t_cur)) END AS tvd,
       CAST(count(*) AS BIGINT) AS n_buckets,
       MAX(t_ref) AS t_ref, MAX(t_cur) AS t_cur
     FROM t"""))

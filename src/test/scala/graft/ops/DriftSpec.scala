@@ -35,7 +35,10 @@ class DriftSpec extends SparkSpec {
     val ref = e.filter(col("event_id") % 2 === 0)
     val cur = e.filter(col("event_id") % 2 === 1)
     val prof = Drift.histogramProfile(ref, cur, "value", 8.0, 63)
-      .select("n_ref", "n_cur", "t_ref", "t_cur", "tv_num")
+      // tv_num is decimal(38,0) since the r14 widening (long×long
+      // wraps past ~3e9-row slices); fixture values fit a long
+      .select(col("n_ref"), col("n_cur"), col("t_ref"), col("t_cur"),
+        col("tv_num").cast("long"))
       .as[(Long, Long, Long, Long, Long)].collect()
     val (tRef, tCur) = (prof.head._3, prof.head._4)
     assert(tRef == ref.count() && tCur == cur.count())
@@ -88,5 +91,63 @@ class DriftSpec extends SparkSpec {
       Drift.histogramProfile(a, a, "v", 0.0, 63) }
     intercept[IllegalArgumentException] {
       Drift.histogramProfile(a, a, "v", 8.0, 0) }
+  }
+
+  test("null/NaN rows join NEITHER histogram (no double-counted " +
+      "phantom drift), and totals exclude them") {
+    // without the filter, each side's null mass became an unmatched
+    // null-bucket row on BOTH sides of the full-outer join (null keys
+    // never match) and read as fully-moved drift; NaN clamped into
+    // maxBucket (ADVICE r14)
+    val clean = Seq(1.0, 9.0, 17.0).toDF("v")
+    val dirty = Seq(Some(1.0), Some(9.0), Some(17.0), None,
+      Some(Double.NaN)).toDF("v")
+    val t = Drift.tvd(clean, dirty, "v", 8.0, 63).head()
+    assert(t.getAs[Double]("tvd") == 0.0,
+      "identical clean mass must read zero drift despite null/NaN rows")
+    assert(t.getAs[Long]("t_cur") == 3L, "null/NaN rows must not count")
+    assert(t.getAs[Long]("n_buckets") == 3L)
+  }
+
+  test("degenerate (empty) slice yields null tvd, not NaN or a " +
+      "silent zero — the alarm contract") {
+    val a = Seq(1.0, 9.0).toDF("v")
+    val empty = Seq.empty[Double].toDF("v")
+    val row = Drift.tvd(a, empty, "v", 8.0, 63).head()
+    assert(row.isNullAt(row.fieldIndex("tvd")),
+      "empty cur slice must surface as null tvd")
+    assert(row.getAs[Long]("t_cur") == 0L)
+    // an all-null slice is degenerate the same way
+    val allNull = Seq[Option[Double]](None, None).toDF("v")
+    assert(Drift.tvd(a, allNull, "v", 8.0, 63).head().isNullAt(0))
+    // per-bucket contributions null out too, rather than NaN
+    val prof = Drift.histogramProfile(a, empty, "v", 8.0, 63)
+      .select("tv_contrib").collect()
+    assert(prof.nonEmpty && prof.forall(_.isNullAt(0)))
+  }
+
+  test("tv_num survives counts whose cross product overflows a long") {
+    // 4e9 × 4e9 = 1.6e19 > Long.MaxValue: the pre-r15 long arithmetic
+    // wrapped negative here; decimal(18,0)×decimal(18,0) is exact.
+    // Plant the counts directly through a pre-aggregated frame twin
+    // of the internal shape via the public API: two one-bucket slices
+    // can't reach 4e9 fixture rows, so check the expression itself.
+    val big = 4000000000L
+    val df = Seq((0L, big, 1L, big, big)).toDF(
+      "bucket", "n_ref", "n_cur", "t_ref", "t_cur")
+    val out = df.withColumn("tv_num",
+        abs(col("n_ref").cast("decimal(18,0)") *
+          col("t_cur").cast("decimal(18,0)") -
+          col("n_cur").cast("decimal(18,0)") *
+          col("t_ref").cast("decimal(18,0)")))
+      .select(col("tv_num").cast("string")).head().getString(0)
+    // |4e9·4e9 − 1·4e9| = 15999999996000000000 — 20 digits, > 2^63
+    assert(out == "15999999996000000000", out)
+    // and the public API's tv_num really is the widened type, not long
+    val a = Seq(1.0).toDF("v")
+    val dt = Drift.histogramProfile(a, a, "v", 8.0, 63)
+      .schema("tv_num").dataType
+    assert(dt == org.apache.spark.sql.types.DecimalType(38, 0),
+      dt.toString)
   }
 }

@@ -76,4 +76,16 @@ class SemanticDecontamLibSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("tau"))
   }
+
+  test("duplicate centroid cell ids are rejected: centroids.toMap " +
+      "would silently keep the last entry while the assignment " +
+      "matrix keeps both rows (ADVICE r14)") {
+    val dup = Seq((0L, Seq(1.0, 0.0)), (0L, Seq(0.0, 1.0)))
+    val df = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SemanticDecontam.flagged(df, "vec_id", "embedding",
+        df, "vec_id", "embedding", dup, 0.3)
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
 }

@@ -142,17 +142,39 @@ object Bench {
     groups.filter(_.nonEmpty).toSeq
   }
 
+  /** JVM args that size the heap — stripped from the child command
+    * line so [[runForked]] can pin its own (see `childHeapMb`). */
+  private def isHeapArg(a: String): Boolean =
+    a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-Xmn") ||
+      a.startsWith("-XX:MaxHeapSize") || a.startsWith("-XX:InitialHeapSize") ||
+      a.startsWith("-XX:MinHeapSize") || a.startsWith("-XX:MaxRAMPercentage")
+
   /** Run one group in a child JVM (same classpath + JVM flags as this
-    * one — run/fork gives a real -cp); returns the parsed partial or
-    * None on any failure. */
-  private def runForked(group: Seq[String]): Option[org.json4s.JValue] =
+    * one — run/fork gives a real -cp — EXCEPT the heap, which is
+    * pinned to `childHeapMb`); returns the parsed partial or None on
+    * any failure.
+    *
+    * Why the heap is pinned (VERDICT r14 item 1): the measuring JVMs
+    * used to inherit the parent's -Xmx, which is an environment
+    * accident (SPARK_DRIVER_MEM / sbt -mem at whatever the launching
+    * harness set). The r14 driver ran the parent at 88 GiB and the
+    * inherited-heap children measured 10 A/B arms 2-6× slower than
+    * the committed 8 GiB pins — GC-ergonomics/page-cache trades, not
+    * plan changes — making builder and driver artifacts incomparable
+    * three rounds running. A fixed child heap makes the measurement
+    * environment part of the bench contract instead of an accident;
+    * the value is recorded in the artifact (`env.bench_heap_mb`) and
+    * checked against pins by [[loadBaseline]]. */
+  private def runForked(group: Seq[String], childHeapMb: Int)
+      : Option[org.json4s.JValue] =
     try {
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench-fork")
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments
       val cmd = new java.util.ArrayList[String]()
       cmd.add(System.getProperty("java.home") + "/bin/java")
-      jvmArgs.forEach(a => cmd.add(a))
+      jvmArgs.forEach(a => if (!isHeapArg(a)) cmd.add(a))
+      cmd.add(s"-Xmx${childHeapMb}m")
       cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
       cmd.add("graft.Bench")
       val pb = new ProcessBuilder(cmd)
@@ -241,6 +263,17 @@ object Bench {
     val forkMode = only.isEmpty &&
       !sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0")
 
+    // the heap the MEASURING JVMs run under: fork children are pinned
+    // to a fixed -Xmx independent of the parent's (see runForked);
+    // in-process runs measure under this JVM's own heap. Recorded in
+    // the artifact and checked against pins — heap is part of the
+    // measurement environment, not an accident of who launched us.
+    val childHeapMb = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_CHILD_HEAP_MB", "8192").toInt
+    val benchHeapMb =
+      if (forkMode) childHeapMb.toLong
+      else Runtime.getRuntime.maxMemory() / (1024 * 1024)
+
     // committed clean-session pins for the cross-run regression flag
     // (VERDICT r12 item 1). Child JVMs run in a temp cwd and simply
     // find no file — the parent applies the pins when merging. Pins
@@ -248,11 +281,12 @@ object Bench {
     // per-child warmup, and a targeted in-process run pays cold-JVM
     // costs in every iteration (measured: a lone r08 reads 0.817 s
     // vs its 0.31 s full-run pin — conditions, not a regression).
-    val baseline =
-      if (only.isDefined) None
+    val (baseline, baselineStatus) =
+      if (only.isDefined) (None, "off:targeted_run")
       else loadBaseline(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-          "BENCH_BASELINE.json"), sfDir)
+          "BENCH_BASELINE.json"), sfDir, benchHeapMb,
+        Runtime.getRuntime.availableProcessors())
 
     var forkGroups: Option[Seq[BenchReport.ForkGroup]] = None
     var warmedUp: Option[String] = None
@@ -266,7 +300,7 @@ object Bench {
           (SparkEntry.queries ++ SparkEntry.benchOnlyQueries).keys.toSeq
         val groups = familyGroups(allNames)
         val ran = groups.map { group =>
-          runForked(group) match {
+          runForked(group, childHeapMb) match {
             case Some(doc) =>
               val w = doc \ "warmup" match {
                 case org.json4s.JString(s) => Some(s)
@@ -295,54 +329,92 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
       BenchReport.fullJson(iters, sfDir, cpus, results,
         forkGroups = forkGroups, baseline = baseline,
-        warmup = warmedUp).getBytes("UTF-8"))
+        warmup = warmedUp, benchHeapMb = benchHeapMb,
+        baselineStatus = baselineStatus).getBytes("UTF-8"))
 
     val sfNum = raw".*sf([0-9.]+)/?$$".r
       .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0.1")
     // ONE compact line, printed last so it survives tail truncation
     println(BenchReport.headlineJson(
       results, iters, sfNum, Headline, AbBaselines, detailFile,
-      baseline = baseline))
+      baseline = baseline, baselineStatus = baselineStatus))
   }
 
-  /** BENCH_BASELINE.json: `{"sf_dir": ..., "steady": {query: sec}}`
-    * plus provenance keys the reader ignores. Pins only apply when
-    * THIS run's sf_dir matches the pinned one — an sf1 scaling run
-    * compared against sf0.1 pins manufactured 4 false `regressed`
-    * flags in validation. Absent/unparseable/mismatched → no pins
-    * (the flag simply never fires) — a bench run must not die on its
-    * own calibration file. */
-  private[graft] def loadBaseline(path: String, sfDir: String)
-      : Option[Map[String, Double]] =
+  /** BENCH_BASELINE.json: `{"sf_dir": ..., "bench_heap_mb": ...,
+    * "host_cores": ..., "steady": {query: sec}}` plus provenance keys
+    * the reader ignores. Pins only apply when THIS run's measurement
+    * environment matches the pinned one:
+    *
+    *  - `sf_dir` must be equal — an sf1 scaling run compared against
+    *    sf0.1 pins manufactured 4 false `regressed` flags;
+    *  - `bench_heap_mb` (the measuring JVMs' heap) must be within
+    *    25% — the r14 driver's 88 GiB-heap run flagged 10 A/B arms
+    *    against 8 GiB pins while run totals agreed within 2%: a
+    *    GC-ergonomics environment trade, not a plan change, and the
+    *    gate must not re-litigate it every cross-environment run
+    *    (VERDICT r14 item 1);
+    *  - `host_cores` must be equal — a down-cored run is incomparable
+    *    with every pin (the r14 local[4] afternoon).
+    *
+    * Absent/unparseable/mismatched → no pins (the flag simply never
+    * fires) — a bench run must not die on its own calibration file.
+    * Returns the pins plus a status string the artifact records, so
+    * a disabled gate names its own cause instead of reading as
+    * "0 regressions". Old pin files without the env keys still apply
+    * (back-compat); regenerate via tools/pin_baseline.py to scope. */
+  private[graft] def loadBaseline(path: String, sfDir: String,
+      benchHeapMb: Long, hostCores: Int)
+      : (Option[Map[String, Double]], String) =
     try {
       val p = java.nio.file.Paths.get(path)
-      if (!java.nio.file.Files.exists(p)) None
+      if (!java.nio.file.Files.exists(p)) (None, "off:no_pin_file")
       else {
         import org.json4s._
         val doc = jackson.JsonMethods.parse(
           new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-        val pinnedSf = doc \ "sf_dir" match {
-          case JString(s) => Some(s)
+        def str(k: String) = doc \ k match {
+          case JString(s) => Some(s); case _ => None
+        }
+        def num(k: String) = doc \ k match {
+          case JInt(v) => Some(v.toLong)
+          case JDouble(v) => Some(v.toLong)
           case _ => None
         }
-        if (!pinnedSf.contains(sfDir)) {
-          System.err.println(s"[bench] baseline is for " +
-            s"${pinnedSf.getOrElse("?")}, this run is $sfDir — " +
-            "cross-run flag disabled")
-          None
-        } else doc \ "steady" match {
-          case JObject(kvs) => Some(kvs.collect {
-            case (k, JDouble(v)) => k -> v
-            case (k, JInt(v)) => k -> v.toDouble
-          }.toMap)
-          case _ => None
+        val pinnedSf = str("sf_dir")
+        val pinnedHeap = num("bench_heap_mb")
+        val pinnedCores = num("host_cores")
+        def off(reason: String): (Option[Map[String, Double]], String) = {
+          System.err.println(s"[bench] $reason — cross-run flag disabled")
+          (None, s"off:$reason")
+        }
+        if (!pinnedSf.contains(sfDir))
+          off(s"pins are for sf_dir=${pinnedSf.getOrElse("?")}, " +
+            s"this run is $sfDir")
+        else if (pinnedHeap.exists(h =>
+            math.abs(h - benchHeapMb).toDouble / math.max(h, benchHeapMb)
+              > 0.25))
+          off(s"pins were measured at bench_heap_mb=${pinnedHeap.get}, " +
+            s"this run measures at $benchHeapMb")
+        else if (pinnedCores.exists(_ != hostCores))
+          off(s"pins were measured at host_cores=${pinnedCores.get}, " +
+            s"this run has $hostCores")
+        else doc \ "steady" match {
+          case JObject(kvs) =>
+            val pins = kvs.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+            }.toMap
+            val scoped = pinnedHeap.isDefined && pinnedCores.isDefined
+            (Some(pins), s"applied(${pins.size}" +
+              (if (scoped) "" else ";unscoped_legacy_pins") + ")")
+          case _ => (None, "off:no_steady_block")
         }
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] baseline unreadable ($path): " +
           s"${e.getMessage} — cross-run flag disabled")
-        None
+        (None, "off:unreadable")
     }
 
   /** The in-process registry run: one SparkSession, `iters` timed

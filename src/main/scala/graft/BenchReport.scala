@@ -228,7 +228,9 @@ object BenchReport {
       hostCores: Int = Runtime.getRuntime.availableProcessors(),
       forkGroups: Option[Seq[ForkGroup]] = None,
       baseline: Option[Map[String, Double]] = None,
-      warmup: Option[String] = None): String = {
+      warmup: Option[String] = None,
+      benchHeapMb: Long = -1L,
+      baselineStatus: String = "off:not_reported"): String = {
     val steady = results.map(q => q.name -> steadyOf(q.times))
     val detail = results.map { q =>
       val pin = baseline.flatMap(_.get(q.name))
@@ -260,7 +262,17 @@ object BenchReport {
     val rt = Runtime.getRuntime
     val (extSecTotal, extCoresMax) = extCpuTotals(results)
     val env = obj(Seq(
+      // THIS JVM's heap — in fork mode that is the merging parent,
+      // an environment accident (SPARK_DRIVER_MEM / sbt -mem)
       "jvm_max_heap_mb" -> (rt.maxMemory() / (1024 * 1024)).toString,
+      // the heap the MEASURING JVMs ran under: the pinned child -Xmx
+      // in fork mode, this JVM's own max otherwise (-1 = not
+      // reported, a pre-r15 partial). The number pins are scoped to —
+      // the r14 driver/builder disagreement was exactly a run at
+      // 91136 graded against pins taken at 8192 (VERDICT r14 item 1).
+      // Caveat: a fork group that fell back in-process (fork_groups
+      // [i].forked=false) measured under jvm_max_heap_mb instead.
+      "bench_heap_mb" -> benchHeapMb.toString,
       "host_cores" -> hostCores.toString,
       // thresholds, in contendedFlags' fallback order: external busy
       // cores (host_cpu_ms − cpu_ms)/wall vs ext_busy_thresh; then
@@ -277,6 +289,9 @@ object BenchReport {
       "sf_dir" -> jsStr(sfDir),
       "cpus" -> jsNumOrStr(cpus),
       "env" -> env,
+      // whether the cross-run pin gate was armed, and if not, why —
+      // a disabled gate must never read as "0 regressions"
+      "baseline_status" -> jsStr(baselineStatus),
       // run-level co-tenant evidence (see extCpuTotals): external CPU
       // seconds summed over the whole run + worst per-iteration cores
       "ext_cpu_sec_total" -> jsNum(math.rint(extSecTotal * 10) / 10),
@@ -308,7 +323,8 @@ object BenchReport {
       headline: Seq[String], abBaselines: Set[String],
       detailFile: String = "BENCH_FULL.json",
       hostCores: Int = Runtime.getRuntime.availableProcessors(),
-      baseline: Option[Map[String, Double]] = None): String = {
+      baseline: Option[Map[String, Double]] = None,
+      baselineStatus: String = "off:not_reported"): String = {
     val steady = results.map(q => q.name -> steadyOf(q.times)).toMap
     def totalOf(m: Map[String, Double]) = m.values.map(_.max(0.0)).sum
     def r3(d: Double) = f"$d%.3f"
@@ -336,6 +352,9 @@ object BenchReport {
       "regressed" -> results.count(q =>
         baseline.flatMap(_.get(q.name)).exists(p =>
           regressedVsBaseline(q.iters, hostCores, p))).toString,
+      // pin-gate provenance: "regressed: 0" with pins off is not a
+      // clean bill — this field says whether the gate was armed
+      "pins" -> jsStr(baselineStatus),
       // CPU seconds burned by non-this-JVM processes over the whole
       // run — the evidence line for "regressed flags with clean
       // within-run signals" (near 0 ⇒ host quiet, suspect the pin)

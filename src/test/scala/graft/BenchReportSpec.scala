@@ -240,6 +240,53 @@ class BenchReportSpec extends AnyFunSuite {
     assert((line \ "regressed") == JInt(1))
   }
 
+  test("environment scoping lands in both artifacts: bench_heap_mb in " +
+      "env, pin-gate status in full + headline (VERDICT r14 item 1)") {
+    val rs = Seq(QueryResult("q", Seq(iter(1.0))))
+    val doc = JsonMethods.parse(fullJson(1, "d", "32", rs,
+      benchHeapMb = 8192L, baselineStatus = "applied(197)"))
+    assert((doc \ "env" \ "bench_heap_mb") == JInt(8192))
+    assert((doc \ "baseline_status") == JString("applied(197)"))
+    val line = JsonMethods.parse(headlineJson(rs, 1, "0.1", Nil,
+      Set.empty, baselineStatus =
+        "off:pins were measured at bench_heap_mb=8192"))
+    assert((line \ "pins") ==
+      JString("off:pins were measured at bench_heap_mb=8192"))
+  }
+
+  test("loadBaseline refuses pins from a different environment and " +
+      "names the cause; matching env applies (VERDICT r14 item 1)") {
+    val dir = java.nio.file.Files.createTempDirectory("pins")
+    def write(json: String): String = {
+      val p = dir.resolve(s"pins${json.hashCode}.json")
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+      p.toString
+    }
+    val scoped = write("""{"sf_dir": "d", "bench_heap_mb": 8192,
+      "host_cores": 32, "steady": {"q": 0.5}}""")
+    // exact match → applied
+    assert(Bench.loadBaseline(scoped, "d", 8192L, 32) ==
+      (Some(Map("q" -> 0.5)), "applied(1)"))
+    // heap within 25% tolerance (maxMemory jitter) still applies
+    assert(Bench.loadBaseline(scoped, "d", 7800L, 32)._1.isDefined)
+    // the r14 driver shape: 91136 MB run vs 8192 MB pins → off, named
+    val big = Bench.loadBaseline(scoped, "d", 91136L, 32)
+    assert(big._1.isEmpty && big._2.startsWith("off:") &&
+      big._2.contains("bench_heap_mb=8192"), big._2)
+    // cores mismatch → off, named
+    val cores = Bench.loadBaseline(scoped, "d", 8192L, 4)
+    assert(cores._1.isEmpty && cores._2.contains("host_cores=32"))
+    // sf_dir mismatch still refused (the pre-r15 rule)
+    assert(Bench.loadBaseline(scoped, "other", 8192L, 32)._1.isEmpty)
+    // legacy unscoped pins apply but the status says so
+    val legacy = write("""{"sf_dir": "d", "steady": {"q": 0.5}}""")
+    val l = Bench.loadBaseline(legacy, "d", 91136L, 32)
+    assert(l._1.isDefined && l._2.contains("unscoped_legacy_pins"))
+    // absent file → named, not an error
+    assert(Bench.loadBaseline(dir.resolve("nope.json").toString,
+      "d", 8192L, 32) == (None, "off:no_pin_file"))
+  }
+
   test("JSON string escaping survives hostile names") {
     val doc = JsonMethods.parse(fullJson(1, "dir\"with\\quote", "4",
       Seq(QueryResult("q\"x", Seq(iter(1.0))))))

@@ -136,6 +136,96 @@ object VectorDedupIndex {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("__f")).as("n_files"))
 
+  /** What [[maybeRefit]] measured and did. `centroids` is the matrix
+    * to probe/admit with from now on: the freshly-fit one when
+    * `refit`, the caller's unchanged one otherwise. `occupancySkew` =
+    * max cell rows / (total rows / nCells) — 1.0 is perfectly even,
+    * nCells means everything crowded into one cell. `shiftRatio` =
+    * batch-vs-index mean-vector L2 shift in units of the index's own
+    * dispersion ([[Drift.embeddingShift]]). */
+  final case class RefitReport(
+      refit: Boolean, occupancySkew: Double, shiftRatio: Double,
+      centroids: Seq[(Long, Seq[Double])], rebuiltPath: Option[String])
+
+  /** The drift alarm wired to the re-fit action (VERDICT r14 item 2 —
+    * the class doc's "re-fit when max/mean crosses a few ×" contract
+    * as an executable operator instead of prose): measure the two
+    * staleness signals, and when either crosses its threshold, re-fit
+    * centroids and rebuild the index at `outPath`.
+    *
+    * Call it in the nightly loop AFTER [[admitBatch]], with `batch` =
+    * tonight's admitted slice:
+    *
+    *  - **occupancy skew** ([[cellOccupancy]]): max cell size over the
+    *    perfectly-even share `total/nCells` — the cost signal (probe
+    *    cost per batch degrades toward a corpus scan as rows crowd);
+    *    empty cells deliberately COUNT in the denominator, since "one
+    *    giant cell, k−1 empty" is exactly the degenerate state;
+    *  - **embedding shift** ([[Drift.embeddingShift]] of the batch
+    *    against the index): the cause signal — tonight's data's center
+    *    moved, in units of the index's own dispersion.
+    *
+    * On trip: [[graft.vector.Kmeans.fit]] on the index content (its
+    * deterministic lowest-k-id seeding — fit twice, get the same model
+    * bit-for-bit, so a rebuild here equals a from-scratch rebuild on
+    * the same content, probe-for-probe; pinned in the spec), then
+    * [[writeIndex]] to `outPath` — never in place; the caller swaps
+    * directories after validating, mirroring [[compactIndex]].
+    * Untripped: a pure measurement — nothing is read beyond the two
+    * audit scans, nothing written.
+    *
+    * Scale shape: the skew signal is one column-pruned index scan
+    * ([[cellOccupancy]]); the shift + re-fit read `sampleFraction` of
+    * the index (at 100 TB pass ~1e-3: k-means on millions of sampled
+    * rows fits the same centroids as billions, and the shift's
+    * mean/dispersion estimates converge far earlier) — only the
+    * rebuild's partitionBy write touches every row, and that is the
+    * point of the trip. An empty batch is a no-op report (no shift
+    * evidence, no re-fit — a broken upstream must not churn the
+    * index). */
+  def maybeRefit(spark: SparkSession, indexPath: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])], outPath: String,
+      skewThreshold: Double = 4.0, shiftThreshold: Double = 0.5,
+      kmeansIters: Int = 5, sampleFraction: Double = 1.0,
+      cellCol: String = "ivf_cell"): RefitReport = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(skewThreshold > 1 && shiftThreshold > 0,
+      s"need skewThreshold > 1 (1.0 = perfectly even) and " +
+        s"shiftThreshold > 0; got $skewThreshold, $shiftThreshold")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val occ = cellOccupancy(spark, indexPath, cellCol)
+      .agg(max(col("n_rows")).as("mx"), sum(col("n_rows")).as("tot"))
+      .head()
+    val skew = occ.getLong(0).toDouble * centroids.size / occ.getLong(1)
+    val idxRows = spark.read.parquet(indexPath).select(col("id"), col("vec"))
+    val idxSample =
+      if (sampleFraction >= 1.0) idxRows
+      else idxRows.sample(withReplacement = false, sampleFraction,
+        seed = 42L)
+    val batchRows = batch.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val shiftRatio =
+      if (batchRows.isEmpty) 0.0
+      else {
+        val r = Drift.embeddingShift(idxSample, batchRows, "vec").head()
+        val shift = r.getAs[Double]("shift_l2")
+        val disp = r.getAs[Double]("ref_dispersion")
+        if (disp > 0) shift / disp
+        else if (shift > 1e-12) Double.PositiveInfinity
+        else 0.0
+      }
+    if (skew < skewThreshold && shiftRatio < shiftThreshold)
+      RefitReport(refit = false, skew, shiftRatio, centroids, None)
+    else {
+      val fitted = graft.vector.Kmeans.fit(idxSample, "id", "vec",
+        k = centroids.size, iters = kmeansIters)
+      writeIndex(idxRows, "id", "vec", fitted, outPath, cellCol)
+      RefitReport(refit = true, skew, shiftRatio, fitted, Some(outPath))
+    }
+  }
+
   /** (corpus_id, new_id, cell, cos) pairs with cosine ≥ tau between a
     * new batch and the persisted index, reading ONLY the cell
     * partitions the batch assigns into. The batch is small by the

@@ -242,6 +242,116 @@ class VectorDedupIndexSpec extends SparkSpec {
       s"multiprobe scan reads all partitions: $scan")
   }
 
+  test("maybeRefit: a planted drifted stream trips the shift alarm " +
+      "and the rebuild restores probe parity with a from-scratch " +
+      "index (VERDICT r14 item 2)") {
+    val base = emb.filter(col("vec_id") < 300)
+    val cents = VectorDedupIndex.seedCentroids(base, "vec_id", "embedding", 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("vdi_refit_drift").toString
+    VectorDedupIndex.writeIndex(base, "vec_id", "embedding", cents, path)
+    // tonight's slice: the same corpus shape shifted +0.5 on every dim
+    // (the DriftSpec plant: shift_l2 ≈ sqrt(64)·0.5 = 4, well past
+    // 0.5× the fixture's dispersion)
+    val drifted = emb.filter(col("vec_id") >= 300)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x + lit(0.5)).as("embedding"))
+    // the nightly order: admit first, then measure+maybe-refit
+    VectorDedupIndex.admitBatch(drifted, cents, path, "vec_id", "embedding")
+    val out = java.nio.file.Files
+      .createTempDirectory("vdi_refit_out").toString + "/idx"
+    val report = VectorDedupIndex.maybeRefit(spark, path, drifted,
+      "vec_id", "embedding", cents, out,
+      skewThreshold = 1e9, shiftThreshold = 0.5) // isolate the shift leg
+    assert(report.refit && report.rebuiltPath.contains(out),
+      report.toString)
+    assert(report.shiftRatio >= 0.5, report.toString)
+    assert(report.centroids != cents, "re-fit must produce new centroids")
+
+    // parity: the rebuilt index probes exactly like one built from
+    // scratch on the same content (Kmeans.fit is deterministic —
+    // lowest-k-id seeds, quantized sums)
+    val content = spark.read.parquet(path).select(col("id"), col("vec"))
+    val scratchCents = graft.vector.Kmeans.fit(content, "id", "vec",
+      k = 8, iters = 5)
+    assert(report.centroids == scratchCents,
+      "refit must equal a from-scratch fit on the same content")
+    val scratch = java.nio.file.Files
+      .createTempDirectory("vdi_refit_scratch").toString
+    VectorDedupIndex.writeIndex(content, "id", "vec", scratchCents, scratch)
+    val probe = emb.filter(col("vec_id") % 7 === 0)
+    def pairs(p: String, cs: Seq[(Long, Seq[Double])]) =
+      VectorDedupIndex.probePairs(spark, p, cs, probe,
+          "vec_id", "embedding", Tau)
+        .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    val got = pairs(out, report.centroids)
+    assert(got == pairs(scratch, scratchCents) && got.nonEmpty)
+  }
+
+  test("maybeRefit: an un-drifted stream is a no-op — same " +
+      "distribution in, nothing rebuilt, centroids unchanged") {
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val cents = VectorDedupIndex.seedCentroids(base, "vec_id", "embedding", 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("vdi_norefit").toString
+    VectorDedupIndex.writeIndex(base, "vec_id", "embedding", cents, path)
+    val sameDist = emb.filter(col("vec_id") % 2 === 1)
+    val out = java.nio.file.Files
+      .createTempDirectory("vdi_norefit_out").toString + "/idx"
+    val report = VectorDedupIndex.maybeRefit(spark, path, sameDist,
+      "vec_id", "embedding", cents, out,
+      skewThreshold = 1e9, shiftThreshold = 0.5)
+    assert(!report.refit && report.rebuiltPath.isEmpty, report.toString)
+    assert(report.centroids eq cents, "no-op must return the input matrix")
+    assert(report.shiftRatio < 0.5, report.toString)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)),
+      "untripped maybeRefit must write nothing")
+    // and an empty batch is a no-op with zero shift evidence
+    val r2 = VectorDedupIndex.maybeRefit(spark, path,
+      sameDist.filter(col("vec_id") < 0), "vec_id", "embedding",
+      cents, out, skewThreshold = 1e9)
+    assert(!r2.refit && r2.shiftRatio == 0.0)
+  }
+
+  test("maybeRefit: occupancy skew alone trips it — the one-giant-" +
+      "cell degenerate state re-fits even with an in-distribution " +
+      "batch") {
+    // centroids at 4 axes, every corpus row crowded near axis 0:
+    // skew = max·k/total = 4.0 (k−1 cells empty COUNT in the mean)
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0, 0.0)), (3L, Seq(0.0, 0.0, 0.0, 1.0)))
+    val corpus = (0 until 64).map(i =>
+        (i.toLong, Seq(1.0, 0.001 * i, 0.002 * i, 0.001 * (64 - i))))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("vdi_skew").toString
+    VectorDedupIndex.writeIndex(corpus, "vec_id", "embedding", cents, path)
+    val batch = Seq((100L, Seq(1.0, 0.03, 0.06, 0.01)))
+      .toDF("vec_id", "embedding")
+    val out = java.nio.file.Files
+      .createTempDirectory("vdi_skew_out").toString + "/idx"
+    val report = VectorDedupIndex.maybeRefit(spark, path, batch,
+      "vec_id", "embedding", cents, out,
+      skewThreshold = 4.0, shiftThreshold = 1e9) // isolate the skew leg
+    assert(report.occupancySkew == 4.0, report.toString)
+    assert(report.refit && report.centroids.size == 4)
+    // the re-fit centroids spread the crowded mass: occupancy of the
+    // rebuilt index is strictly more even
+    val occ = VectorDedupIndex.cellOccupancy(spark, out)
+      .select(col("n_rows")).as[Long].collect()
+    assert(occ.length > 1, s"re-fit still degenerate: ${occ.toSeq}")
+
+    // guards
+    intercept[IllegalArgumentException] {
+      VectorDedupIndex.maybeRefit(spark, path, batch, "vec_id",
+        "embedding", cents, out, skewThreshold = 1.0) }
+    intercept[IllegalArgumentException] {
+      VectorDedupIndex.maybeRefit(spark, path, batch, "vec_id",
+        "embedding", cents, out, sampleFraction = 0.0) }
+  }
+
   test("an empty micro-batch probes nothing and does not crash") {
     val path = java.nio.file.Files
       .createTempDirectory("ivf_dedup_empty").toString

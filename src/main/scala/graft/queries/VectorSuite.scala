@@ -1039,7 +1039,72 @@ object VectorSuite extends QuerySuite {
         n.cent_id) = 1)
     SELECT vec_id, cell1, cell2, cell1 <> cell2 AS moved FROM a2"""))
 
+  /** v19 — the nightly admit lifecycle, oracled end-to-end (VERDICT
+    * r14 item 4: `admitBatch`/`compactIndex` were spec-pinned but had
+    * no CORRECTNESS row): build the persisted IVF index from the first
+    * nightly slice, ADMIT two more slices on later "nights"
+    * ([[graft.ops.VectorDedupIndex.admitBatch]] — append-only, same
+    * frozen centroid matrix), COMPACT to one file per cell
+    * ([[graft.ops.VectorDedupIndex.compactIndex]]), then probe a
+    * sample batch ([[graft.ops.VectorDedupIndex.probePairs]] — the
+    * partition-pruned read). The oracle recomputes the pair set
+    * BRUTE-FORCE on corpus ∪ admitted (the whole table, by
+    * construction of the slices) — so the green row certifies the
+    * loop's key invariant: N admits + compaction ≡ the batch recipe
+    * on everything ever admitted, pair-for-pair.
+    *
+    * Exactness: the index is built over the QUANTIZED vectors cast to
+    * doubles — integer-valued doubles keep every library dot/distance
+    * exact (components ≤ ~1e6 → d2 ≤ 64·4e12 ≪ 2^53), and the one
+    * trailing `dot/(sqrt·sqrt)` rounds identically in both engines
+    * (the v14 pattern), so this needs NO margin argument, unlike the
+    * raw-double library spec. */
+  private val v19 = GraftQuery(
+    "v19_admit_probe",
+    (s, dir) => {
+      import graft.ops.VectorDedupIndex
+      val all = emb(s, dir).select(col("vec_id"),
+        col("qv").cast("array<double>").as("qvd"))
+      // the frozen matrix: vectors 0..7 (the v06/v07/v14 convention)
+      val cents: Seq[(Long, Seq[Double])] = all.filter(col("vec_id") < 8)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      // three "nights" sliced by modulus (SF-stable); fresh temp dirs
+      // per invocation so bench reruns never double-admit
+      val idx = java.nio.file.Files
+        .createTempDirectory("v19_idx").toString
+      VectorDedupIndex.writeIndex(all.filter(col("vec_id") % 3 === 0),
+        "vec_id", "qvd", cents, idx)
+      VectorDedupIndex.admitBatch(all.filter(col("vec_id") % 3 === 1),
+        cents, idx, "vec_id", "qvd")
+      VectorDedupIndex.admitBatch(all.filter(col("vec_id") % 3 === 2),
+        cents, idx, "vec_id", "qvd")
+      val compacted = java.nio.file.Files
+        .createTempDirectory("v19_cmp").toString
+      VectorDedupIndex.compactIndex(s, idx, compacted)
+      VectorDedupIndex.probePairs(s, compacted, cents,
+        all.filter(col("vec_id") % 7 === 0), "vec_id", "qvd", tau = 0.3)
+    },
+    Some(s"""WITH q AS ($qvSql),
+    assign AS (
+      SELECT v.vec_id, v.qv, c.vec_id AS cell
+      FROM q v, q c WHERE c.vec_id < 8
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 1+len(v.qv)),
+          i -> (v.qv[i]-c.qv[i])*(v.qv[i]-c.qv[i]))) AS BIGINT),
+        c.vec_id) = 1)
+    SELECT a.vec_id AS corpus_id, p.vec_id AS new_id,
+      CAST(a.cell AS BIGINT) AS cell,
+      CAST(list_sum(list_transform(range(1, 1+len(a.qv)),
+          i -> a.qv[i]*p.qv[i])) AS BIGINT)::DOUBLE /
+        (sqrt(CAST(list_sum(list_transform(a.qv, x -> x*x)) AS BIGINT)::DOUBLE)
+       * sqrt(CAST(list_sum(list_transform(p.qv, x -> x*x)) AS BIGINT)::DOUBLE))
+        AS cos
+    FROM assign a JOIN assign p
+      ON a.cell = p.cell AND a.vec_id <> p.vec_id
+    WHERE p.vec_id % 7 = 0 AND cos >= 0.3"""))
+
   override val suite: Seq[GraftQuery] =
     Seq(v01, v02, v03, v04, v05, v06, v07, v08, v09, v10, v11, v12, v13,
-      v14, v15, v16, v17, v18)
+      v14, v15, v16, v17, v18, v19)
 }

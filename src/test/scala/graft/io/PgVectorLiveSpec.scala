@@ -19,6 +19,14 @@ import graft.SparkSpec
   * the pgvector extension .so nor a postgresql JDBC jar, and there is
   * no egress to fetch them — so the seam stays env-gated until run
   * on a host with both, e.g. via docker-compose.pgvector.yml.)
+  *
+  * r15: everything about the seam EXCEPT the extension-over-JDBC
+  * step now has an executed green record against a live local
+  * Postgres 15 — see [[PgVectorPsqlSpec]] (literal round-trip through
+  * the server's float4 parser/printer, and the reference's top-k SQL
+  * verbatim over an emulated `<->`). What remains gated here is
+  * precisely: pgvector's own `vector(dim)` input function accepting
+  * the staged literal through a JDBC INSERT.
   */
 class PgVectorLiveSpec extends SparkSpec {
 

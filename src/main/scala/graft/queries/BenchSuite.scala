@@ -423,11 +423,38 @@ object BenchSuite extends QuerySuite {
     * until it finishes — the measured wall time IS the streaming cost,
     * including state store churn and the watermark-flush batch.
     * Correctness of these operators is spec-pinned (EventStreamsSpec);
-    * VERDICT r10 item 6 asked for their COST to be tracked too. */
+    * VERDICT r10 item 6 asked for their COST to be tracked too.
+    *
+    * State partitioning (VERDICT r14 item 5): a stateful query's
+    * partition count is baked into its checkpoint at the first batch,
+    * and each partition carries its own state-store INSTANCES (a
+    * stream-stream join runs four per partition), each paying a fixed
+    * delta-file write + fsync per micro-batch regardless of how little
+    * state it holds. Inheriting the batch default (= cores = 32) made
+    * x21 pay 128 store commits per batch for 14 MB of total state —
+    * profiled at 8.9 s, of which the join itself was ~1.3 s
+    * (`tools/StreamProfile`, PERFORMANCE.md "x21 profile"). Stateful
+    * streaming partitions must be sized to STATE VOLUME (target tens
+    * of MB per partition), not to core count; 8 partitions hold to
+    * sf1 (~140 MB state → ~17 MB each) and cut x21 3.2×. Override with
+    * SPARK_GRAFT_STREAM_STATE_PARTITIONS when benching a fixture whose
+    * watermark-horizon state outgrows that. */
+  private val streamStateParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+
   private def streamArm(name: String,
       build: (SparkSession, DataFrame) => org.apache.spark.sql.Dataset[_])
       : GraftQuery =
     GraftQuery(name, (s, dir) => {
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
+      try streamArmBody(s, dir, build)
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    })
+
+  private def streamArmBody(s: SparkSession, dir: String,
+      build: (SparkSession, DataFrame) => org.apache.spark.sql.Dataset[_])
+      : DataFrame = {
       val stream = graft.streaming.EventStreams.eventsFileStream(s, dir)
       val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt")
       val q = build(s, stream).writeStream
@@ -463,7 +490,7 @@ object BenchSuite extends QuerySuite {
       }
       // the timed work happened above; hand the harness a trivial frame
       s.range(1).toDF("ok")
-    })
+    }
 
   /** x17 — streaming as-of enrichment (flatMapGroupsWithState with
     * event-time timeout) over the full events table: lefts = clicks &

@@ -17,6 +17,16 @@ import org.apache.spark.sql.types._
   * Everything here shares plan shapes with the batch EventsSuite
   * (e01/e02): same aggregation, same session semantics — batch is the
   * oracle-checkable twin of each streaming op.
+  *
+  * Deployment note — state partitioning: a stateful query freezes
+  * `spark.sql.shuffle.partitions` into its checkpoint at the first
+  * batch, and every partition carries its own state-store instances
+  * (a stream-stream join runs FOUR per partition), each paying a
+  * fixed commit (delta file + fsync) per micro-batch however little
+  * state it holds. Size that conf to expected state volume within the
+  * watermark horizon (target tens-of-MB per partition), not to core
+  * count — the batch default (= cores) over-partitions small/medium
+  * state 3-5× in measured wall time (PERFORMANCE.md "x21 profile").
   */
 object EventStreams {
 

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * The codec boundary is [[MediaDecoder]]; the default implementation
   * is the real [[ImageIoDecoder]] (`javax.imageio`, JDK-builtin —
   * PNG/JPEG/GIF/BMP, multi-frame GIF for frame sampling). Container
-  * video needs an ffmpeg-backed decoder plugged into the same seam.
+  * media (mp4/mkv video, mp3/flac audio) enters through the
+  * [[Transcoder]] seam — [[transcodeAudioSplit]], [[containerFrames]],
+  * [[probeMedia]] — which converts it INTO the raw forms this file and
+  * [[Audio]] already process ([[FfmpegCliTranscoder]] in production).
   *
   * The per-partition construction mirrors the external-model pattern
   * (SURVEY.md §2.10 R7 / §2.11 V1): expensive native resources are
@@ -30,6 +33,10 @@ final case class MediaFeatures(
 
 final case class VideoFrame(
     path: String, frameIdx: Int, image: DecodedImage)
+
+final case class ProbedMedia(
+    path: String, kind: String, container: String, durationMs: Long,
+    audioCodecs: Seq[String], videoCodecs: Seq[String])
 
 /** Pluggable codec boundary. Implementations must be Serializable and
   * cheap to construct OR constructed per partition (see decodeImages).
@@ -145,6 +152,84 @@ object Multimodal {
         s / small.channels / 128.0f
       }
       MediaFeatures(img.path, "image", img.width, img.height, emb)
+    }
+  }
+
+  /** RIFF/WAVE sniff — bytes the PCM path decodes directly, no
+    * transcode needed. */
+  private def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE"
+
+  /** Transcode stage for compressed/container audio (mp3/flac/mp4
+    * soundtracks) through the injectable [[Transcoder]] seam: audio
+    * rows that are already RIFF/WAVE pass through untouched (sniffed,
+    * not extension-trusted); everything else goes through the
+    * executor-cached [[TranscoderSession]] and comes back as WAV PCM16
+    * bytes that [[Audio.decodeAudioSplit]]'s `WavDecoder` consumes unchanged.
+    * Returns (audio-as-WAV, rejectPaths) — same ONE-pass quarantine
+    * economics as [[decodeImagesSplit]]: the codec runs exactly once
+    * per row, the attempt frame is cached, then filtered to sides. */
+  def transcodeAudioSplit(files: Dataset[MediaFile],
+      transcoder: Transcoder): (Dataset[MediaFile], Dataset[String]) = {
+    import files.sparkSession.implicits._
+    val attempts = files.filter(_.kind == "audio").mapPartitions { it =>
+      // per-JVM session via the cache — tasks share one codec handle
+      lazy val session = TranscoderCache.get(transcoder)
+      it.map { f =>
+        if (isWav(f.content)) (f.path, Option(f))
+        else scala.util.Try(session.transcodeAudio(f.content)) match {
+          case scala.util.Success(wav) =>
+            (f.path, Option(f.copy(length = wav.length.toLong, content = wav)))
+          case scala.util.Failure(_) => (f.path, Option.empty[MediaFile])
+        }
+      }
+    }.cache()
+    (attempts.flatMap(_._2), attempts.filter(_._2.isEmpty).map(_._1))
+  }
+
+  /** Frame sampling for CONTAINER video (mp4/mkv/avi) through the
+    * [[Transcoder]] seam: each video row fans out to its sampled
+    * frames as [[DecodedImage]] rasters — the same downstream type as
+    * [[decodeImages]], so resize/featurize/pHash compose unchanged.
+    * Corrupt containers yield zero frames (the [[sampleFrames]]
+    * stance); use [[transcodeAudioSplit]]'s pattern when the rejects
+    * themselves are wanted. */
+  def containerFrames(files: Dataset[MediaFile], everyN: Int,
+      transcoder: Transcoder): Dataset[VideoFrame] = {
+    import files.sparkSession.implicits._
+    require(everyN >= 1, "everyN must be >= 1")
+    files.filter(_.kind == "video").mapPartitions { it =>
+      lazy val session = TranscoderCache.get(transcoder)
+      it.flatMap { f =>
+        scala.util.Try(session.frames(f.content, everyN).toSeq)
+          .getOrElse(Seq.empty)
+          .iterator.map { case (idx, img) =>
+            VideoFrame(f.path, idx, img.copy(path = f.path)) }
+      }
+    }
+  }
+
+  /** Container metadata extraction — the cheap probe pass a curation
+    * pipeline runs BEFORE deciding what to decode (gate on duration /
+    * codec allow-list, then transcode only survivors). Unprobeable
+    * rows surface with container="error" rather than vanishing: the
+    * gate decides, not the probe. */
+  def probeMedia(files: Dataset[MediaFile], transcoder: Transcoder)
+      : Dataset[ProbedMedia] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      lazy val session = TranscoderCache.get(transcoder)
+      it.map { f =>
+        scala.util.Try(session.probe(f.content)) match {
+          case scala.util.Success(p) =>
+            ProbedMedia(f.path, f.kind, p.container, p.durationMs,
+              p.audioCodecs, p.videoCodecs)
+          case scala.util.Failure(_) =>
+            ProbedMedia(f.path, f.kind, "error", -1L, Seq.empty, Seq.empty)
+        }
+      }
     }
   }
 

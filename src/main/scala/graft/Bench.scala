@@ -286,7 +286,8 @@ object Bench {
       else loadBaseline(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
           "BENCH_BASELINE.json"), sfDir, benchHeapMb,
-        Runtime.getRuntime.availableProcessors())
+        Runtime.getRuntime.availableProcessors(),
+        BenchReport.fixtureBytes(sfDir))
 
     var forkGroups: Option[Seq[BenchReport.ForkGroup]] = None
     var warmedUp: Option[String] = None
@@ -363,7 +364,7 @@ object Bench {
     * "0 regressions". Old pin files without the env keys still apply
     * (back-compat); regenerate via tools/pin_baseline.py to scope. */
   private[graft] def loadBaseline(path: String, sfDir: String,
-      benchHeapMb: Long, hostCores: Int)
+      benchHeapMb: Long, hostCores: Int, fixtureBytes: Long = -1L)
       : (Option[Map[String, Double]], String) =
     try {
       val p = java.nio.file.Paths.get(path)
@@ -398,6 +399,13 @@ object Bench {
         else if (pinnedCores.exists(_ != hostCores))
           off(s"pins were measured at host_cores=${pinnedCores.get}, " +
             s"this run has $hostCores")
+        // fixture scope: same rows re-written in a different parquet
+        // layout/order measure differently (r15: regenerated sf1 read
+        // d01 3x its pin) — refuse rather than flag phantom plans
+        else if (fixtureBytes >= 0 && num("fixture_bytes").exists(f =>
+            f >= 0 && f != fixtureBytes))
+          off(s"pins were measured on fixture_bytes=" +
+            s"${num("fixture_bytes").get}, this run reads $fixtureBytes")
         else doc \ "steady" match {
           case JObject(kvs) =>
             val pins = kvs.collect {

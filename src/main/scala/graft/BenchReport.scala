@@ -51,6 +51,21 @@ object BenchReport {
     def tainted: Boolean = iters.exists(_.tainted)
   }
 
+  /** Fixture fingerprint: total bytes of the sf dir's parquet files.
+    * Byte-exact over all tables — any layout/order/compression shift
+    * in a regenerated fixture moves it, which is the point (see the
+    * env block's scaladoc). -1 when the dir is unreadable. */
+  def fixtureBytes(sfDir: String): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(sfDir)
+      val stream = java.nio.file.Files.list(dir)
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      finally stream.close()
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   /** Steady-state = min over the iterations that SUCCEEDED; -1.0 /
     * -2.0 (timed out) only when every iteration failed — one flaky run
     * must not poison the number when the retries were fine. */
@@ -283,7 +298,15 @@ object BenchReport {
       "load_thresh" -> jsNum(hostCores / 8.0),
       "jvm_uptime_s" -> jsNum(
         java.lang.management.ManagementFactory.getRuntimeMXBean
-          .getUptime / 1000.0)))
+          .getUptime / 1000.0),
+      // fixture fingerprint: total bytes of the sf dir's parquet
+      // files. Pins are only comparable against the exact fixture
+      // they measured — a REGENERATED fixture with identical rows can
+      // legitimately read slower (parquet row order/layout shifts
+      // under the generator's parallel writes changed scan costs 2-3x
+      // on d01 in r15), and that must surface as "different fixture",
+      // not as a plan regression
+      "fixture_bytes" -> fixtureBytes(sfDir).toString))
     obj(Seq(
       "iters" -> iters.toString,
       "sf_dir" -> jsStr(sfDir),

@@ -287,6 +287,19 @@ object Examples {
       s"${drift.getAs[Long]("n_buckets")} buckets — refresh when it " +
       "crosses your re-fit threshold (0.1-0.25 band)")
 
+    // --- container media (round 15): the ffmpeg transcoder seam ---
+    // production: Multimodal.transcodeAudioSplit(files,
+    //   FfmpegCliTranscoder()) / containerFrames / probeMedia — the
+    // codec session opens once per executor JVM (TranscoderCache) and
+    // everything downstream is the already-tested WAV/image path.
+    // This sandbox has no ffmpeg binary, so the tour just points at
+    // the specs: TranscoderSpec (deterministic fake, runs everywhere)
+    // and FfmpegLiveSpec (live binary, env-gated).
+    println("container media: mp3/flac/mp4 -> Multimodal." +
+      "transcodeAudioSplit/containerFrames/probeMedia via the " +
+      "Transcoder seam (FfmpegCliTranscoder in production; " +
+      "TranscoderSpec drives the plumbing end-to-end)")
+
     spark.stop()
   }
 }

@@ -159,7 +159,16 @@ object VectorSuite extends QuerySuite {
   /** v05 — embedding-cosine near-duplicate pairs (north-star dedup
     * family): sampled same-label pairs with cosine above threshold.
     * The sample bound (vec_id % 7 = 0) stands in for LSH candidate
-    * generation, which d03 demonstrates on text. */
+    * generation, which d03 demonstrates on text.
+    *
+    * Scale stance: this is the EXACT-within-block baseline, and its
+    * cost is quadratic in block size by semantics (all qualifying
+    * pairs must be emitted) — measured 28.7× wall for 10× rows at sf1,
+    * the registry's only intentionally-superlinear correctness query
+    * besides its v09 consumer. The sublinear scale paths for the same
+    * family are v14 (LSH-blocked near-dup, 4.7× at sf1) and v17
+    * (semantic dedup on IVF cells); at 100 TB you run those and keep
+    * this as the small-block verifier. */
   private val v05 = GraftQuery(
     "v05_cosine_pairs",
     (s, dir) => {

@@ -247,6 +247,8 @@ class BenchReportSpec extends AnyFunSuite {
       benchHeapMb = 8192L, baselineStatus = "applied(197)"))
     assert((doc \ "env" \ "bench_heap_mb") == JInt(8192))
     assert((doc \ "baseline_status") == JString("applied(197)"))
+    // fixture fingerprint recorded (-1 here: "d" is not a real dir)
+    assert((doc \ "env" \ "fixture_bytes") == JInt(-1))
     val line = JsonMethods.parse(headlineJson(rs, 1, "0.1", Nil,
       Set.empty, baselineStatus =
         "off:pins were measured at bench_heap_mb=8192"))
@@ -285,6 +287,20 @@ class BenchReportSpec extends AnyFunSuite {
     // absent file → named, not an error
     assert(Bench.loadBaseline(dir.resolve("nope.json").toString,
       "d", 8192L, 32) == (None, "off:no_pin_file"))
+    // fixture fingerprint (r15): same sf_dir, regenerated bytes → off,
+    // named — a re-laid-out fixture must read "different fixture",
+    // never "regressed"
+    val fx = write("""{"sf_dir": "d", "bench_heap_mb": 8192,
+      "host_cores": 32, "fixture_bytes": 1000, "steady": {"q": 0.5}}""")
+    assert(Bench.loadBaseline(fx, "d", 8192L, 32, 1000L)._1.isDefined)
+    val moved = Bench.loadBaseline(fx, "d", 8192L, 32, 1001L)
+    assert(moved._1.isEmpty && moved._2.contains("fixture_bytes=1000"),
+      moved._2)
+    // a pin file without the fingerprint (pre-r15, or the read-only
+    // driver fixture) stays applicable regardless of the run's bytes
+    assert(Bench.loadBaseline(scoped, "d", 8192L, 32, 1001L)._1.isDefined)
+    // a run that could not fingerprint (-1) never disables the gate
+    assert(Bench.loadBaseline(fx, "d", 8192L, 32, -1L)._1.isDefined)
   }
 
   test("JSON string escaping survives hostile names") {

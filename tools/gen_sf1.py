@@ -43,12 +43,21 @@ def main(out):
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO 16")
+    # rows must land in a DETERMINISTIC order: the parallel UNION ALL
+    # otherwise interleaves copies differently per run, and the
+    # resulting parquet layout/compression shifts scan timings between
+    # "identical" fixtures (r15: d01 read 3x its pin on a regenerated
+    # sf1). preserve_insertion_order keeps the ORDER BY through COPY;
+    # Bench additionally fingerprints the fixture (env.fixture_bytes)
+    # so pins refuse a mismatched one outright.
+    con.execute("SET preserve_insertion_order=true")
 
-    def gen(table, per_copy_sql, copies=COPIES):
+    def gen(table, per_copy_sql, order_by="1", copies=COPIES):
         sql = " UNION ALL ".join(
             per_copy_sql.format(i=i, shift=i * S) for i in range(copies))
         con.execute(
-            f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+            f"COPY (SELECT * FROM ({sql}) ORDER BY {order_by}) "
+            f"TO '{out}/{table}.parquet' (FORMAT PARQUET)")
         n = con.execute(
             f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
         print(f"{table:12s} {n:>9,} rows")
@@ -79,7 +88,7 @@ def main(out):
                l_suppkey + {{shift}} AS l_suppkey,
                l_linenumber, l_quantity, l_extendedprice, l_discount,
                l_tax, l_returnflag, l_linestatus, l_shipdate
-        FROM '{SRC}/lineitem.parquet'""")
+        FROM '{SRC}/lineitem.parquet'""", order_by="l_orderkey, l_linenumber")
     gen("events", f"""
         SELECT event_id + {{shift}} AS event_id, ts,
                user_id + {{shift}} AS user_id, event_type, value, props

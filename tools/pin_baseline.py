@@ -58,20 +58,24 @@ HISTORY_CAP = 5
 
 
 def source_env(doc):
-    """(bench_heap_mb, host_cores) of the run's MEASURING JVMs.
+    """(bench_heap_mb, host_cores, fixture_bytes) of the run.
     bench_heap_mb is r15+; fall back to the parent's jvm_max_heap_mb
-    for older artifacts (pre-r15 children inherited it)."""
+    for older artifacts (pre-r15 children inherited it).
+    fixture_bytes fingerprints the parquet fixture itself: a
+    regenerated fixture with identical rows in a different parquet
+    layout measures differently (r15: d01 read 3x its pin on a
+    re-generated sf1), so pins are scoped to the exact bytes."""
     env = doc.get("env", {})
     heap = env.get("bench_heap_mb")
     if heap in (None, -1):
         heap = env.get("jvm_max_heap_mb")
-    return heap, env.get("host_cores")
+    return heap, env.get("host_cores"), env.get("fixture_bytes")
 
 
 def main(full_path, note, out):
     doc = json.load(open(full_path))
     detail = doc.get("detail", {})
-    heap, cores = source_env(doc)
+    heap, cores, fixture = source_env(doc)
     fresh = {}
     skipped = []
     for name, d in sorted(detail.items()):
@@ -89,7 +93,8 @@ def main(full_path, note, out):
         # sizes or sf_dirs pins a number no single environment measures
         for key, new in (("sf_dir", doc.get("sf_dir")),
                          ("bench_heap_mb", heap),
-                         ("host_cores", cores)):
+                         ("host_cores", cores),
+                         ("fixture_bytes", fixture)):
             old = prev.get(key)
             if old is not None and new is not None and old != new:
                 sys.exit(
@@ -111,6 +116,7 @@ def main(full_path, note, out):
         "sf_dir": doc.get("sf_dir"),
         "bench_heap_mb": heap,
         "host_cores": cores,
+        "fixture_bytes": fixture,
         "note": note or
             "median-of-clean-run-medians pins; see tools/pin_baseline.py",
         "steady": dict(sorted(steady.items())),

@@ -814,6 +814,53 @@ object BenchSuite extends QuerySuite {
         .groupBy("eval_id").agg(count(lit(1)).as("n_flagged"))
     })
 
+  /** x32 — the NIGHTLY INDEX LIFECYCLE's cost at bench scale, the
+    * timing twin of the oracled v19 (every r14/r15 op gets both a
+    * correctness row and a cost row): one night = admit the slice
+    * (assign + partitioned append), compact the touched files, and
+    * run the maybeRefit DECISION (occupancy scan + embedding-shift
+    * measure against the standing index) with thresholds it must not
+    * trip — the un-drifted no-op path is the cost a healthy nightly
+    * pays every night. The standing index is memoized (x27's — in
+    * production it is a lake artifact) and the admit/compact write to
+    * fresh temp dirs, so iterations never double-admit and the timed
+    * work is one night's, every iteration. The rebuild path's cost is
+    * already timed by x25 (k-means fit) + x27's memoized writeIndex;
+    * probe cost by x27/x30. Slice = mod-89 of the inflated corpus
+    * (~1.1%, a realistic nightly-to-corpus ratio). */
+  private val x32 = GraftQuery("x32_admit_lifecycle",
+    (s, dir) => {
+      import graft.ops.VectorDedupIndex
+      val (standing, cents) = vdiMemo.getOrElseUpdate((s, dir), {
+        val corpus = inflated(s, dir)
+        val nCells = math.max(16, (corpus.count() / 12500L).toInt)
+        val cs = VectorDedupIndex.seedCentroids(corpus, "id", "vec", nCells)
+        val p = java.nio.file.Files
+          .createTempDirectory("x27_vdi").toString
+        VectorDedupIndex.writeIndex(corpus, "id", "vec", cs, p)
+        (p, cs)
+      })
+      val slice = inflated(s, dir).filter(col("id") % 89 === 0)
+      val night = java.nio.file.Files
+        .createTempDirectory("x32_night").toString
+      VectorDedupIndex.admitBatch(slice, cents, night, "id", "vec")
+      val compacted = java.nio.file.Files
+        .createTempDirectory("x32_cmp").toString
+      VectorDedupIndex.compactIndex(s, night, compacted)
+      // sampleFraction is the decision's scale knob: the shift measure
+      // must never re-read a 100 TB index nightly — a 10% sample bounds
+      // the decision to slice-plus-sample-sized work (occupancy stays a
+      // column-pruned full scan: one long column, the cheap half)
+      val report = VectorDedupIndex.maybeRefit(s, standing, slice,
+        "id", "vec", cents,
+        java.nio.file.Files.createTempDirectory("x32_refit").toString,
+        skewThreshold = 1e9, shiftThreshold = 1e9, sampleFraction = 0.1)
+      val admitted = s.read.parquet(compacted).count()
+      s.createDataFrame(Seq((admitted, report.refit,
+          report.occupancySkew, report.shiftRatio)))
+        .toDF("admitted", "refit", "occupancy_skew", "shift_ratio")
+    })
+
   override val suite: Seq[GraftQuery] =
     Seq(x02, x04, x07, x08, x11)
 
@@ -822,5 +869,6 @@ object BenchSuite extends QuerySuite {
     * and engine-internal results with no cross-engine oracle. */
   val benchOnly: Seq[GraftQuery] =
     Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16, x17, x18,
-      x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31)
+      x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31,
+      x32)
 }

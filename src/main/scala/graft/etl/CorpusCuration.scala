@@ -245,6 +245,106 @@ object CorpusCuration {
         cfg.boilerplateSegTokens, cfg.boilerplateTopK),
       dsir = dsir.orElse(idx.dsir))
 
+  /** What [[maybeRefresh]] measured and did. `indexes` is the set to
+    * curate with from now on: freshly re-fit when `refreshed`, the
+    * caller's unchanged one otherwise. Strip rates are the fraction
+    * of gated text CHARS the standing dictionary removes (corpus
+    * sample vs slice); `lengthTvd` is [[graft.ops.Drift.tvd]] over
+    * doc length, None when either side is empty after gating. */
+  final case class RefreshReport(
+      refreshed: Boolean, stripRateRef: Double, stripRateCur: Double,
+      lengthTvd: Option[Double], indexes: Indexes)
+
+  /** The staleness alarm wired to the refresh action — the curation
+    * twin of [[graft.ops.VectorDedupIndex.maybeRefit]], turning the
+    * cadence [[refreshIndexes]]'s scaladoc leaves to the caller
+    * ("whenever the corpus has grown enough to move the top-K") into
+    * an executable nightly operator. Two slice-vs-standing signals;
+    * either crossing its threshold re-fits through [[refreshIndexes]]:
+    *
+    *  - **Dictionary-coverage decay.** The standing boilerplate
+    *    dictionary's strip rate on tonight's slice vs on a
+    *    `sampleFraction` sample of the accumulated corpus it serves.
+    *    A new template in the slice strips nothing, so when the slice
+    *    rate falls below `decayRatio` × the corpus rate (and the
+    *    corpus rate is non-trivial, `minRefRate` — a corpus with no
+    *    boilerplate must not trip on noise), the dictionary no longer
+    *    covers what is arriving. Measured with the same gateStage +
+    *    stripWith the funnel itself runs — the alarm IS the funnel's
+    *    own stage, so it can never drift from what curation would do.
+    *  - **Length drift.** [[graft.ops.Drift.tvd]] over doc length
+    *    between the corpus sample and the slice — the cheap general
+    *    "tonight is not last month" alarm (scraper/format changes
+    *    move length mass before they move anything semantic).
+    *
+    * Cost: gates + one broadcast strip + two aggregates over the
+    * slice and the corpus SAMPLE, plus a ≤`maxBucket`-row TVD frame —
+    * the decision never rescans the full corpus unless
+    * `sampleFraction = 1`; the re-fit, when tripped, is
+    * [[refreshIndexes]]'s documented one-gates-pass cost. An empty
+    * slice (or one fully consumed by the gates) is a no-op: both
+    * signals read degenerate and nothing refreshes.
+    *
+    * Same non-retroactivity as [[refreshIndexes]]: a trip re-fits for
+    * FUTURE slices; docs admitted under the old dictionary stay as
+    * admitted (the residual the refresh contract pins). */
+  def maybeRefresh(accumulated: DataFrame, slice: DataFrame,
+      idx: Indexes, idCol: String, textCol: String,
+      decayRatio: Double = 0.5, tvdThreshold: Double = 0.25,
+      minRefRate: Double = 0.01, sampleFraction: Double = 1.0,
+      lengthBucketWidth: Double = 64.0,
+      dsir: Option[graft.ops.Dsir.DsirModel] = None,
+      cfg: Config = Config()): RefreshReport = {
+    require(decayRatio > 0 && decayRatio < 1,
+      s"decayRatio must be in (0, 1), got $decayRatio")
+    require(tvdThreshold > 0 && tvdThreshold <= 1,
+      s"tvdThreshold must be in (0, 1], got $tvdThreshold")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val refDocs =
+      if (sampleFraction >= 1.0) accumulated
+      else accumulated.sample(withReplacement = false, sampleFraction,
+        seed = 42L)
+
+    // (strip rate, gated chars): chars removed by the STANDING
+    // dictionary / chars in, both post-gates — the char count
+    // distinguishes "nothing stripped" from "nothing arrived"
+    def stripRate(docs: DataFrame): (Double, Long) = {
+      val gated = gateStage(docs, idCol, textCol, cfg)
+      def chars(df: DataFrame): Long = df
+        .agg(coalesce(sum(length(col(textCol)).cast("long")), lit(0L)))
+        .head().getLong(0)
+      val raw = chars(gated)
+      if (raw == 0L) (0.0, 0L)
+      else {
+        val kept = chars(graft.ops.Boilerplate.stripWith(
+          gated, idx.boilerplate, idCol, textCol,
+          cfg.boilerplateSegTokens))
+        (1.0 - kept.toDouble / raw, raw)
+      }
+    }
+    val (rateRef, _) = stripRate(refDocs)
+    val (rateCur, curChars) = stripRate(slice)
+
+    def lengths(df: DataFrame): DataFrame =
+      df.select(length(col(textCol)).cast("double").as("__len"))
+    val tvdRow = graft.ops.Drift.tvd(
+      lengths(refDocs), lengths(slice), "__len", lengthBucketWidth)
+      .head()
+    val lengthTvd = Option(tvdRow.getAs[java.lang.Double]("tvd"))
+      .map(_.doubleValue())
+
+    // curChars > 0: an empty (or fully-gated) slice must read as "no
+    // evidence", not as total coverage loss
+    val decayTrip = curChars > 0 && rateRef >= minRefRate &&
+      rateCur < rateRef * decayRatio
+    val tvdTrip = lengthTvd.exists(_ > tvdThreshold)
+    val trip = decayTrip || tvdTrip
+    RefreshReport(trip, rateRef, rateCur, lengthTvd,
+      if (trip) refreshIndexes(accumulated, idx, idCol, textCol, dsir, cfg)
+      else idx)
+  }
+
   /** One slice through the funnel against the standing indexes —
     * identical stage semantics to [[curate]], zero corpus scans:
     * in-row gates → boilerplate strip against the FIXED dictionary →

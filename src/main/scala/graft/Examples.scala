@@ -276,6 +276,17 @@ object Examples {
       s"${accumulated.count()} accumulated docs " +
       s"(${idxR.boilerplate.count()} segments; hash state untouched)")
 
+    //    ...and round 15 makes the WHEN executable too: maybeRefresh
+    //    measures the standing dictionary's coverage on tonight's
+    //    slice (+ doc-length TVD) and re-fits only on a trip — the
+    //    curation twin of VectorDedupIndex.maybeRefit
+    val nightly = corpus.filter(col("doc_id") % 23 === 0)
+    val mr = graft.etl.CorpusCuration.maybeRefresh(
+      accumulated, nightly, inc.updated, "doc_id", "text")
+    println(f"maybeRefresh: refreshed=${mr.refreshed} " +
+      f"(coverage ${mr.stripRateCur}%.3f vs ${mr.stripRateRef}%.3f, " +
+      s"lengthTvd=${mr.lengthTvd.map(t => f"$t%.3f").getOrElse("n/a")})")
+
     // 4. drift detection — the number that DECIDES when to refresh:
     //    TVD between the standing corpus's signal and tonight's slice
     val evs = Tables(spark, "/root/testdata/sf0.001", "events")

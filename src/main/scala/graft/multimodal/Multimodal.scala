@@ -162,30 +162,40 @@ object Multimodal {
       new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
       new String(bytes, 8, 4, "US-ASCII") == "WAVE"
 
-  /** Transcode stage for compressed/container audio (mp3/flac/mp4
-    * soundtracks) through the injectable [[Transcoder]] seam: audio
-    * rows that are already RIFF/WAVE pass through untouched (sniffed,
-    * not extension-trusted); everything else goes through the
-    * executor-cached [[TranscoderSession]] and comes back as WAV PCM16
-    * bytes that [[Audio.decodeAudioSplit]]'s `WavDecoder` consumes unchanged.
+  /** Transcode stage for compressed/container audio (mp3/flac, AND
+    * mp4/mkv/avi soundtracks — video-kind rows are routed through the
+    * same stage, because `readMediaDir` classifies containers as
+    * "video" and their soundtrack would otherwise silently never reach
+    * the transcoder, ADVICE r15) through the injectable [[Transcoder]]
+    * seam: audio rows that are already RIFF/WAVE pass through
+    * untouched (sniffed, not extension-trusted); everything else goes
+    * through the executor-cached [[TranscoderSession]] and comes back
+    * as WAV PCM16 bytes that [[Audio.decodeAudioSplit]]'s `WavDecoder`
+    * consumes unchanged, re-kinded "audio" (the content IS audio now).
+    * A container with no audio stream lands in rejectPaths — for a
+    * soundtrack-extraction stage, "nothing to extract" and "corrupt"
+    * both mean the row produced no audio; callers who need the
+    * distinction probe first ([[probeMedia]], audioCodecs.isEmpty).
     * Returns (audio-as-WAV, rejectPaths) — same ONE-pass quarantine
     * economics as [[decodeImagesSplit]]: the codec runs exactly once
     * per row, the attempt frame is cached, then filtered to sides. */
   def transcodeAudioSplit(files: Dataset[MediaFile],
       transcoder: Transcoder): (Dataset[MediaFile], Dataset[String]) = {
     import files.sparkSession.implicits._
-    val attempts = files.filter(_.kind == "audio").mapPartitions { it =>
-      // per-JVM session via the cache — tasks share one codec handle
-      lazy val session = TranscoderCache.get(transcoder)
-      it.map { f =>
-        if (isWav(f.content)) (f.path, Option(f))
-        else scala.util.Try(session.transcodeAudio(f.content)) match {
-          case scala.util.Success(wav) =>
-            (f.path, Option(f.copy(length = wav.length.toLong, content = wav)))
-          case scala.util.Failure(_) => (f.path, Option.empty[MediaFile])
+    val attempts = files.filter(f => f.kind == "audio" || f.kind == "video")
+      .mapPartitions { it =>
+        // per-JVM session via the cache — tasks share one codec handle
+        lazy val session = TranscoderCache.get(transcoder)
+        it.map { f =>
+          if (isWav(f.content)) (f.path, Option(f))
+          else scala.util.Try(session.transcodeAudio(f.content)) match {
+            case scala.util.Success(wav) =>
+              (f.path, Option(f.copy(kind = "audio",
+                length = wav.length.toLong, content = wav)))
+            case scala.util.Failure(_) => (f.path, Option.empty[MediaFile])
+          }
         }
-      }
-    }.cache()
+      }.cache()
     (attempts.flatMap(_._2), attempts.filter(_._2.isEmpty).map(_._1))
   }
 

@@ -97,30 +97,26 @@ final case class FfmpegCliTranscoder(
 
     override def probe(bytes: Array[Byte]): MediaProbe =
       withStaged(bytes) { in =>
-        // csv output: no JSON parser needed. One line per section.
+        // compact output with `|` separator and key=value items —
+        // NOT csv: ffprobe's multi-name containers put commas IN the
+        // value (mp4 = "mov,mp4,m4a,3gp,3g2,mj2", mkv =
+        // "matroska,webm"), so a comma-split mangles exactly the
+        // primary targets (ADVICE r15). `|` cannot appear in format
+        // or codec names; parser unit-tested on canned mp4/mkv output
+        // in TranscoderSpec.
         val out = run(Seq(ffprobe, "-v", "error",
           "-show_entries", "format=format_name,duration",
           "-show_entries", "stream=codec_type,codec_name",
-          "-of", "csv", in.toString))
-        val lines = out.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-        val fmt = lines.find(_.startsWith("format,")).map(_.split(","))
-          .getOrElse(throw new IllegalArgumentException("ffprobe: no format"))
-        val streams = lines.filter(_.startsWith("stream,")).map(_.split(","))
-        MediaProbe(
-          container = if (fmt.length > 1) fmt(1) else "unknown",
-          durationMs = if (fmt.length > 2)
-            scala.util.Try((fmt(2).toDouble * 1000).toLong).getOrElse(-1L)
-          else -1L,
-          audioCodecs = streams.collect {
-            case a if a.length > 2 && a(2) == "audio" => a(1) },
-          videoCodecs = streams.collect {
-            case a if a.length > 2 && a(2) == "video" => a(1) })
+          "-of", "compact=p=1:s=|", in.toString))
+        FfmpegCliTranscoder.parseProbe(out)
       }
 
     override def transcodeAudio(bytes: Array[Byte]): Array[Byte] =
       withStaged(bytes) { in =>
         val out = in.resolveSibling("out.wav")
-        run(Seq(ffmpeg, "-v", "error", "-y", "-i", in.toString,
+        // -vn: drop video streams explicitly — container inputs
+        // (mp4/mkv) carry both, and this stage extracts the soundtrack
+        run(Seq(ffmpeg, "-v", "error", "-y", "-i", in.toString, "-vn",
           "-f", "wav", "-acodec", "pcm_s16le", out.toString))
         Files.readAllBytes(out)
       }
@@ -162,18 +158,62 @@ final case class FfmpegCliTranscoder(
       }
     }
 
+    /** Drains stdout and stderr CONCURRENTLY: reading stdout to EOF
+      * before touching stderr deadlocks when the child fills the OS
+      * pipe buffer (~64 KB) on stderr while stdout is still open —
+      * corrupt media makes ffmpeg spam stderr even at `-v error`
+      * (ADVICE r15). stderr drains on a daemon thread while the call
+      * thread reads stdout. */
     private def run(cmd: Seq[String]): String = {
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(false)
       val proc = pb.start()
       proc.getOutputStream.close()
+      val errRef = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val drainer = new Thread(() =>
+        errRef.set(new String(proc.getErrorStream.readAllBytes, "UTF-8")))
+      drainer.setDaemon(true)
+      drainer.start()
       val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
-      val err = new String(proc.getErrorStream.readAllBytes, "UTF-8")
       val code = proc.waitFor()
+      drainer.join(10000L)
       if (code != 0)
         throw new IllegalArgumentException(
-          s"${cmd.head} exited $code: ${err.take(500)}")
+          s"${cmd.head} exited $code: ${errRef.get.take(500)}")
       out
     }
+  }
+}
+
+object FfmpegCliTranscoder {
+  /** Parses ffprobe `-of compact=p=1:s=|` output (one `section|k=v|…`
+    * line per section) into a [[MediaProbe]]. Pure and public so the
+    * comma-bearing-container case is unit-testable without an ffmpeg
+    * binary (the live spec is env-gated; this parser is not). */
+  def parseProbe(out: String): MediaProbe = {
+    def kv(fields: Seq[String]): Map[String, String] =
+      fields.flatMap { f =>
+        f.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+    val lines = out.linesIterator.map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\\|").toSeq).toSeq
+    val fmt = lines.find(_.headOption.contains("format")).map(l => kv(l.tail))
+      .getOrElse(throw new IllegalArgumentException("ffprobe: no format"))
+    val streams = lines.filter(_.headOption.contains("stream"))
+      .map(l => kv(l.tail))
+    MediaProbe(
+      container = fmt.getOrElse("format_name", "unknown"),
+      durationMs = fmt.get("duration")
+        .flatMap(d => scala.util.Try((d.toDouble * 1000).toLong).toOption)
+        .getOrElse(-1L),
+      audioCodecs = streams.collect {
+        case s if s.get("codec_type").contains("audio") =>
+          s.getOrElse("codec_name", "unknown") },
+      videoCodecs = streams.collect {
+        case s if s.get("codec_type").contains("video") =>
+          s.getOrElse("codec_name", "unknown") })
   }
 }

@@ -734,7 +734,14 @@ object CurationSuite extends QuerySuite {
     * odd, the `value` signal bucketed at width 8 (a power of two so
     * the bucketing division is IEEE-exact cross-engine). TVD over
     * PSI/KL on purpose: no transcendentals → integer counts with
-    * per-row trailing divisions → hash-exact vs DuckDB. */
+    * per-row trailing divisions → hash-exact vs DuckDB. The internal
+    * tv_num arithmetic is decimal(38,0) (overflow-proof at 1e10-row
+    * slices) but the PROJECTION casts it to double: decimal is not a
+    * driver-stable oracle type — Spark's decimal128(38,0) parquet and
+    * DuckDB's product decimal canonicalize differently in the driver's
+    * hash (r15 verdict) — and the exact integer is ≤ 2^53 at every
+    * oracle SF, so the cast is value-lossless here. RegistrySpec now
+    * guards the whole registry against raw decimal projections. */
   private val c17 = GraftQuery(
     "c17_drift_profile",
     (s, dir) => {
@@ -743,7 +750,8 @@ object CurationSuite extends QuerySuite {
           e.filter(col("event_id") % 2 === 0),
           e.filter(col("event_id") % 2 === 1),
           "value", bucketWidth = 8.0, maxBucket = 63)
-        .select("bucket", "n_ref", "n_cur", "tv_num", "tv_contrib")
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          col("tv_num").cast("double").as("tv_num"), col("tv_contrib"))
     },
     Some("""WITH r AS (
       SELECT CAST(LEAST(GREATEST(FLOOR(value/8.0), 0), 63) AS BIGINT)
@@ -764,9 +772,9 @@ object CurationSuite extends QuerySuite {
         CAST(SUM(n_cur) OVER () AS BIGINT) AS t_cur
       FROM j)
     SELECT bucket, n_ref, n_cur,
-      ABS(CAST(n_ref AS DECIMAL(18,0)) * CAST(t_cur AS DECIMAL(18,0))
+      CAST(ABS(CAST(n_ref AS DECIMAL(18,0)) * CAST(t_cur AS DECIMAL(18,0))
         - CAST(n_cur AS DECIMAL(18,0)) * CAST(t_ref AS DECIMAL(18,0)))
-        AS tv_num,
+        AS DOUBLE) AS tv_num,
       CASE WHEN t_ref = 0 OR t_cur = 0 THEN NULL
         ELSE CAST(ABS(CAST(n_ref AS DECIMAL(18,0))
             * CAST(t_cur AS DECIMAL(18,0))

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Structural invariants of the query registry — the contracts the
@@ -72,5 +72,41 @@ class RegistryShapeSpec extends SparkSpec {
       s"driver canonicalizer cannot hash these columns — flatten them " +
         s"(concat_ws/array_to_string, the reference's CSV shape): " +
         offenders.mkString("; "))
+  }
+
+  /** The r15 `c17_drift_profile` regression in one sentence: the
+    * registry's ONLY raw-decimal output column hash-mismatched in the
+    * driver even though rows, schema, and the repo's own
+    * `tools/check_oracle.py` all passed — Spark writes
+    * decimal128(38,0) parquet, DuckDB shapes its product decimal
+    * differently, and the driver's canonicalization (unlike the local
+    * checker's `str(Decimal)`) does not collapse them. The same
+    * cross-engine-representation hazard holds for float32 (DuckDB
+    * REAL → float64 promotion differs) and raw binary. So: every
+    * oracle-surface projection must end in a driver-stable type —
+    * long/int/short/byte, double, string, boolean, timestamp, date.
+    * Decimal/float/binary stay legal INTERNALLY (Drift's decimal(38,0)
+    * numerator is load-bearing at 1e10-row slices); cast at the
+    * projection boundary, in both the Spark query and the oracle SQL. */
+  test("no oracle-surface query emits a decimal/float/binary column") {
+    val stable: DataType => Boolean = {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case DoubleType | StringType | BooleanType => true
+      // both timestamp flavors are proven stable: parquet dates arrive
+      // as timestamp_ntz and j01/w01/w05 hash green in every driver run
+      case TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, run) =>
+        run(spark, dir).schema.fields.collect {
+          case f if !stable(f.dataType) =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"non-driver-stable output types (cast to double/long/string at " +
+        s"the projection boundary, mirroring the cast in the oracle " +
+        s"SQL — see c17, r15): " + offenders.mkString("; "))
   }
 }

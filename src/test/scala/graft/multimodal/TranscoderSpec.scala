@@ -133,6 +133,12 @@ class TranscoderSpec extends SparkSpec {
     Files.write(Paths.get(dir, "clip.mp4"),
       FakeContainer.video(seed = 7, nFrames = 10, w = 16, h = 12))
     Files.write(Paths.get(dir, "bad.mkv"), "torn video".getBytes)
+    // a VIDEO-extension file whose container carries a soundtrack the
+    // fake can extract: readMediaDir kinds it "video", and the r15
+    // ADVICE fix says video-kind rows must still reach the audio
+    // transcode stage (mp4 soundtracks)
+    Files.write(Paths.get(dir, "sound.mp4"),
+      FakeContainer.audio(8000, sine(4000, 220, 8000, 0.25)))
     dir
   }
 
@@ -152,11 +158,47 @@ class TranscoderSpec extends SparkSpec {
     val rms = math.sqrt(
       decoded.samples.map(s => s * s.toDouble).sum / decoded.samples.length)
     assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01, s"rms=$rms")
-    // corrupt container quarantined by path, not thrown
-    assert(rejects.collect().toSeq.exists(_.endsWith("broken.mp3")))
+    // the mp4-EXTENSION soundtrack (kind "video") reached the codec
+    // and came out as decodable audio, re-kinded "audio" (ADVICE r15:
+    // container soundtracks must not silently skip this stage)
+    assert(out.contains("sound.mp4") && out("sound.mp4").kind == "audio")
+    assert(WavDecoder.decodeAudio(out("sound.mp4").content)
+      .samples.length == 4000)
+    // corrupt container quarantined by path, not thrown; a video with
+    // NO soundtrack (GFTV has no audio part) also lands in rejects —
+    // "nothing to extract" and "corrupt" both mean no audio produced
+    val rej = rejects.collect().toSeq
+    assert(rej.exists(_.endsWith("broken.mp3")))
+    assert(rej.exists(_.endsWith("clip.mp4")))
+    assert(rej.exists(_.endsWith("bad.mkv")))
     // composes with the EXISTING audio decode stage unchanged
     val (pcm, badWav) = Audio.decodeAudioSplit(asWav)
-    assert(pcm.count() == 2 && badWav.count() == 0)
+    assert(pcm.count() == 3 && badWav.count() == 0)
+  }
+
+  test("ffprobe compact parser survives comma-bearing container names") {
+    // canned `-of compact=p=1:s=|` output for an mp4 — format_name is
+    // the multi-name "mov,mp4,m4a,3gp,3g2,mj2" that broke the old csv
+    // split (ADVICE r15); parser is pure, no ffmpeg binary needed
+    val mp4 = FfmpegCliTranscoder.parseProbe(
+      """format|format_name=mov,mp4,m4a,3gp,3g2,mj2|duration=5.312000
+        |stream|codec_name=h264|codec_type=video
+        |stream|codec_name=aac|codec_type=audio""".stripMargin)
+    assert(mp4.container == "mov,mp4,m4a,3gp,3g2,mj2")
+    assert(mp4.container.contains("mp4"))
+    assert(mp4.durationMs == 5312L)
+    assert(mp4.videoCodecs == Seq("h264") && mp4.audioCodecs == Seq("aac"))
+    val mkv = FfmpegCliTranscoder.parseProbe(
+      """format|format_name=matroska,webm|duration=1.000000
+        |stream|codec_name=vp9|codec_type=video""".stripMargin)
+    assert(mkv.container == "matroska,webm" && mkv.durationMs == 1000L)
+    // missing duration degrades to -1, not a throw
+    assert(FfmpegCliTranscoder.parseProbe(
+      "format|format_name=wav").durationMs == -1L)
+    // no format section at all is an error (quarantined by callers)
+    intercept[IllegalArgumentException] {
+      FfmpegCliTranscoder.parseProbe("stream|codec_name=aac|codec_type=audio")
+    }
   }
 
   test("one session per (JVM, cacheKey) across partitions and stages") {

@@ -52,36 +52,48 @@ def main(out):
     # so pins refuse a mismatched one outright.
     con.execute("SET preserve_insertion_order=true")
 
-    def gen(table, per_copy_sql, order_by="1", copies=COPIES):
+    def gen(table, per_copy_sql, order_by, copies=COPIES):
+        # order_by is REQUIRED and must be a unique key: DuckDB's sort
+        # is not stable for ties, so ordering by a non-unique prefix
+        # silently reintroduces the run-to-run layout drift this
+        # script exists to kill (ADVICE r15). Assert uniqueness after
+        # COPY so a future non-unique key fails loudly, not quietly.
         sql = " UNION ALL ".join(
             per_copy_sql.format(i=i, shift=i * S) for i in range(copies))
         con.execute(
             f"COPY (SELECT * FROM ({sql}) ORDER BY {order_by}) "
             f"TO '{out}/{table}.parquet' (FORMAT PARQUET)")
-        n = con.execute(
-            f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
+        n, n_keys = con.execute(
+            f"SELECT count(*), count(DISTINCT ({order_by})) "
+            f"FROM '{out}/{table}.parquet'").fetchone()
+        assert n == n_keys, (
+            f"{table}: ORDER BY {order_by} is not unique "
+            f"({n_keys:,} distinct of {n:,} rows) — layout is "
+            f"nondeterministic; pick a unique key")
         print(f"{table:12s} {n:>9,} rows")
 
-    for t in ("region", "nation"):
-        gen(t, f"SELECT * FROM '{SRC}/{t}.parquet'", copies=1)
+    gen("region", f"SELECT * FROM '{SRC}/region.parquet'",
+        order_by="r_regionkey", copies=1)
+    gen("nation", f"SELECT * FROM '{SRC}/nation.parquet'",
+        order_by="n_nationkey", copies=1)
 
     gen("customer", f"""
         SELECT c_custkey + {{shift}} AS c_custkey, c_name,
                c_nationkey, c_acctbal, c_mktsegment
-        FROM '{SRC}/customer.parquet'""")
+        FROM '{SRC}/customer.parquet'""", order_by="c_custkey")
     gen("supplier", f"""
         SELECT s_suppkey + {{shift}} AS s_suppkey, s_name,
                s_nationkey, s_acctbal
-        FROM '{SRC}/supplier.parquet'""")
+        FROM '{SRC}/supplier.parquet'""", order_by="s_suppkey")
     gen("part", f"""
         SELECT p_partkey + {{shift}} AS p_partkey, p_name,
                p_brand, p_type, p_size, p_retailprice
-        FROM '{SRC}/part.parquet'""")
+        FROM '{SRC}/part.parquet'""", order_by="p_partkey")
     gen("orders", f"""
         SELECT o_orderkey + {{shift}} AS o_orderkey,
                o_custkey + {{shift}} AS o_custkey,
                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-        FROM '{SRC}/orders.parquet'""")
+        FROM '{SRC}/orders.parquet'""", order_by="o_orderkey")
     gen("lineitem", f"""
         SELECT l_orderkey + {{shift}} AS l_orderkey,
                l_partkey + {{shift}} AS l_partkey,
@@ -92,7 +104,7 @@ def main(out):
     gen("events", f"""
         SELECT event_id + {{shift}} AS event_id, ts,
                user_id + {{shift}} AS user_id, event_type, value, props
-        FROM '{SRC}/events.parquet'""")
+        FROM '{SRC}/events.parquet'""", order_by="event_id")
     gen("documents", f"""
         SELECT doc_id + {{shift}} AS doc_id,
                CASE WHEN {{i}} = 0 THEN text
@@ -108,7 +120,7 @@ def main(out):
                       t -> CASE WHEN len(t) >= 5
                                 THEN t || 'q{{i}}' ELSE t END), ' ')
                END) AS BIGINT) AS n_chars
-        FROM '{SRC}/documents.parquet'""")
+        FROM '{SRC}/documents.parquet'""", order_by="doc_id")
     gen("embeddings", f"""
         SELECT vec_id + {{shift}} AS vec_id,
                CASE WHEN {{i}} = 0 THEN embedding
@@ -118,7 +130,7 @@ def main(out):
                           THEN 1.0 ELSE -1.0 END)
                END::FLOAT[] AS embedding,
                label
-        FROM '{SRC}/embeddings.parquet'""")
+        FROM '{SRC}/embeddings.parquet'""", order_by="vec_id")
 
 
 if __name__ == "__main__":

@@ -41,13 +41,25 @@ object Drift {
     * as TWO unmatched rows, double-counted as fully-moved drift, while
     * NaN would silently clamp into maxBucket (ADVICE r14). Callers who
     * need the null rate as a drift signal should compare it
-    * explicitly (it is one `count(value IS NULL)` per slice). */
+    * explicitly (it is one `count(value IS NULL)` per slice).
+    *
+    * Alongside each bucket count, the CLAMPED count: rows whose raw
+    * bucket fell outside [0, maxBucket] and were folded into the edge
+    * buckets. A mis-sized bucketing (signal outgrew maxBucket·width)
+    * piles real mass invisibly into the top bucket and reads as "no
+    * drift" — `clamped_frac` makes that visible (VERDICT r15 item 7).
+    * Same single map-side-combined groupBy; no extra pass. */
   private def counts(df: DataFrame, valueCol: String, width: Double,
       maxBucket: Int, as: String): DataFrame =
     df.select(col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull && !isnan(col("__v")))
-      .select(bucketOf(col("__v"), width, maxBucket).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as(as))
+      .select(bucketOf(col("__v"), width, maxBucket).as("bucket"),
+        // floor(v/w) > maxBucket ⟺ v ≥ (maxBucket+1)·w; < 0 ⟺ v < 0
+        // (width a power of two keeps the boundary product exact)
+        (col("__v") >= lit((maxBucket + 1) * width) ||
+          col("__v") < lit(0.0)).cast("long").as("__clamped"))
+      .groupBy("bucket").agg(count(lit(1)).as(as),
+        sum(col("__clamped")).as(s"__clamped_$as"))
 
   /** decimal(18,0) widening for the TVD numerator's cross products:
     * two slice counts multiply, and at 100 TB scale (slice totals
@@ -76,7 +88,8 @@ object Drift {
     counts(ref, valueCol, bucketWidth, maxBucket, "n_ref")
       .join(counts(cur, valueCol, bucketWidth, maxBucket, "n_cur"),
         Seq("bucket"), "full_outer")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .na.fill(0L, Seq("n_ref", "n_cur",
+        "__clamped_n_ref", "__clamped_n_cur"))
       .withColumn("t_ref", sum(col("n_ref")).over())
       .withColumn("t_cur", sum(col("n_cur")).over())
       .withColumn("tv_num",
@@ -91,6 +104,20 @@ object Drift {
           lit(null).cast("double"))
           .otherwise(col("tv_num").cast("double") /
             (lit(2.0) * col("t_ref") * col("t_cur"))))
+      // per-slice constants: the fraction of each slice's mass that
+      // was clamped into the edge buckets. Nonzero says the bucketing
+      // is undersized for the signal and the profile under-reads
+      // drift — alarm on it alongside tvd, not instead of it. One
+      // exact integer count per slice, one trailing division.
+      .withColumn("clamped_frac_ref",
+        when(col("t_ref") === 0, lit(null).cast("double"))
+          .otherwise(sum(col("__clamped_n_ref")).over()
+            .cast("double") / col("t_ref")))
+      .withColumn("clamped_frac_cur",
+        when(col("t_cur") === 0, lit(null).cast("double"))
+          .otherwise(sum(col("__clamped_n_cur")).over()
+            .cast("double") / col("t_cur")))
+      .drop("__clamped_n_ref", "__clamped_n_cur")
   }
 
   /** The scalar: (tvd, n_buckets, t_ref, t_cur) — ½ Σ |p − q| as the
@@ -109,13 +136,20 @@ object Drift {
     histogramProfile(ref, cur, valueCol, bucketWidth, maxBucket)
       .agg(sum(col("tv_num")).as("num"),
         count(lit(1)).as("n_buckets"),
-        max(col("t_ref")).as("t_ref"), max(col("t_cur")).as("t_cur"))
+        max(col("t_ref")).as("t_ref"), max(col("t_cur")).as("t_cur"),
+        max(col("clamped_frac_ref")).as("clamped_frac_ref"),
+        max(col("clamped_frac_cur")).as("clamped_frac_cur"))
       .select(
         when(col("t_ref") === 0 || col("t_cur") === 0,
           lit(null).cast("double"))
           .otherwise(col("num").cast("double") /
             (lit(2.0) * col("t_ref") * col("t_cur"))).as("tvd"),
-        col("n_buckets"), col("t_ref"), col("t_cur"))
+        col("n_buckets"), col("t_ref"), col("t_cur"),
+        // nonzero = the bucketing clamped real mass; the tvd above
+        // under-reads drift in that regime — treat like the null-tvd
+        // alarm: check the inputs (resize maxBucket/width), not "no
+        // drift" (VERDICT r15 item 7)
+        col("clamped_frac_ref"), col("clamped_frac_cur"))
 
   /** Embedding-space drift: the L2 distance between the two slices'
     * mean vectors, plus each slice's mean distance to its own mean

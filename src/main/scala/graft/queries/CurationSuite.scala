@@ -798,17 +798,22 @@ object CurationSuite extends QuerySuite {
     },
     Some("""WITH r AS (
       SELECT CAST(LEAST(GREATEST(FLOOR(value/8.0), 0), 63) AS BIGINT)
-        AS bucket, CAST(count(*) AS BIGINT) AS n_ref
+        AS bucket, CAST(count(*) AS BIGINT) AS n_ref,
+        CAST(count(*) FILTER (value >= 512.0 OR value < 0.0)
+          AS BIGINT) AS cl_ref
       FROM events WHERE event_id % 2 = 0
         AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1),
     c AS (
       SELECT CAST(LEAST(GREATEST(FLOOR(value/8.0), 0), 63) AS BIGINT)
-        AS bucket, CAST(count(*) AS BIGINT) AS n_cur
+        AS bucket, CAST(count(*) AS BIGINT) AS n_cur,
+        CAST(count(*) FILTER (value >= 512.0 OR value < 0.0)
+          AS BIGINT) AS cl_cur
       FROM events WHERE event_id % 2 = 1
         AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1),
     j AS (
       SELECT COALESCE(r.bucket, c.bucket) AS bucket,
-        COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
+        COALESCE(cl_ref, 0) AS cl_ref, COALESCE(cl_cur, 0) AS cl_cur
       FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
     t AS (
       SELECT *, CAST(SUM(n_ref) OVER () AS BIGINT) AS t_ref,
@@ -821,7 +826,13 @@ object CurationSuite extends QuerySuite {
             * CAST(t_ref AS DECIMAL(18,0)))) AS DOUBLE)
           / (2.0 * MAX(t_ref) * MAX(t_cur)) END AS tvd,
       CAST(count(*) AS BIGINT) AS n_buckets,
-      MAX(t_ref) AS t_ref, MAX(t_cur) AS t_cur
+      MAX(t_ref) AS t_ref, MAX(t_cur) AS t_cur,
+      CASE WHEN MAX(t_ref) = 0 THEN NULL
+        ELSE CAST(SUM(cl_ref) AS DOUBLE) / MAX(t_ref) END
+        AS clamped_frac_ref,
+      CASE WHEN MAX(t_cur) = 0 THEN NULL
+        ELSE CAST(SUM(cl_cur) AS DOUBLE) / MAX(t_cur) END
+        AS clamped_frac_cur
     FROM t"""))
 
   override val suite: Seq[GraftQuery] =

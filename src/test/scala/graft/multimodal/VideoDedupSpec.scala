@@ -1,0 +1,162 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** [[Multimodal.videoNearDupPairs]] — the one-call composition of
+  * containerFrames → pHash → blocked Hamming pairing → per-video
+  * rollup (VERDICT r15 item 8), proven on a deterministic fake
+  * transcoder whose frame CONTENT is controlled per video:
+  *
+  *  - vidA: four deterministic-noise frames (seeded per idx, so
+  *    frames differ within the video)
+  *  - vidB: the same frames with a few perturbed pixels — the
+  *    re-encode/watermark case pHash exists to survive
+  *  - vidC: inverted copies — every DCT coefficient negates, so the
+  *    hash is maximally far (structurally different)
+  *  - vidD: shares A's first two frames, then two unrelated-noise
+  *    frames — the partial-overlap (clip reuse) case
+  *
+  * Noise, not gradients, on purpose: a pure gradient concentrates its
+  * spectrum in one DCT row and parks the other ~56 AC coefficients AT
+  * the median, where any perturbation flips bits chaotically;
+  * dense-spectrum content (like real frames) keeps coefficients away
+  * from the median — the regime pHash is built for. The first test
+  * pins these distance assumptions so the e2e assertions cannot pass
+  * for the wrong reason. */
+object FrameFakes {
+  val W = 64
+  val H = 48
+
+  /** splitmix-style integer mix — deterministic white noise */
+  private def mix(x: Int, y: Int, seed: Int): Int = {
+    var h = x * 0x9E3779B1 + y * 0x85EBCA6B + seed * 0xC2B2AE35
+    h ^= h >>> 16; h *= 0x45D9F3B; h ^= h >>> 16
+    h
+  }
+
+  /** one gray level replicated to 3 channels */
+  private def img(lum: (Int, Int) => Int): DecodedImage = {
+    val px = new Array[Byte](W * H * 3)
+    var y = 0
+    while (y < H) {
+      var x = 0
+      while (x < W) {
+        val v = (lum(x, y) & 0xff).toByte
+        val base = (y * W + x) * 3
+        px(base) = v; px(base + 1) = v; px(base + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage("", W, H, 3, px)
+  }
+
+  def base(idx: Int): DecodedImage = img((x, y) => mix(x, y, idx))
+
+  def perturbed(idx: Int): DecodedImage = {
+    val b = base(idx)
+    val px = b.pixels.clone()
+    // a handful of brightened pixels — visually identical, pHash-near
+    Seq(100, 2000, 5000).foreach { i =>
+      px(i) = math.min((px(i) & 0xff) + 6, 255).toByte }
+    b.copy(pixels = px)
+  }
+
+  def inverted(idx: Int): DecodedImage =
+    img((x, y) => 255 - (mix(x, y, idx) & 0xff))
+
+  def otherNoise(idx: Int): DecodedImage =
+    img((x, y) => mix(x, y, 100 + idx))
+
+  val videos: Map[String, Int => DecodedImage] = Map(
+    "vidA" -> base,
+    "vidB" -> perturbed,
+    "vidC" -> inverted,
+    "vidD" -> (i => if (i < 2) base(i) else otherNoise(i)))
+}
+
+/** Transcoder whose video content is one id string; frames come from
+  * [[FrameFakes.videos]] — audio is refused (video-only fixture). */
+final case class FrameFakeTranscoder() extends Transcoder {
+  override def cacheKey: String = "frame-fake"
+  override def open(): TranscoderSession = new TranscoderSession {
+    private def name(bytes: Array[Byte]) = new String(bytes, "US-ASCII")
+    override def probe(bytes: Array[Byte]): MediaProbe =
+      MediaProbe("fake", 4000L, Nil, Seq("rawvideo"))
+    override def transcodeAudio(bytes: Array[Byte]): Array[Byte] =
+      throw new IllegalArgumentException("video-only fixture")
+    override def frames(bytes: Array[Byte], everyN: Int)
+        : Iterator[(Int, DecodedImage)] = {
+      val gen = FrameFakes.videos(name(bytes))
+      (0 until 4 by everyN).iterator.map(i => (i, gen(i)))
+    }
+  }
+}
+
+class VideoDedupSpec extends SparkSpec {
+
+  private def files = {
+    import spark.implicits._
+    FrameFakes.videos.keys.toSeq.sorted.map { v =>
+      val content = v.getBytes("US-ASCII")
+      MediaFile(s"/media/$v.mp4", "video", content.length.toLong, content)
+    }.toDS()
+  }
+
+  test("pHash distances on the fixture are what the test assumes") {
+    (0 until 4).foreach { i =>
+      val a = PHash.phash64(FrameFakes.base(i))
+      val b = PHash.phash64(FrameFakes.perturbed(i))
+      val c = PHash.phash64(FrameFakes.inverted(i))
+      val d = PHash.phash64(FrameFakes.otherNoise(i))
+      assert(java.lang.Long.bitCount(a ^ b) <= 10,
+        s"perturbed frame $i drifted ${java.lang.Long.bitCount(a ^ b)} bits")
+      assert(java.lang.Long.bitCount(a ^ c) > 15,
+        s"inverted frame $i only ${java.lang.Long.bitCount(a ^ c)} bits away")
+      assert(java.lang.Long.bitCount(a ^ d) > 15,
+        s"unrelated noise $i only ${java.lang.Long.bitCount(a ^ d)} bits away")
+    }
+  }
+
+  test("near-dup videos pair at shared_frac 1.0; partial overlap reads " +
+      "0.5; structurally different videos never pair") {
+    val (pairs, dropped) = Multimodal.videoNearDupPairs(
+      files, everyN = 1, FrameFakeTranscoder())
+    val got = pairs.collect().map(r =>
+      (r.getAs[String]("video_a"), r.getAs[String]("video_b")) ->
+        r.getAs[Double]("shared_frac")).toMap
+    def p(a: String, b: String) = (s"/media/$a.mp4", s"/media/$b.mp4")
+    // full near-dup: every A frame matches its perturbed B twin
+    assert(got(p("vidA", "vidB")) == 1.0, got.toString)
+    // clip reuse: D shares exactly A's first two of four frames
+    assert(got(p("vidA", "vidD")) == 0.5, got.toString)
+    assert(got(p("vidB", "vidD")) == 0.5, got.toString)
+    // inverted never pairs with anything
+    assert(!got.keys.exists { case (a, b) =>
+      a.contains("vidC") || b.contains("vidC") }, got.toString)
+    assert(dropped.count() == 0)
+    // rollup counts are exact, not just the fraction
+    val ab = pairs.filter("video_a = '/media/vidA.mp4' AND " +
+      "video_b = '/media/vidB.mp4'").head()
+    assert(ab.getAs[Long]("matched_a") == 4L &&
+      ab.getAs[Long]("n_frames_a") == 4L)
+  }
+
+  test("hot bands are dropped AND reported, never silent") {
+    // bucketCap below the fan-in of the duplicated frames: force
+    // drops and require the report to say so (the d11 stance)
+    val (_, dropped) = Multimodal.videoNearDupPairs(
+      files, everyN = 1, FrameFakeTranscoder(), bucketCap = 2)
+    assert(dropped.count() > 0)
+  }
+
+  test("frame sampling respects everyN through the whole composition") {
+    val (pairs, _) = Multimodal.videoNearDupPairs(
+      files, everyN = 2, FrameFakeTranscoder())
+    // frames 0 and 2 only: A-D share frame 0 of 2 -> 0.5 still
+    val ad = pairs.filter("video_a = '/media/vidA.mp4' AND " +
+      "video_b = '/media/vidD.mp4'").head()
+    assert(ad.getAs[Long]("n_frames_a") == 2L)
+    assert(ad.getAs[Double]("shared_frac") == 0.5)
+  }
+}

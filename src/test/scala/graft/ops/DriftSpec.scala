@@ -126,6 +126,33 @@ class DriftSpec extends SparkSpec {
     assert(prof.nonEmpty && prof.forall(_.isNullAt(0)))
   }
 
+  test("clamped_frac surfaces out-of-range mass a mis-sized bucketing " +
+      "would otherwise silently fold into the edge buckets") {
+    // ref fits the bucketing; cur has outgrown it: half its mass sits
+    // at >= (maxBucket+1)*width = 512 and one row is negative. Without
+    // the column, all of that folds into buckets 63/0 and the profile
+    // under-reads the drift (VERDICT r15 item 7).
+    val ref = (0 until 100).map(i => (i % 16).toDouble).toDF("v")
+    val cur = ((0 until 50).map(i => (i % 16).toDouble) ++
+      (0 until 49).map(i => 600.0 + i) :+ -3.0).toDF("v")
+    val row = Drift.tvd(ref, cur, "v", 8.0, 63).head()
+    assert(row.getAs[Double]("clamped_frac_ref") == 0.0)
+    assert(row.getAs[Double]("clamped_frac_cur") == 0.5)
+    // in-range values NEAR the top bucket do not count as clamped:
+    // bucket 63 covers [504, 512)
+    val edge = Seq(504.0, 511.9).toDF("v")
+    val e = Drift.tvd(ref, edge, "v", 8.0, 63).head()
+    assert(e.getAs[Double]("clamped_frac_cur") == 0.0)
+    // per-bucket profile carries the same per-slice constants
+    val prof = Drift.histogramProfile(ref, cur, "v", 8.0, 63)
+      .select("clamped_frac_cur").distinct().collect()
+    assert(prof.length == 1 && prof.head.getDouble(0) == 0.5)
+    // degenerate slice: clamped_frac nulls out like tvd does
+    val empty = Seq.empty[Double].toDF("v")
+    val d = Drift.tvd(ref, empty, "v", 8.0, 63).head()
+    assert(d.isNullAt(d.fieldIndex("clamped_frac_cur")))
+  }
+
   test("tv_num survives counts whose cross product overflows a long") {
     // 4e9 × 4e9 = 1.6e19 > Long.MaxValue: the pre-r15 long arithmetic
     // wrapped negative here; decimal(18,0)×decimal(18,0) is exact.

@@ -250,10 +250,23 @@ object CorpusCuration {
     * caller's unchanged one otherwise. Strip rates are the fraction
     * of gated text CHARS the standing dictionary removes (corpus
     * sample vs slice); `lengthTvd` is [[graft.ops.Drift.tvd]] over
-    * doc length, None when either side is empty after gating. */
+    * doc length, None when either side is empty after gating.
+    * `lengthClampedRef`/`lengthClampedCur` are Drift's clamped_frac
+    * per side: the fraction of length mass the histogram folded into
+    * its top bucket (docs longer than `(maxBucket+1)·
+    * lengthBucketWidth` ≈ 4 KB at the defaults). When BOTH are
+    * material the length instrument is saturated — a 5 KB→50 KB doc
+    * shift is invisible to `lengthTvd` in that regime — so a quiet
+    * tvd with high clamp fractions means "widen lengthBucketWidth",
+    * never "no drift" (VERDICT r15 item 7). Deliberately NOT a trip
+    * condition: saturation is a configuration alarm, and tripping the
+    * re-fit on it every night would flap without fixing the
+    * instrument. */
   final case class RefreshReport(
       refreshed: Boolean, stripRateRef: Double, stripRateCur: Double,
-      lengthTvd: Option[Double], indexes: Indexes)
+      lengthTvd: Option[Double],
+      lengthClampedRef: Option[Double], lengthClampedCur: Option[Double],
+      indexes: Indexes)
 
   /** The staleness alarm wired to the refresh action — the curation
     * twin of [[graft.ops.VectorDedupIndex.maybeRefit]], turning the
@@ -333,6 +346,8 @@ object CorpusCuration {
       .head()
     val lengthTvd = Option(tvdRow.getAs[java.lang.Double]("tvd"))
       .map(_.doubleValue())
+    def clamp(c: String): Option[Double] =
+      Option(tvdRow.getAs[java.lang.Double](c)).map(_.doubleValue())
 
     // curChars > 0: an empty (or fully-gated) slice must read as "no
     // evidence", not as total coverage loss
@@ -341,6 +356,7 @@ object CorpusCuration {
     val tvdTrip = lengthTvd.exists(_ > tvdThreshold)
     val trip = decayTrip || tvdTrip
     RefreshReport(trip, rateRef, rateCur, lengthTvd,
+      clamp("clamped_frac_ref"), clamp("clamped_frac_cur"),
       if (trip) refreshIndexes(accumulated, idx, idCol, textCol, dsir, cfg)
       else idx)
   }

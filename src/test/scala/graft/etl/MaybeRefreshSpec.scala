@@ -117,6 +117,28 @@ class MaybeRefreshSpec extends SparkSpec {
     assert(r.refreshed)
   }
 
+  test("saturated length instrument surfaces as clamped_frac, never " +
+      "as a silent quiet tvd") {
+    val idx = fitStanding()
+    // docs beyond the histogram's sight: > (maxBucket+1)*width = 4096
+    // chars at the defaults. Both slice docs clamp; the corpus doesn't.
+    val huge = "x" * 5000
+    val slice = Seq((100L, s"$H $huge"), (101L, s"$H $huge y"))
+      .toDF("doc_id", "text")
+    val r = CorpusCuration.maybeRefresh(
+      corpus.unionByName(slice), slice, idx, "doc_id", "text",
+      decayRatio = 0.001, cfg = cfg)
+    // ref = accumulated = corpus + slice: exactly the slice's 2 of 7
+    // docs clamp there; the slice itself is fully past the histogram
+    assert(r.lengthClampedRef.contains(2.0 / 7.0),
+      r.lengthClampedRef.toString)
+    assert(r.lengthClampedCur.contains(1.0), r.lengthClampedCur.toString)
+    // here the shift is still visible (corpus mass is far below the
+    // top bucket), but had the corpus ALSO sat past 4 KB the tvd would
+    // read ~0 — the clamp columns are what makes that case readable
+    assert(r.lengthTvd.exists(_ > 0.25))
+  }
+
   test("empty slice is a degenerate no-op and guards reject bad args") {
     val idx = fitStanding()
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -100,7 +100,15 @@ def main(out):
                l_suppkey + {{shift}} AS l_suppkey,
                l_linenumber, l_quantity, l_extendedprice, l_discount,
                l_tax, l_returnflag, l_linestatus, l_shipdate
-        FROM '{SRC}/lineitem.parquet'""", order_by="l_orderkey, l_linenumber")
+        FROM '{SRC}/lineitem.parquet'""",
+        # the synthetic lineitem has NO unique short key — even
+        # (l_orderkey, l_linenumber) repeats (the r16 assert caught
+        # ~143k tied rows/copy that the r15 "deterministic" fixture
+        # still left to DuckDB's unstable sort). Full rows ARE unique,
+        # so the full column list is the deterministic sort key.
+        order_by="l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+                 "l_quantity, l_extendedprice, l_discount, l_tax, "
+                 "l_returnflag, l_linestatus, l_shipdate")
     gen("events", f"""
         SELECT event_id + {{shift}} AS event_id, ts,
                user_id + {{shift}} AS user_id, event_type, value, props

@@ -64,9 +64,13 @@ final case class OnnxTransport(
 }
 
 /** Reflective onnxruntime client — see [[OnnxTransport]]. One
-  * instance per (executor JVM, cacheKey); `embed` is synchronized on
-  * the session because OrtSession.run is not documented thread-safe
-  * across concurrent calls with shared IO binding. */
+  * instance per (executor JVM, cacheKey); `embed` is deliberately
+  * UNSYNCHRONIZED: onnxruntime documents `OrtSession.run` as
+  * thread-safe for concurrent calls, and a per-executor lock here
+  * would serialize every task on the JVM behind one inference at a
+  * time — the opposite of the executor-singleton economics the cache
+  * exists for. (The stub runtime in the spec is stateless and
+  * thread-safe the same way.) */
 private final class OnnxClient(t: OnnxTransport, vocab: WordPiece)
     extends InferenceClient {
 
@@ -95,8 +99,8 @@ private final class OnnxClient(t: OnnxTransport, vocab: WordPiece)
         "LLM transport")
 
   override def embed(texts: Seq[String]): Seq[Array[Float]] =
-    session.synchronized {
-      if (texts.isEmpty) return Seq.empty
+    if (texts.isEmpty) Seq.empty
+    else {
       val encoded = texts.map(vocab.encode(_, t.maxSeqLen))
       val tLen = encoded.map(_.length).max
       val ids = encoded.map(e =>

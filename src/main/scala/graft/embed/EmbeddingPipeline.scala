@@ -81,14 +81,29 @@ object EmbeddingPipeline {
     * `get_product_details`, `:364-493`): embed the query, kNN over the
     * store, join metadata back, score = 1 - distance (V4).
     *
+    * `withTies = true` switches the contract from "some k rows in
+    * distance order" to SQL's `rank() <= k` (top-k WITH TIES): every
+    * row whose distance ≤ the k-th smallest distance is returned. The
+    * plain mode's result SET is ambiguous when a distance tie
+    * straddles the rank-k boundary — which members of the tie group
+    * the bounded heap keeps is internal order, so two engines (or two
+    * runs over differently-partitioned data) can legally disagree;
+    * with-ties includes the whole boundary group and is deterministic
+    * at ANY scale (the r16 sf1 check caught exactly this: v13's
+    * boundary landed inside a 6-member sqrt(7) tie group that sf0.01
+    * and sf0.1 don't produce). Cost: one extra store scan filtered by
+    * the k-th distance (broadcast, one row per query) — pay it when
+    * the result feeds a correctness contract; skip it for serving.
+    *
     * Contract: `store` is scanned TWICE (once by the kNN, once for the
-    * id→code join-back) — the reference's store is a materialized
-    * vector table and so should this one be; pass a read-from-disk or
-    * cached frame, not an expensive live computation (a computed store
-    * re-runs its whole upstream per scan, as v13 deliberately
-    * demonstrates at fixture scale). */
+    * id→code join-back; with-ties adds a third) — the reference's
+    * store is a materialized vector table and so should this one be;
+    * pass a read-from-disk or cached frame, not an expensive live
+    * computation (a computed store re-runs its whole upstream per
+    * scan, as v13 deliberately demonstrates at fixture scale). */
   def search(store: DataFrame, catalog: DataFrame,
-      queryText: String, embedder: TextEmbedder, k: Int): DataFrame = {
+      queryText: String, embedder: TextEmbedder, k: Int,
+      withTies: Boolean = false): DataFrame = {
     val spark = store.sparkSession
     val qvec = embedder.embedBatch(Seq(queryText)).head
     val queries = spark.createDataFrame(
@@ -100,13 +115,29 @@ object EmbeddingPipeline {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.FloatType)))))
     val withId = store.withColumn("__id", xxhash64(col("product_code")))
-    val hits = VectorSearch.knn(
+    val topk = VectorSearch.knn(
       withId, "__id", "embedding", queries, "qid", "qvec", k)
+    val hits =
+      if (!withTies) topk
+      else {
+        // rank() <= k ⟺ dist <= d_k, and d_k = max(dist) of ANY valid
+        // top-k — stable no matter which tie members the heap kept
+        val bound = topk.groupBy("query_id")
+          .agg(max(col("dist")).as("__bound"))
+        withId
+          .crossJoin(broadcast(queries.select(
+            col("qid").as("query_id"), col("qvec"))))
+          .withColumn("dist", call_function("graft_l2_distance",
+            col("embedding"), col("qvec")))
+          .join(broadcast(bound), Seq("query_id"))
+          .filter(col("dist") <= col("__bound"))
+          .select(col("query_id"), col("__id").as("id"), col("dist"))
+      }
     hits
       .join(withId.select(col("__id").as("id"), col("product_code")),
         Seq("id"))
       .join(catalog, Seq("product_code"), "left")
       .withColumn("score", lit(1.0) - col("dist"))
-      .drop("id", "query_id")
+      .drop("id", "query_id", "__bound")
   }
 }

@@ -566,13 +566,13 @@ object VectorSuite extends QuerySuite {
     * replays the exact degradation row-wise. */
   private[graft] val V13QueryText =
     "fresh strawberry cream cake" // md5 head '8': embeds
-  /** K is chosen so NO distance tie straddles the rank-K boundary at
-    * either fixture SF (K=8 had dist(8)==dist(9) at sf0.1 — the hit
-    * SET was then decided by the engine's internal tie order vs the
-    * oracle's doc_id order, i.e. cross-engine agreement by luck).
-    * V13BoundarySpec recomputes the boundary at both SFs and fails
-    * loudly if a fixture regeneration re-introduces a straddling tie
-    * — adjust K (or the query text) when it does. */
+  /** Since r16 the query runs `search(withTies = true)` — `rank() <=
+    * K` semantics — so the hit SET is deterministic at every SF even
+    * when a distance tie straddles the rank-K boundary (the pre-r16
+    * contract needed K tuned per fixture to dodge ties: K=8 had
+    * dist(8)==dist(9) at sf0.1, and the r16 sf1 check hit a 6-member
+    * straddle at K=17). V13BoundarySpec pins the with-ties contract
+    * against an independent recompute and a constructed straddle. */
   private[graft] val V13K = 17
 
   /** v13's persisted intermediates, one generation per session.
@@ -675,10 +675,15 @@ object VectorSuite extends QuerySuite {
       (s, dir) => {
         import graft.embed.{EmbeddingPipeline, ExternalEmbedder}
         val (store, catalog) = v13StoreCatalog(s, dir)
+        // withTies: rank() <= K semantics — the result SET is then
+        // deterministic at ANY scale, including boundary-straddling
+        // distance ties (the r16 sf1 check surfaced a 6-member
+        // sqrt(7) tie group at rank 17 that the fixture SFs never
+        // produce; heap-internal tie order vs the oracle's doc_id
+        // order disagreed on 3 members)
         EmbeddingPipeline.search(store, catalog, QueryText,
-            ExternalEmbedder(FlakyTransport, dim = 16), K)
-          // rank is tie-order-dependent (internal hash id); the SET of
-          // hits is the deterministic contract — project it away
+            ExternalEmbedder(FlakyTransport, dim = 16), K,
+            withTies = true)
           .select(col("product_code"), col("description"), col("lang"),
             col("dist"), col("score"))
       },
@@ -716,7 +721,7 @@ object VectorSuite extends QuerySuite {
       SELECT CAST(s.doc_id AS VARCHAR) AS product_code, f.description,
         f.lang, s.dist, 1.0 - s.dist AS score
       FROM scored s JOIN filled f ON f.doc_id = s.doc_id
-      QUALIFY row_number() OVER (ORDER BY s.dist, s.doc_id) <= $K"""))
+      QUALIFY rank() OVER (ORDER BY s.dist) <= $K"""))
   }
 
   /** v14 — IVF-cell-BLOCKED embedding near-dup (the corpus-scale form

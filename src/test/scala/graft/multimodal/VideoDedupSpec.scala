@@ -150,6 +150,21 @@ class VideoDedupSpec extends SparkSpec {
     assert(dropped.count() > 0)
   }
 
+  test("plan shape: the band join is an equi-join, never a cartesian " +
+      "product, and rasters never reach the shuffle") {
+    val (pairs, _) = Multimodal.videoNearDupPairs(
+      files, everyN = 1, FrameFakeTranscoder())
+    val p = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the 100 TB contract: candidates come from the (band, bkey)
+    // equi-join over (video, frame_idx, 64-bit hash) rows only — a
+    // cartesian product here would be all-pairs over all frames
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // no image/pixel column survives past the hash projection
+    assert(!p.contains("pixels"), "rasters reached the join plan")
+  }
+
   test("frame sampling respects everyN through the whole composition") {
     val (pairs, _) = Multimodal.videoNearDupPairs(
       files, everyN = 2, FrameFakeTranscoder())

@@ -61,6 +61,21 @@ def main(outdir, sfdir):
             n_fail += 1
             continue
         tbl = pq.read_table(spark_dir)
+        # the r15 c17 lesson: this checker's canon() collapses decimals
+        # via str() and passed a column the driver's stricter hash
+        # rejected. Fail loudly on any non-driver-stable output type so
+        # local green implies driver green (RegistryShapeSpec enforces
+        # the same contract in-JVM).
+        import pyarrow as pa
+        bad_types = [f"{f.name}: {f.type}" for f in tbl.schema
+                     if pa.types.is_decimal(f.type)
+                     or pa.types.is_float32(f.type)
+                     or pa.types.is_binary(f.type)]
+        if bad_types:
+            print(f"FAIL {name}: non-driver-stable output types "
+                  f"(cast at the projection boundary): {bad_types}")
+            n_fail += 1
+            continue
         s_cols = list(tbl.column_names)
         s_rows = [tuple(r.values()) for r in tbl.to_pylist()]
         try:

@@ -182,6 +182,8 @@ final class WordPiece private (vocab: Map[String, Int],
 
   /** [CLS] subwords… [SEP], truncated to maxSeqLen. */
   def encode(text: String, maxSeqLen: Int): Array[Long] = {
+    require(maxSeqLen >= 2,
+      s"maxSeqLen must fit [CLS]+[SEP], got $maxSeqLen")
     val out = scala.collection.mutable.ArrayBuffer[Long](clsId.toLong)
     val budget = maxSeqLen - 1 // room for [SEP]
     val words = basicTokens(if (text == null) "" else text)

@@ -52,7 +52,14 @@ final case class OnnxTransport(
     lowercase: Boolean = true,
     withTokenTypeIds: Boolean = false) extends InferenceTransport {
 
-  override def cacheKey: String = s"onnx:$runtimePath:$modelPath"
+  // Every field that changes embed() output is part of the key —
+  // the InferenceClientCache contract is "same key ⇒ same behavior",
+  // and two transports differing only in tokenizer config must NOT
+  // share a client (ADVICE r16: the second would silently inherit
+  // the first's vocab and emit wrong embeddings).
+  override def cacheKey: String =
+    s"onnx:$runtimePath:$modelPath:$vocabPath:$maxSeqLen:$lowercase:" +
+      s"$withTokenTypeIds"
 
   override def connect(): InferenceClient = {
     require(Files.exists(Paths.get(runtimePath)),
@@ -107,6 +114,9 @@ private final class OnnxClient(t: OnnxTransport, vocab: WordPiece)
         e ++ Array.fill(tLen - e.length)(vocab.padId.toLong)).toArray
       val mask = encoded.map(e =>
         Array.fill(e.length)(1L) ++ Array.fill(tLen - e.length)(0L)).toArray
+      // Input OnnxTensors hold NATIVE memory released only by close()
+      // — closing the Result alone leaks every batch's inputs on the
+      // live path (ADVICE r16; the stub runtime can't surface this).
       val inputs = new java.util.LinkedHashMap[String, Object]()
       inputs.put("input_ids",
         createTensor.invoke(null, env, ids))
@@ -115,21 +125,26 @@ private final class OnnxClient(t: OnnxTransport, vocab: WordPiece)
       if (t.withTokenTypeIds)
         inputs.put("token_type_ids", createTensor.invoke(null, env,
           ids.map(r => new Array[Long](r.length))))
-      val result = runM.invoke(session, inputs)
       try {
-        val value = result.getClass.getMethod("get", classOf[Int])
-          .invoke(result, Integer.valueOf(0))
-        val raw = value.getClass.getMethod("getValue").invoke(value)
-        raw match {
-          case hidden: Array[Array[Array[Float]]] => // B×T×H: pool
-            hidden.zip(mask).map { case (tok, m) =>
-              normalize(meanPool(tok, m)) }.toSeq
-          case pooled: Array[Array[Float]] => // already B×H
-            pooled.map(normalize).toSeq
-          case other => throw new IllegalStateException(
-            s"unexpected ONNX output shape: ${other.getClass}")
+        val result = runM.invoke(session, inputs)
+        try {
+          val value = result.getClass.getMethod("get", classOf[Int])
+            .invoke(result, Integer.valueOf(0))
+          val raw = value.getClass.getMethod("getValue").invoke(value)
+          raw match {
+            case hidden: Array[Array[Array[Float]]] => // B×T×H: pool
+              hidden.zip(mask).map { case (tok, m) =>
+                normalize(meanPool(tok, m)) }.toSeq
+            case pooled: Array[Array[Float]] => // already B×H
+              pooled.map(normalize).toSeq
+            case other => throw new IllegalStateException(
+              s"unexpected ONNX output shape: ${other.getClass}")
+          }
+        } finally result match {
+          case c: AutoCloseable => c.close()
+          case _ => ()
         }
-      } finally result match {
+      } finally inputs.values.forEach {
         case c: AutoCloseable => c.close()
         case _ => ()
       }

@@ -187,7 +187,10 @@ object Multimodal {
         // per-JVM session via the cache — tasks share one codec handle
         lazy val session = TranscoderCache.get(transcoder)
         it.map { f =>
-          if (isWav(f.content)) (f.path, Option(f))
+          // pass-through rows re-kind too: a video-kind row whose bytes
+          // are already RIFF/WAVE is audio from here on, same as the
+          // transcoded rows (ADVICE r16 — downstream filters on kind)
+          if (isWav(f.content)) (f.path, Option(f.copy(kind = "audio")))
           else scala.util.Try(session.transcodeAudio(f.content)) match {
             case scala.util.Success(wav) =>
               (f.path, Option(f.copy(kind = "audio",
@@ -225,12 +228,13 @@ object Multimodal {
     * multimodal twin of [[graft.ops.VectorDedupIndex]]'s probePairs
     * and the composition VERDICT r15 item 8 asked for, as ONE call:
     * [[containerFrames]] (every `everyN`th frame through the
-    * [[Transcoder]] seam) → [[PHash.phash64]] per frame → 4×16-bit
-    * band blocking → capped equi-join candidates → exact Hamming
-    * verify → per-video-pair rollup. Two videos are near-dups when a
-    * large fraction of one's keyframes each have a ≤`hammingMax`-bit
-    * match in the other (re-encodes, resizes, watermarks survive
-    * pHash; cuts/edits lower the fraction).
+    * [[Transcoder]] seam) → [[PHash.phash64]] per frame →
+    * [[videoPairsFromFrameHashes]] (the relational half: band
+    * blocking → capped candidates → exact Hamming verify →
+    * per-video-pair rollup). Two videos are near-dups when a large
+    * fraction of one's keyframes each have a ≤`hammingMax`-bit match
+    * in the other (re-encodes, resizes, watermarks survive pHash;
+    * cuts/edits lower the fraction).
     *
     * Returns (pairs, droppedBands): pairs =
     * (video_a, video_b, matched_a, matched_b, n_frames_a, n_frames_b,
@@ -239,31 +243,57 @@ object Multimodal {
     * (≥ 0.5 is the usual near-dup band); droppedBands is the
     * [[graft.ops.Blocking.capBuckets]] report (flat-content frames —
     * test patterns, black frames — make hot bands; they are dropped
-    * AND reported, never silent, the d11 stance).
-    *
-    * Scale shape (100 TB of video): decode+hash is one pure map pass
-    * per frame — no shuffle until the band join, which carries only
-    * (video, frame_idx, 64-bit hash)×4 rows, never rasters or bytes;
-    * candidate fan-out is bounded by `bucketCap`; the rollup
-    * aggregates the verified pairs only. Same-video matches are
-    * excluded before the verify, so self-similar videos (title
-    * cards) cost candidates, not results. */
+    * AND reported, never silent, the d11 stance). */
   def videoNearDupPairs(files: Dataset[MediaFile], everyN: Int,
       transcoder: Transcoder, hammingMax: Int = 10,
-      bucketCap: Int = 10000): (DataFrame, DataFrame) = {
+      bucketCap: Int = 10000, bands: Int = 4): (DataFrame, DataFrame) = {
     import files.sparkSession.implicits._
-    require(hammingMax <= 15,
-      "4-band blocking only guarantees recall for hammingMax <= 15")
     val hashed = containerFrames(files, everyN, transcoder)
       .map(f => (f.path, f.frameIdx, PHash.phash64(f.image)))
       .toDF("video", "frame_idx", "phash")
+    videoPairsFromFrameHashes(hashed, hammingMax, bucketCap, bands)
+  }
+
+  /** The relational half of [[videoNearDupPairs]], over an already
+    * hashed (video: string, frame_idx, phash: long) frame table —
+    * factored out so a standing frame-hash index (hash once, probe
+    * nightly) and the DuckDB oracle (m01) drive the exact code the
+    * end-to-end path runs.
+    *
+    * Recall contract (ADVICE r16 — the old require overclaimed):
+    * exact-equality blocking on `bands` disjoint hash slices
+    * guarantees a candidate pair only for Hamming distance ≤ bands−1
+    * (pigeonhole: `bands` differing bits can land one per band, so no
+    * band matches). A `hammingMax` above bands−1 is BEST-EFFORT LSH —
+    * near-dup pHashes concentrate their few flipped bits, so most
+    * real pairs still share a clean band, but spread-bit diffs can be
+    * missed. Callers needing a hard guarantee at larger distances
+    * raise `bands` (64/bands-bit keys: 8 bands guarantees h ≤ 7) and
+    * accept hotter buckets — fewer key bits per band means more
+    * false candidates, which is exactly the `bucketCap` + dropped
+    * report trade.
+    *
+    * Scale shape (100 TB of video): decode+hash is one pure map pass
+    * per frame — no shuffle until the band join, which carries only
+    * (video, frame_idx, 64-bit hash)×bands rows, never rasters or
+    * bytes; candidate fan-out is bounded by `bucketCap`; the rollup
+    * aggregates the verified pairs only. Same-video matches are
+    * excluded before the verify, so self-similar videos (title
+    * cards) cost candidates, not results. */
+  def videoPairsFromFrameHashes(hashed: DataFrame, hammingMax: Int = 10,
+      bucketCap: Int = 10000, bands: Int = 4): (DataFrame, DataFrame) = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(hammingMax >= 0, s"hammingMax must be >= 0, got $hammingMax")
+    val bandBits = 64 / bands
+    val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
     val nFrames = hashed.groupBy("video")
       .agg(count(lit(1)).as("n_frames"))
     val banded = hashed.select(col("video"), col("frame_idx"),
-      col("phash"), explode(array((0 until 4).map(b =>
+      col("phash"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("phash"), b * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("blk"))
+          shiftrightunsigned(col("phash"), b * bandBits)
+            .bitwiseAND(lit(bandMask)).as("bkey"))): _*)).as("blk"))
       .select(col("video"), col("frame_idx"), col("phash"),
         col("blk.band").as("band"), col("blk.bkey").as("bkey"))
     val (kept, dropped) =

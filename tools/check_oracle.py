@@ -67,10 +67,26 @@ def main(outdir, sfdir):
         # local green implies driver green (RegistryShapeSpec enforces
         # the same contract in-JVM).
         import pyarrow as pa
+
+        def unstable(t):
+            # recurse into containers (ADVICE r16: a list<float32> or
+            # struct<decimal> passed the top-level-only check, making
+            # this guard weaker than the in-JVM RegistryShapeSpec)
+            if (pa.types.is_decimal(t) or pa.types.is_float32(t)
+                    or pa.types.is_binary(t) or pa.types.is_large_binary(t)
+                    or pa.types.is_fixed_size_binary(t)):
+                return True
+            if (pa.types.is_list(t) or pa.types.is_large_list(t)
+                    or pa.types.is_fixed_size_list(t)):
+                return unstable(t.value_type)
+            if pa.types.is_struct(t):
+                return any(unstable(t.field(i).type) for i in range(t.num_fields))
+            if pa.types.is_map(t):
+                return unstable(t.key_type) or unstable(t.item_type)
+            return False
+
         bad_types = [f"{f.name}: {f.type}" for f in tbl.schema
-                     if pa.types.is_decimal(f.type)
-                     or pa.types.is_float32(f.type)
-                     or pa.types.is_binary(f.type)]
+                     if unstable(f.type)]
         if bad_types:
             print(f"FAIL {name}: non-driver-stable output types "
                   f"(cast at the projection boundary): {bad_types}")

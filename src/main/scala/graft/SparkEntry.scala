@@ -17,7 +17,7 @@ object SparkEntry {
   private val suites: Seq[QuerySuite] = Seq(
     RelationalSuite, JoinsSuite, FunctionsSuite, EventsSuite, WindowSuite,
     VectorSuite, DedupSuite, TextSuite, SketchSuite, ProfileSuite,
-    CurationSuite, BenchSuite)
+    CurationSuite, BenchSuite, MultimodalSuite)
 
   private lazy val all: Seq[GraftQuery] = suites.flatMap(_.suite)
 

@@ -36,7 +36,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("the registry is at its committed size (catches silent drops)") {
-    assert(SparkEntry.queries.size === 172,
+    assert(SparkEntry.queries.size === 173,
       s"oracle surface moved: ${SparkEntry.queries.size} (update the docs!)")
     assert(SparkEntry.benchOnlyQueries.size === 27,
       s"bench arms moved: ${SparkEntry.benchOnlyQueries.size}")

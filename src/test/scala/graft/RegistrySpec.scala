@@ -109,4 +109,38 @@ class RegistryShapeSpec extends SparkSpec {
         s"the projection boundary, mirroring the cast in the oracle " +
         s"SQL — see c17, r15): " + offenders.mkString("; "))
   }
+
+  /** The v13 lesson generalized (VERDICT r16 item 5): a top-k whose
+    * sort key can TIE at the boundary returns an arbitrary member of
+    * the tie group — correct at every SF where the fixture happens not
+    * to tie there, then red the first time a tie straddles rank k (v13
+    * hit this only at sf1). EmbeddingPipeline.search fixed its own
+    * instance with rank()<=k with-ties; the other global top-k
+    * operators on the oracle surface (TakeOrderedAndProject and the
+    * KnnTopK rewrite — v08/x04/r14 family) must instead be TOTAL
+    * orders: a tiebreak key after the value key makes the selected set
+    * unique regardless of ties, at every scale. Pin it structurally:
+    * no single-key global top-k node may appear in any oracle-surface
+    * physical plan. (Window-rank group top-ks are covered by the same
+    * rule at authoring time; they don't surface as a dedicated node,
+    * so the existing per-query oracles carry them.) */
+  test("every global top-k node on the oracle surface has a tiebreak key") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, run) =>
+        try {
+          run(spark, dir).queryExecution.sparkPlan.collect {
+            case t: TakeOrderedAndProjectExec if t.sortOrder.size < 2 =>
+              s"$name: TakeOrderedAndProject(${t.sortOrder.mkString(", ")})"
+            case k: graft.plans.KnnTopKExec if k.order.size < 2 =>
+              s"$name: KnnTopK(${k.order.mkString(", ")})"
+          }
+        } finally graft.queries.BenchSuite.PinnedConfKeys
+          .foreach(spark.conf.unset)
+    }
+    assert(offenders.isEmpty,
+      s"single-key global top-k can straddle a tie group at some SF " +
+        s"(the v13 class) — add a unique tiebreak to the orderBy in " +
+        s"both engines: " + offenders.mkString("; "))
+  }
 }

@@ -282,20 +282,12 @@ object Multimodal {
     * cards) cost candidates, not results. */
   def videoPairsFromFrameHashes(hashed: DataFrame, hammingMax: Int = 10,
       bucketCap: Int = 10000, bands: Int = 4): (DataFrame, DataFrame) = {
-    require(bands >= 1 && 64 % bands == 0,
-      s"bands must divide 64, got $bands")
     require(hammingMax >= 0, s"hammingMax must be >= 0, got $hammingMax")
-    val bandBits = 64 / bands
-    val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
     val nFrames = hashed.groupBy("video")
       .agg(count(lit(1)).as("n_frames"))
-    val banded = hashed.select(col("video"), col("frame_idx"),
-      col("phash"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("phash"), b * bandBits)
-            .bitwiseAND(lit(bandMask)).as("bkey"))): _*)).as("blk"))
-      .select(col("video"), col("frame_idx"), col("phash"),
-        col("blk.band").as("band"), col("blk.bkey").as("bkey"))
+    // banding shared with the standing index so the batch path and
+    // [[VideoFrameIndex.probePairs]] can never drift
+    val banded = VideoFrameIndex.bandRows(hashed, bands)
     val (kept, dropped) =
       graft.ops.Blocking.capBuckets(banded, Seq("band", "bkey"), bucketCap)
     val a = kept.select(col("band"), col("bkey"),

@@ -10,7 +10,7 @@ single-node throughput at the same scale while keeping a distributed
 plan shape. Writes duckdb_bench.json: {query: steady_sec} (min over
 iters, first iteration separate as cold).
 """
-import sys, json, time
+import os, sys, json, time, threading
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -23,23 +23,44 @@ def main(outdir, sfdir, iters=3):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     steady, cold = {}, {}
+    # optional per-query-iteration watchdog (DUCKDB_BENCH_CAP_SEC, 0 =
+    # off): at sf1 the intentionally-quadratic verifier twins (v05/v09
+    # class) can run for hours in DuckDB — record -2.0 (timed out, cited
+    # separately) instead of stalling the whole comparison. interrupt()
+    # from the main thread is duckdb's supported cancellation path.
+    cap = float(os.environ.get("DUCKDB_BENCH_CAP_SEC", "0"))
     for name, sql in sorted(oracle.items()):
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            try:
-                con.sql(sql).fetchall()
-            except Exception as e:
-                print(f"ERR {name}: {e}")
+            err = [None]
+            def run():
+                try:
+                    con.sql(sql).fetchall()
+                except Exception as e:
+                    err[0] = e
+            th = threading.Thread(target=run, daemon=True)
+            th.start()
+            th.join(cap if cap > 0 else None)
+            if th.is_alive():
+                con.interrupt()
+                th.join(60)
+                print(f"TIMEOUT {name} > {cap}s")
+                times.append(-2.0)
+                break
+            if err[0] is not None:
+                print(f"ERR {name}: {err[0]}")
                 times.append(-1.0)
                 break
             times.append(time.perf_counter() - t0)
         ok = [t for t in times if t >= 0]
-        steady[name] = min(ok) if ok else -1.0
+        steady[name] = min(ok) if ok else times[-1]
         cold[name] = times[0]
         print(f"{name:28s} steady={steady[name]:.3f} cold={cold[name]:.3f}")
     total = sum(v for v in steady.values() if v >= 0)
+    timed_out = sorted(k for k, v in steady.items() if v == -2.0)
     out = {"sf_dir": sfdir, "iters": iters, "total_steady_sec": round(total, 3),
+           "cap_sec": cap, "timed_out": timed_out,
            "steady": steady, "cold": cold}
     json.dump(out, open("duckdb_bench.json", "w"), indent=1)
     print(f"== duckdb total steady {total:.1f} s over {len(steady)} queries ==")

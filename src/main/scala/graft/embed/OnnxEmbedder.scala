@@ -117,15 +117,19 @@ private final class OnnxClient(t: OnnxTransport, vocab: WordPiece)
       // Input OnnxTensors hold NATIVE memory released only by close()
       // — closing the Result alone leaks every batch's inputs on the
       // live path (ADVICE r16; the stub runtime can't surface this).
+      // The map is built INSIDE the guarded region (ADVICE r17): a
+      // mid-creation throw (native alloc failure on the 2nd/3rd
+      // tensor) must still close the tensors already created, and a
+      // close() that throws must not skip the remaining tensors.
       val inputs = new java.util.LinkedHashMap[String, Object]()
-      inputs.put("input_ids",
-        createTensor.invoke(null, env, ids))
-      inputs.put("attention_mask",
-        createTensor.invoke(null, env, mask))
-      if (t.withTokenTypeIds)
-        inputs.put("token_type_ids", createTensor.invoke(null, env,
-          ids.map(r => new Array[Long](r.length))))
       try {
+        inputs.put("input_ids",
+          createTensor.invoke(null, env, ids))
+        inputs.put("attention_mask",
+          createTensor.invoke(null, env, mask))
+        if (t.withTokenTypeIds)
+          inputs.put("token_type_ids", createTensor.invoke(null, env,
+            ids.map(r => new Array[Long](r.length))))
         val result = runM.invoke(session, inputs)
         try {
           val value = result.getClass.getMethod("get", classOf[Int])
@@ -144,9 +148,13 @@ private final class OnnxClient(t: OnnxTransport, vocab: WordPiece)
           case c: AutoCloseable => c.close()
           case _ => ()
         }
-      } finally inputs.values.forEach {
-        case c: AutoCloseable => c.close()
-        case _ => ()
+      } finally inputs.values.forEach { v =>
+        // per-tensor tolerance: cleanup failure of one tensor must
+        // not leak the rest (and must not mask the primary exception)
+        try v match {
+          case c: AutoCloseable => c.close()
+          case _ => ()
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
     }
 

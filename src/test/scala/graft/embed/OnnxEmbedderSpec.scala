@@ -67,12 +67,48 @@ object OnnxStubRuntime {
         |      OrtSession.SessionOptions o) { return new OrtSession(path); }
         |}""".stripMargin,
     "OnnxTensor" ->
+      // AutoCloseable like the real OnnxTensor, with fault injection
+      // + lifecycle logging driven by SYSTEM PROPERTIES (JVM-global,
+      // so the spec reaches across the client's private classloader):
+      // failOn=N throws on the Nth createTensor (native alloc
+      // failure), throwOnClose=N throws from that tensor's close(),
+      // log=<file> appends created-N/closed-N events. All default
+      // off, so the happy-path tests see the plain stub.
       """package ai.onnxruntime;
-        |public class OnnxTensor {
+        |public class OnnxTensor implements AutoCloseable {
         |  public final Object data;
-        |  private OnnxTensor(Object d) { data = d; }
-        |  public static OnnxTensor createTensor(OrtEnvironment env,
-        |      Object data) { return new OnnxTensor(data); }
+        |  public final int seq;
+        |  private static int calls = 0;
+        |  private OnnxTensor(Object d, int s) { data = d; seq = s; }
+        |  public static synchronized OnnxTensor createTensor(
+        |      OrtEnvironment env, Object data) {
+        |    calls++;
+        |    if (String.valueOf(calls).equals(
+        |        System.getProperty("graft.onnx.stub.failOn", "")))
+        |      throw new RuntimeException(
+        |        "stub native alloc failure on createTensor call " + calls);
+        |    log("created-" + calls);
+        |    return new OnnxTensor(data, calls);
+        |  }
+        |  public void close() {
+        |    log("closed-" + seq);
+        |    if (String.valueOf(seq).equals(
+        |        System.getProperty("graft.onnx.stub.throwOnClose", "")))
+        |      throw new RuntimeException("stub close failure " + seq);
+        |  }
+        |  private static void log(String ev) {
+        |    String f = System.getProperty("graft.onnx.stub.log", "");
+        |    if (f.isEmpty()) return;
+        |    try {
+        |      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        |        java.util.Arrays.asList(ev),
+        |        java.nio.charset.StandardCharsets.UTF_8,
+        |        java.nio.file.StandardOpenOption.CREATE,
+        |        java.nio.file.StandardOpenOption.APPEND);
+        |    } catch (java.io.IOException e) {
+        |      throw new RuntimeException(e);
+        |    }
+        |  }
         |}""".stripMargin,
     "OnnxValue" ->
       """package ai.onnxruntime;
@@ -215,5 +251,56 @@ class OnnxStubRuntimeSpec extends SparkSpec {
     intercept[UnsupportedOperationException] {
       transport().connect().complete(Seq("prompt"))
     }
+  }
+
+  /** run `body` with stub fault-injection props set, reading back the
+    * created-N/closed-N event log; props always cleared after. */
+  private def withStubLog(props: (String, String)*)(body: => Unit)
+      : Seq[String] = {
+    val log = Files.createTempFile("onnx_stub_log", ".txt")
+    Files.deleteIfExists(log)
+    System.setProperty("graft.onnx.stub.log", log.toString)
+    props.foreach { case (k, v) => System.setProperty(k, v) }
+    try {
+      body
+      if (Files.exists(log))
+        Files.readAllLines(log).toArray(Array.empty[String]).toSeq
+      else Seq.empty
+    } finally {
+      System.clearProperty("graft.onnx.stub.log")
+      props.foreach { case (k, _) => System.clearProperty(k) }
+    }
+  }
+
+  test("a mid-creation failure closes the already-created tensors " +
+      "(ADVICE r17: no leak window before the try)") {
+    val events = withStubLog("graft.onnx.stub.failOn" -> "2") {
+      val client = transport().connect()
+      val e = intercept[java.lang.reflect.InvocationTargetException] {
+        client.embed(Seq("hello world"))
+      }
+      assert(e.getCause.getMessage.contains("native alloc failure"),
+        e.getCause.getMessage)
+    }
+    // tensor 1 (input_ids) was created before attention_mask's
+    // creation threw — the finally must have closed it
+    assert(events.contains("created-1"), events)
+    assert(events.contains("closed-1"), events)
+    assert(!events.exists(_.startsWith("created-2")), events)
+  }
+
+  test("a throwing close() does not skip the remaining tensors " +
+      "and does not fail the batch") {
+    val events = withStubLog("graft.onnx.stub.throwOnClose" -> "1") {
+      val client = transport().connect()
+      // the embed itself must SUCCEED: cleanup failure of one tensor
+      // is tolerated per-tensor, never surfaced as a batch failure
+      val out = client.embed(Seq("hello world"))
+      assert(out.length == 1 && out(0).length == OnnxStubRuntime.H)
+    }
+    // both input tensors saw a close() attempt despite tensor 1's
+    // close throwing
+    assert(events.contains("closed-1"), events)
+    assert(events.contains("closed-2"), events)
   }
 }

@@ -8,7 +8,12 @@ import graft.SparkSpec
 /** [[VideoFrameIndex]] — the standing frame-hash index: probe finds
   * exactly the band-blocked Hamming matches a brute-force reference
   * computes, reads only the batch's partitions (PartitionFilters),
-  * and N admits ≡ one rebuild. */
+  * N admits ≡ one rebuild, the banding travels WITH the index
+  * (ADVICE r17: a bands-mismatched probe fails loudly instead of
+  * silently joining 16-bit keys against 8-bit keys), hot corpus
+  * buckets are capped AND reported, and the composed nightly
+  * lifecycle (probe → gate → admit) is equivalent to one gated
+  * rebuild. */
 class VideoFrameIndexSpec extends SparkSpec {
   import spark.implicits._
 
@@ -61,7 +66,8 @@ class VideoFrameIndexSpec extends SparkSpec {
     val path = java.nio.file.Files
       .createTempDirectory("vframe_idx").toString
     VideoFrameIndex.writeIndex(corpus, path)
-    val got = VideoFrameIndex.probePairs(spark, path, batch, hammingMax = 6)
+    val got =
+      VideoFrameIndex.probePairs(spark, path, batch, hammingMax = 6)._1
     got.collect() // finalize AQE before reading the executed plan
     val gotSet = got
       .select("corpus_video", "new_video", "matched_corpus", "matched_new")
@@ -94,7 +100,7 @@ class VideoFrameIndexSpec extends SparkSpec {
     val batch2 = (0 until 8).map(f => ("m0", f.toLong, hash(8, f)))
       .toDF("video", "frame_idx", "phash")
     def probe(p: String) =
-      VideoFrameIndex.probePairs(spark, p, batch2, hammingMax = 6)
+      VideoFrameIndex.probePairs(spark, p, batch2, hammingMax = 6)._1
         .select("corpus_video", "new_video", "matched_corpus",
           "matched_new", "n_frames_new", "new_frac")
         .as[(String, String, Long, Long, Long, Double)].collect().toSet
@@ -110,6 +116,128 @@ class VideoFrameIndexSpec extends SparkSpec {
     VideoFrameIndex.writeIndex(corpus, path)
     val empty = Seq.empty[(String, Long, Long)]
       .toDF("video", "frame_idx", "phash")
-    assert(VideoFrameIndex.probePairs(spark, path, empty).count() === 0)
+    val (pairs, dropped) = VideoFrameIndex.probePairs(spark, path, empty)
+    assert(pairs.count() === 0)
+    assert(dropped.count() === 0)
+  }
+
+  test("banding travels with the index: mismatched probe/admit fail loudly") {
+    val path = java.nio.file.Files
+      .createTempDirectory("vframe_bands").toString
+    VideoFrameIndex.writeIndex(corpus, path, bands = 8)
+    assert(VideoFrameIndex.indexBands(spark, path) === 8)
+    // the exact ADVICE r17 scenario: written at 8, probed at the
+    // default 4 — must throw, not return (near-)empty pairs
+    val e = intercept[IllegalArgumentException] {
+      VideoFrameIndex.probePairs(spark, path, batch, hammingMax = 6)
+    }
+    assert(e.getMessage.contains("bands=8") &&
+      e.getMessage.contains("bands=4"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      VideoFrameIndex.admitBatch(batch, path) // default 4 vs built 8
+    }
+    // matching bands works, and 8 bands GUARANTEES recall at h ≤ 7
+    // (the honest-contract parameterization, Multimodal.scala doc)
+    val got = VideoFrameIndex
+      .probePairs(spark, path, batch, hammingMax = 6, bands = 8)._1
+      .select("corpus_video", "new_video", "matched_corpus", "matched_new")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == wantPairs(corpus, batch), s"got $got")
+  }
+
+  test("pre-sidecar index: bands derived from partition directories") {
+    val path = java.nio.file.Files
+      .createTempDirectory("vframe_legacy").toString
+    VideoFrameIndex.writeIndex(corpus, path, bands = 8)
+    // simulate an index written before the sidecar existed
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(path, VideoFrameIndex.MetaFile))
+    assert(VideoFrameIndex.indexBands(spark, path) === 8)
+    val got = VideoFrameIndex
+      .probePairs(spark, path, batch, hammingMax = 6, bands = 8)._1
+    assert(got.count() > 0)
+  }
+
+  test("compactIndex carries the banding sidecar to the rewrite") {
+    val path = java.nio.file.Files
+      .createTempDirectory("vframe_cmp_in").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("vframe_cmp_out").toString
+    VideoFrameIndex.writeIndex(corpus, path, bands = 8)
+    VideoFrameIndex.compactIndex(spark, path, out)
+    assert(VideoFrameIndex.indexBands(spark, out) === 8)
+    intercept[IllegalArgumentException] {
+      VideoFrameIndex.probePairs(spark, out, batch) // default 4 vs 8
+    }
+  }
+
+  test("hot corpus buckets are capped AND reported, never unbounded") {
+    // 30 flat videos (test patterns / black frames): every frame the
+    // SAME phash — 120 corpus rows per band bucket, the fan-out case
+    val flatHash = hash(77, 0)
+    val flat = (for (v <- 0 until 30; f <- 0 until 4)
+      yield (s"f$v", f.toLong, flatHash))
+      .toDF("video", "frame_idx", "phash")
+    val path = java.nio.file.Files
+      .createTempDirectory("vframe_hot").toString
+    VideoFrameIndex.writeIndex(corpus.unionByName(flat), path)
+    // batch: n0 near-dups c0 (normal), nf is another flat video
+    val nf = (0 until 4).map(f => ("nf", f.toLong, flatHash))
+      .toDF("video", "frame_idx", "phash")
+    val probeBatch = batch.filter(col("video") === "n0").unionByName(nf)
+    val (pairs, dropped) = VideoFrameIndex.probePairs(
+      spark, path, probeBatch, hammingMax = 6, bucketCap = 50)
+    // the flat buckets (4 bands × 120 rows) are dropped and reported;
+    // the normal near-dup survives untouched
+    val droppedRows = dropped.as[(Int, Long, Long)].collect()
+    assert(droppedRows.length === 4, droppedRows.mkString(","))
+    assert(droppedRows.forall(_._3 === 120L), droppedRows.mkString(","))
+    val pairSet = pairs.select("corpus_video", "new_video")
+      .as[(String, String)].collect().toSet
+    assert(pairSet === Set(("c0", "n0")), pairSet)
+    // and without the cap the flat family floods the result
+    val (uncapped, noDrop) = VideoFrameIndex.probePairs(
+      spark, path, probeBatch, hammingMax = 6)
+    assert(noDrop.count() === 0)
+    assert(uncapped.filter(col("new_video") === "nf").count() === 30)
+  }
+
+  test("nightly lifecycle: probe → gate → admit ≡ one gated rebuild") {
+    val path = java.nio.file.Files
+      .createTempDirectory("vframe_life").toString
+    VideoFrameIndex.writeIndex(corpus, path)
+    // night 1: n0 is a full near-dup of c0 (dup_frac 1.0 → reject),
+    // n1 half-overlaps c2 (0.5 < 0.6 → admit), n2 novel (admit)
+    val (dec1, _) = VideoFrameIndex.nightlyIngest(
+      spark, path, batch, dupFrac = 0.6, hammingMax = 6)
+    val d1 = dec1.as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(d1("n0") === ((1.0, false)), d1)
+    assert(d1("n1") === ((0.5, true)), d1)
+    assert(d1("n2") === ((0.0, true)), d1)
+    // night 2: m0 half-overlaps night-1-ADMITTED n1 (admit at 0.5),
+    // m1 near-dups night-1-ADMITTED n2 — the gate must see
+    // yesterday's admits and reject it (dup_frac 1.0)
+    val night2 = ((0 until 8).map(f => ("m0", f.toLong, hash(8, f))) ++
+      (0 until 8).map(f => ("m1", f.toLong, hash(9, f) ^ 3L)))
+      .toDF("video", "frame_idx", "phash")
+    val (dec2, _) = VideoFrameIndex.nightlyIngest(
+      spark, path, night2, dupFrac = 0.6, hammingMax = 6)
+    val d2 = dec2.as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(d2("m0") === ((0.5, true)), d2)
+    assert(d2("m1") === ((1.0, false)), d2)
+    // two gated nights ≡ one rebuild over corpus + every ADMITTED
+    // video (rejects excluded) — the index rows are identical
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("vframe_life_rb").toString
+    val admitted = batch.filter(col("video").isin("n1", "n2"))
+      .unionByName(night2.filter(col("video") === "m0"))
+    VideoFrameIndex.writeIndex(corpus.unionByName(admitted), rebuilt)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("video"), col("frame_idx"), col("phash"),
+        col("band").cast("int"), col("bgroup").cast("int"), col("bkey"))
+      .as[(String, Long, Long, Int, Int, Long)].collect().toSet
+    assert(rows(path) === rows(rebuilt))
   }
 }

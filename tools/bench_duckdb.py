@@ -17,12 +17,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def main(outdir, sfdir, iters=3):
+def fresh_con(sfdir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    return con
+
+
+def main(outdir, sfdir, iters=3):
+    con = fresh_con(sfdir)
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     steady, cold = {}, {}
+    zombies = []
     # optional per-query-iteration watchdog (DUCKDB_BENCH_CAP_SEC, 0 =
     # off): at sf1 the intentionally-quadratic verifier twins (v05/v09
     # class) can run for hours in DuckDB — record -2.0 (timed out, cited
@@ -34,9 +40,13 @@ def main(outdir, sfdir, iters=3):
         for _ in range(iters):
             t0 = time.perf_counter()
             err = [None]
+            run_con = con  # close over THIS connection: a later rebind
+            # of `con` (zombie recovery) must not hand the new
+            # connection to a worker started against the old one
+
             def run():
                 try:
-                    con.sql(sql).fetchall()
+                    run_con.sql(sql).fetchall()
                 except Exception as e:
                     err[0] = e
             th = threading.Thread(target=run, daemon=True)
@@ -45,6 +55,18 @@ def main(outdir, sfdir, iters=3):
             if th.is_alive():
                 con.interrupt()
                 th.join(60)
+                if th.is_alive():
+                    # interrupt() + 60 s grace did not stop the worker:
+                    # it still uses this connection, and DuckDBPyConnection
+                    # is not safe for concurrent use from two threads —
+                    # continuing on it could corrupt every remaining
+                    # measurement (ADVICE r17). Abandon the connection to
+                    # the zombie and reopen a fresh one for the rest of
+                    # the sweep; record the event in the artifact.
+                    print(f"ZOMBIE {name}: worker outlived interrupt — "
+                          "reopening connection")
+                    zombies.append(name)
+                    con = fresh_con(sfdir)
                 print(f"TIMEOUT {name} > {cap}s")
                 times.append(-2.0)
                 break
@@ -60,7 +82,7 @@ def main(outdir, sfdir, iters=3):
     total = sum(v for v in steady.values() if v >= 0)
     timed_out = sorted(k for k, v in steady.items() if v == -2.0)
     out = {"sf_dir": sfdir, "iters": iters, "total_steady_sec": round(total, 3),
-           "cap_sec": cap, "timed_out": timed_out,
+           "cap_sec": cap, "timed_out": timed_out, "zombies": zombies,
            "steady": steady, "cold": cold}
     json.dump(out, open("duckdb_bench.json", "w"), indent=1)
     print(f"== duckdb total steady {total:.1f} s over {len(steady)} queries ==")

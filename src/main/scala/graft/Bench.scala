@@ -52,7 +52,7 @@ object Bench {
     * in the engine's headline total. */
   private[graft] val AbBaselines =
     Set("x01_knn_lambda", "x05_topk_stock", "x13_asof_rangejoin",
-      "x19_repetition_exploded", "x20_shingles_hof")
+      "x19_repetition_exploded", "x20_shingles_hof", "x34_video_repair")
 
   // ---- telemetry probes (deltas computed around each iteration) ----
 

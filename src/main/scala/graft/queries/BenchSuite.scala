@@ -871,6 +871,103 @@ object BenchSuite extends QuerySuite {
         .toDF("admitted", "refit", "occupancy_skew", "shift_ratio")
     })
 
+  /** splitmix64 finisher (public algorithm — Steele et al., also the
+    * JDK SplittableRandom mixer): per-replica XOR masks for
+    * [[inflatedFrames]]. Sign bit cleared so the inflated hashes stay
+    * non-negative like the fixture's. */
+  private def mix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    (z ^ (z >>> 31)) & Long.MaxValue
+  }
+
+  /** m01's frame-hash fixture inflated `reps`× — the video twin of
+    * [[inflated]] (x27's vector corpus): each replica keeps the
+    * fixture's band structure and its internal near-dup families
+    * (XORing both partners with the same mask preserves their
+    * pairwise Hamming distances) while replicas of different reps are
+    * far apart (~32 bits), i.e. distinct content. rep 0 is the
+    * original corpus. 20 reps ⇒ 1,000 videos / 100k frames at sf0.1,
+    * 1M frames at sf1 — a corpus where "re-pair everything nightly"
+    * visibly costs and a standing index visibly pays. */
+  private def inflatedFrames(s: SparkSession, dir: String,
+      reps: Int = 20): org.apache.spark.sql.DataFrame = {
+    val masks = (0 until reps).map(r =>
+      (r, if (r == 0) 0L else mix64(r.toLong)))
+    val repDf = s.createDataFrame(masks).toDF("rep", "mask")
+    MultimodalSuite.frameHashes(s, dir)
+      .crossJoin(broadcast(repDf))
+      .select(
+        concat(col("video"), lit("_r"), col("rep")).as("video"),
+        col("frame_idx"),
+        col("phash").bitwiseXOR(col("mask")).as("phash"))
+  }
+
+  /** x33 — standing-index VIDEO near-dup probe (VERDICT r17 item 2:
+    * the x27/x28 costing pattern applied to
+    * [[graft.multimodal.VideoFrameIndex]]): the one-time setup builds
+    * the persisted band-partitioned frame-hash index over the
+    * 20×-inflated frame corpus (memoized — in production the index is
+    * a standing lake artifact); the timed query probes tonight's new
+    * upload — ONE short clip (10 frames, a 2-bit-perturbed v00
+    * near-dup the Hamming verify must accept) — reading only the
+    * index partitions those 10 frames hash into. The A/B arm is
+    * [[x34]]: the same night handled by re-pairing the whole corpus.
+    * Read x33 ≪ x34 — the standing-index claim as a measured number
+    * at both SFs. */
+  private val vfiMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String, String)]
+  private def nightClip(s: SparkSession, dir: String) =
+    MultimodalSuite.frameHashes(s, dir)
+      .filter(col("video") === "v00" && col("frame_idx") < 10)
+      .select(lit("n00").as("video"), col("frame_idx"),
+        col("phash").bitwiseXOR(lit(3L)).as("phash"))
+  /** One-time standing state for x33/x34, memoized as PARQUET — in
+    * production the frame-hash table, tonight's landed clip hashes,
+    * and the band index are all lake artifacts, so the timed bodies
+    * must start from storage, not from re-deriving the fixture (a
+    * first cut re-derived it inside both arms and measured mostly
+    * that shared derivation, compressing the A/B ratio toward 1).
+    * Returns (indexPath, clipPath, framesPath). */
+  private def vfiSetup(s: SparkSession, dir: String)
+      : (String, String, String) =
+    vfiMemo.getOrElseUpdate((s, dir), {
+      val base = java.nio.file.Files
+        .createTempDirectory("x33_vfi").toString
+      inflatedFrames(s, dir).write.parquet(s"$base/frames")
+      nightClip(s, dir).coalesce(1).write.parquet(s"$base/clip")
+      graft.multimodal.VideoFrameIndex.writeIndex(
+        s.read.parquet(s"$base/frames"), s"$base/index")
+      (s"$base/index", s"$base/clip", s"$base/frames")
+    })
+  private val x33 = GraftQuery("x33_video_probe",
+    (s, dir) => {
+      val (index, clip, _) = vfiSetup(s, dir)
+      graft.multimodal.VideoFrameIndex.probePairs(
+        s, index, s.read.parquet(clip), hammingMax = 6)._1
+    })
+
+  /** x34 — x33's deliberately-unindexed comparison arm (belongs to
+    * [[graft.Bench.AbBaselines]]): the same nightly question — "is
+    * tonight's clip already in the corpus?" — answered by re-running
+    * [[graft.multimodal.Multimodal.videoPairsFromFrameHashes]] over
+    * the full frame-hash table ∪ clip, the way a shop without a
+    * standing index does it. Every night pays corpus-sized banding +
+    * candidate + verify work to learn about 10 new frames; x33 pays
+    * clip-sized work against pruned index partitions. */
+  private val x34 = GraftQuery("x34_video_repair",
+    (s, dir) => {
+      val (_, clip, frames) = vfiSetup(s, dir)
+      val pairs = graft.multimodal.Multimodal.videoPairsFromFrameHashes(
+        s.read.parquet(frames).unionByName(s.read.parquet(clip)),
+        hammingMax = 6, bucketCap = 10000, bands = 4)._1
+      // the night's answer: the new clip's partners (the full pair
+      // set is materialized upstream regardless — that's the cost
+      // this arm exists to show)
+      pairs.filter(col("video_a") === "n00" || col("video_b") === "n00")
+    })
+
   override val suite: Seq[GraftQuery] =
     Seq(x02, x04, x07, x08, x11)
 
@@ -880,5 +977,5 @@ object BenchSuite extends QuerySuite {
   val benchOnly: Seq[GraftQuery] =
     Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16, x17, x18,
       x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31,
-      x32)
+      x32, x33, x34)
 }

@@ -37,8 +37,11 @@ import graft.{GraftQuery, QuerySuite, Tables}
 object MultimodalSuite extends QuerySuite {
 
   /** The synthesized (video, frame_idx, phash) frame table — see the
-    * class doc for the construction. */
-  private def frameHashes(s: SparkSession, dir: String): DataFrame =
+    * class doc for the construction. Shared with the x33 bench arm
+    * ([[BenchSuite]]), which probes a standing [[graft.multimodal
+    * .VideoFrameIndex]] built from the SAME fixture so its probe
+    * number reads directly against m01's full re-pair number. */
+  private[queries] def frameHashes(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"))
       .withColumn("vnum", col("doc_id") % 50)
@@ -65,10 +68,16 @@ object MultimodalSuite extends QuerySuite {
           .otherwise(col("phash")))
       .select("video", "frame_idx", "phash")
 
-  /** The shared fixture + banding as SQL; the mask CASE mirrors the
-    * Spark `when` chain (%5 wins over %3, both odd-video-only). */
-  private val framesSql =
-    """frames AS (
+  /** The shared fixture + banding as SQL, parameterized by band count
+    * (m01 exercises the default 4-band LSH regime, m02 the 8-band
+    * h ≤ 7 GUARANTEED-recall regime from the honest contract in
+    * `Multimodal.scala` — more/narrower keys, hotter buckets); the
+    * mask CASE mirrors the Spark `when` chain (%5 wins over %3, both
+    * odd-video-only). */
+  private def framesSql(bands: Int): String = {
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    s"""frames AS (
       SELECT 'v' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0') AS video,
              doc_id // 50 AS frame_idx,
              xor(
@@ -89,30 +98,27 @@ object MultimodalSuite extends QuerySuite {
             FROM documents)),
     banded AS (
       SELECT video, frame_idx, phash, b.band,
-             (phash >> (16 * b.band)) & 65535 AS bkey
-      FROM frames, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+             (phash >> ($bits * b.band)) & $mask AS bkey
+      FROM frames, (SELECT unnest([${(0 until bands).mkString(", ")}]) AS band) b),
     hot AS (
       SELECT band, bkey FROM banded
       GROUP BY band, bkey HAVING count(*) > 10000),
     kept AS (
       SELECT b.* FROM banded b ANTI JOIN hot USING (band, bkey))"""
+  }
 
-  /** m01 — video near-dup rollup over the synthesized frame hashes:
-    * the full [[graft.multimodal.Multimodal.videoPairsFromFrameHashes]]
-    * path (band → cap → candidates → Hamming verify → shared_frac). */
-  private val m01 = GraftQuery(
-    "m01_video_neardup",
-    (s, dir) => graft.multimodal.Multimodal
-      .videoPairsFromFrameHashes(frameHashes(s, dir),
-        hammingMax = 6, bucketCap = 10000, bands = 4)._1,
-    Some(s"""WITH $framesSql,
+  /** The full near-dup rollup as SQL at a given (bands, hammingMax)
+    * parameterization — the DuckDB twin of
+    * [[graft.multimodal.Multimodal.videoPairsFromFrameHashes]]. */
+  private def nearDupSql(bands: Int, hammingMax: Int): String =
+    s"""WITH ${framesSql(bands)},
     cand AS (
       SELECT DISTINCT a.video AS video_a, b.video AS video_b,
              a.frame_idx AS fi_a, b.frame_idx AS fi_b
       FROM kept a JOIN kept b
         ON a.band = b.band AND a.bkey = b.bkey
       WHERE a.video < b.video
-        AND bit_count(xor(a.phash, b.phash)) <= 6),
+        AND bit_count(xor(a.phash, b.phash)) <= $hammingMax),
     nf AS (SELECT video, count(*) AS n_frames FROM frames GROUP BY video),
     agg AS (
       SELECT video_a, video_b,
@@ -125,7 +131,34 @@ object MultimodalSuite extends QuerySuite {
                  CAST(matched_b AS DOUBLE) / nb.n_frames) AS shared_frac
     FROM agg
     JOIN nf na ON na.video = agg.video_a
-    JOIN nf nb ON nb.video = agg.video_b"""))
+    JOIN nf nb ON nb.video = agg.video_b"""
 
-  override val suite: Seq[GraftQuery] = Seq(m01)
+  /** m01 — video near-dup rollup over the synthesized frame hashes:
+    * the full [[graft.multimodal.Multimodal.videoPairsFromFrameHashes]]
+    * path (band → cap → candidates → Hamming verify → shared_frac). */
+  private val m01 = GraftQuery(
+    "m01_video_neardup",
+    (s, dir) => graft.multimodal.Multimodal
+      .videoPairsFromFrameHashes(frameHashes(s, dir),
+        hammingMax = 6, bucketCap = 10000, bands = 4)._1,
+    Some(nearDupSql(bands = 4, hammingMax = 6)))
+
+  /** m02 — the SAME rollup at the 8-band parameterization (VERDICT
+    * r17 item 8): 64/8 = 8-bit keys, so blocking GUARANTEES a
+    * candidate for every pair within Hamming ≤ bands−1 = 7 (m01's
+    * 4-band run is best-effort LSH above h=3). hammingMax = 7 rides
+    * the guarantee's edge: the fixture's XOR-0x3 frames (h=2) must
+    * verify-accept, XOR-0xFF frames (h=8) must verify-REJECT even
+    * though 8-bit banding still makes them candidates. Cross-engine,
+    * this pins the banding arithmetic at a second (bits, mask,
+    * unnest-range) parameterization — exactly the drift the r17
+    * bands-sidecar guard exists to catch engine-side. */
+  private val m02 = GraftQuery(
+    "m02_video_neardup_b8",
+    (s, dir) => graft.multimodal.Multimodal
+      .videoPairsFromFrameHashes(frameHashes(s, dir),
+        hammingMax = 7, bucketCap = 10000, bands = 8)._1,
+    Some(nearDupSql(bands = 8, hammingMax = 7)))
+
+  override val suite: Seq[GraftQuery] = Seq(m01, m02)
 }

@@ -968,6 +968,43 @@ object BenchSuite extends QuerySuite {
       pairs.filter(col("video_a") === "n00" || col("video_b") === "n00")
     })
 
+  /** x35 — the GATED video nightly's cost (the video twin of x32,
+    * costing [[graft.multimodal.VideoFrameIndex.nightlyIngest]] —
+    * VERDICT r17 item 5's "optional bench arm"): one night = probe
+    * tonight's batch against the standing index, gate each video on
+    * its `new_frac` vs the corpus, and ADMIT the survivors' band rows
+    * into the index. The batch is one near-dup clip (a 2-bit-perturbed
+    * v00_r0 the gate must REJECT at dupFrac=0.5) plus one novel clip
+    * (mix64-masked — no corpus partner, so the gate ADMITS it); every
+    * iteration pays the same probe + gate + slice-sized partitioned
+    * append (the novel clip re-admits each iteration — its earlier
+    * copies share its video id, which the probe's corpus≠new filter
+    * excludes, so the decision is iteration-stable while the append
+    * cost stays in the timed body). The index is x35's own copy
+    * (built once in memoized setup from the shared inflated frame
+    * table) so the admits never pollute x33's standing index. */
+  private val x35IdxMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private val x35 = GraftQuery("x35_video_ingest",
+    (s, dir) => {
+      val (_, clip, frames) = vfiSetup(s, dir)
+      val idx = x35IdxMemo.getOrElseUpdate((s, dir), {
+        val p = java.nio.file.Files
+          .createTempDirectory("x35_vfi").toString
+        graft.multimodal.VideoFrameIndex.writeIndex(
+          s.read.parquet(frames), p)
+        p
+      })
+      val novel = s.read.parquet(clip).select(
+        lit("i01").as("video"), col("frame_idx"),
+        col("phash").bitwiseXOR(lit(mix64(9999L))).as("phash"))
+      val (decisions, _) = graft.multimodal.VideoFrameIndex
+        .nightlyIngest(s, idx,
+          s.read.parquet(clip).unionByName(novel),
+          dupFrac = 0.5, hammingMax = 6)
+      decisions
+    })
+
   override val suite: Seq[GraftQuery] =
     Seq(x02, x04, x07, x08, x11)
 
@@ -977,5 +1014,5 @@ object BenchSuite extends QuerySuite {
   val benchOnly: Seq[GraftQuery] =
     Seq(x01, x03, x05, x06, x09, x10, x12, x13, x14, x15, x16, x17, x18,
       x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31,
-      x32, x33, x34)
+      x32, x33, x34, x35)
 }

@@ -160,5 +160,72 @@ object MultimodalSuite extends QuerySuite {
         hammingMax = 7, bucketCap = 10000, bands = 8)._1,
     Some(nearDupSql(bands = 8, hammingMax = 7)))
 
-  override val suite: Seq[GraftQuery] = Seq(m01, m02)
+  /** m03 — the STANDING-INDEX lifecycle, oracled end-to-end (the
+    * video twin of `v19_admit_probe`; VERDICT r17 item 5's gate
+    * composition is spec-pinned in `VideoFrameIndexSpec`, this row
+    * cross-engine-pins the storage loop under it): build the
+    * persisted [[graft.multimodal.VideoFrameIndex]] from the first
+    * nightly slice of the m01 fixture (videos with vnum % 3 = 0),
+    * ADMIT the other two slices on later "nights" (append-only band
+    * rows), COMPACT to one sorted file per (band, bgroup) directory,
+    * then PROBE with a batch (videos with vnum % 7 = 0 — these ARE in
+    * the corpus, so the probe's corpus≠new filter and the partner
+    * pairs v00↔v01, v07↔v06, … are both exercised). The DuckDB twin
+    * recomputes the pair set from the banding DIRECTLY on the full
+    * frame table — so the green row certifies that N admits +
+    * compaction + a partition-pruned capped probe ≡ the batch banding
+    * recipe over everything ever admitted, pair-for-pair. (The cap is
+    * equivalent across engines because a (band, bkey) bucket lies
+    * entirely inside its bgroup = bkey mod 64 partition: partition
+    * pruning keeps buckets whole, so every bucket that can join the
+    * batch has its full-corpus count on both sides.) */
+  private val m03 = GraftQuery(
+    "m03_video_admit_probe",
+    (s, dir) => {
+      import graft.multimodal.VideoFrameIndex
+      val frames = frameHashes(s, dir)
+        .withColumn("vnum",
+          substring(col("video"), 2, 2).cast("int"))
+      // three "nights" sliced by vnum % 3; fresh temp dirs per
+      // invocation so bench reruns never double-admit
+      val idx = java.nio.file.Files
+        .createTempDirectory("m03_idx").toString
+      VideoFrameIndex.writeIndex(
+        frames.filter(col("vnum") % 3 === 0).drop("vnum"), idx)
+      VideoFrameIndex.admitBatch(
+        frames.filter(col("vnum") % 3 === 1).drop("vnum"), idx)
+      VideoFrameIndex.admitBatch(
+        frames.filter(col("vnum") % 3 === 2).drop("vnum"), idx)
+      val compacted = java.nio.file.Files
+        .createTempDirectory("m03_cmp").toString
+      VideoFrameIndex.compactIndex(s, idx, compacted)
+      VideoFrameIndex.probePairs(s, compacted,
+        frames.filter(col("vnum") % 7 === 0).drop("vnum"),
+        hammingMax = 6, bands = 4, bucketCap = 10000)._1
+    },
+    Some(s"""WITH ${framesSql(bands = 4)},
+    batch AS (
+      SELECT * FROM banded
+      WHERE CAST(substr(video, 2) AS INTEGER) % 7 = 0),
+    cand AS (
+      SELECT DISTINCT k.video AS corpus_video, b.video AS new_video,
+             k.frame_idx AS cfi, b.frame_idx AS nfi
+      FROM kept k JOIN batch b
+        ON k.band = b.band AND k.bkey = b.bkey
+      WHERE k.video <> b.video
+        AND bit_count(xor(k.phash, b.phash)) <= 6),
+    nf AS (
+      SELECT video, count(*) AS n_frames_new FROM frames
+      WHERE CAST(substr(video, 2) AS INTEGER) % 7 = 0
+      GROUP BY video)
+    SELECT cand.corpus_video, cand.new_video,
+           count(DISTINCT cfi) AS matched_corpus,
+           count(DISTINCT nfi) AS matched_new,
+           nf.n_frames_new,
+           CAST(count(DISTINCT nfi) AS DOUBLE) / nf.n_frames_new
+             AS new_frac
+    FROM cand JOIN nf ON nf.video = cand.new_video
+    GROUP BY cand.corpus_video, cand.new_video, nf.n_frames_new"""))
+
+  override val suite: Seq[GraftQuery] = Seq(m01, m02, m03)
 }

@@ -36,9 +36,9 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("the registry is at its committed size (catches silent drops)") {
-    assert(SparkEntry.queries.size === 174,
+    assert(SparkEntry.queries.size === 175,
       s"oracle surface moved: ${SparkEntry.queries.size} (update the docs!)")
-    assert(SparkEntry.benchOnlyQueries.size === 29,
+    assert(SparkEntry.benchOnlyQueries.size === 30,
       s"bench arms moved: ${SparkEntry.benchOnlyQueries.size}")
   }
 }

@@ -78,6 +78,30 @@ object Layout {
       .mode(SaveMode.Overwrite).parquet(outPath)
   }
 
+  /** Hash-cluster `df` on `partCols` for a `partitionBy` write with an
+    * EXPLICIT shuffle-partition count — the shared clustering step of
+    * every standing-index write/admit/compact.
+    *
+    * Why explicit (r18, guide §2.6 idle capacity): a bare
+    * `repartition(cols)` is subject to AQE partition coalescing, and
+    * on a small exchange AQE collapses it to ONE task — which then
+    * creates every partition directory's file SEQUENTIALLY. Measured:
+    * a 256-directory VideoFrameIndex write of 6,800 band rows spent
+    * ~3.1 s in one task's serial file creation against 0.15 s of
+    * actual compute+shuffle; with the count pinned the files are
+    * created by as many tasks as the deployment's own shuffle knob
+    * allows. Each partition value still hashes to exactly ONE task,
+    * so the one-file-per-directory invariant is unchanged, as is the
+    * hot-partition skew caveat. `spark.sql.shuffle.partitions` is the
+    * deployment's scale setting (cores locally, thousands on a
+    * cluster), not a bench constant — the same code spreads a 100 TB
+    * append across the cluster's width. */
+  def clusterForPartitionedWrite(df: DataFrame,
+      partCols: Seq[String]): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, partCols.map(col): _*)
+  }
+
   /** [[compact]] for a `partitionBy(partCols)` layout, PRESERVING the
     * layout — the maintenance half of nightly index appends
     * ([[graft.ops.VectorDedupIndex.admitBatch]] /
@@ -100,7 +124,7 @@ object Layout {
       sortCols: Seq[String] = Nil,
       maxRecordsPerFile: Long = 1000000L): Unit = {
     val df = spark.read.parquet(inPath)
-    val clustered = df.repartition(partCols.map(col): _*)
+    val clustered = clusterForPartitionedWrite(df, partCols)
     val sorted =
       if (sortCols.isEmpty) clustered
       else clustered.sortWithinPartitions(sortCols.map(col): _*)

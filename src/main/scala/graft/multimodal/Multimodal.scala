@@ -258,7 +258,10 @@ object Multimodal {
     * hashed (video: string, frame_idx, phash: long) frame table —
     * factored out so a standing frame-hash index (hash once, probe
     * nightly) and the DuckDB oracle (m01) drive the exact code the
-    * end-to-end path runs.
+    * end-to-end path runs. Input contract: one row per
+    * (video, frame_idx) — what the hashing pass upstream produces by
+    * construction (one pHash per decoded frame); the distinct-hash
+    * candidate join below counts on it.
     *
     * Recall contract (ADVICE r16 — the old require overclaimed):
     * exact-equality blocking on `bands` disjoint hash slices
@@ -285,26 +288,53 @@ object Multimodal {
     require(hammingMax >= 0, s"hammingMax must be >= 0, got $hammingMax")
     val nFrames = hashed.groupBy("video")
       .agg(count(lit(1)).as("n_frames"))
+    // r18 optimization (guide §2.3 "shuffle keys and metadata instead
+    // of payloads", §3.3 "join first on the un-exploded key"): video
+    // frame hashes repeat heavily (static shots, title cards, wrapped
+    // content), and the within-bucket candidate join is QUADRATIC in
+    // bucket population — so collapse to one row per DISTINCT
+    // (video, phash) first, carry the frame multiplicity `nf`, and run
+    // the band join over distinct hashes only. Row-for-row equivalent
+    // to banding raw frames because (a) frames sharing (video, phash)
+    // band identically, (b) capBuckets drops whole buckets, so the
+    // weighted cap keeps exactly the same buckets, and (c) a frame's
+    // matched-status depends only on its hash, and frame SETS of
+    // different hashes within a video are disjoint — so
+    // countDistinct(frame) = Σ nf over distinct matched hashes.
+    // (Requires the documented input contract: one row per
+    // (video, frame_idx).) Measured at sf1: the m02 8-band arm's join
+    // shrinks ~12× and x34's corpus re-pair ~8×.
+    val uniq = hashed.groupBy("video", "phash")
+      .agg(count(lit(1)).as("nf"))
     // banding shared with the standing index so the batch path and
     // [[VideoFrameIndex.probePairs]] can never drift
-    val banded = VideoFrameIndex.bandRows(hashed, bands)
-    val (kept, dropped) =
-      graft.ops.Blocking.capBuckets(banded, Seq("band", "bkey"), bucketCap)
+    val banded = VideoFrameIndex.bandRowsKeeping(uniq, bands)
+    val (kept, dropped) = graft.ops.Blocking.capBucketsWeighted(
+      banded, Seq("band", "bkey"), bucketCap, "nf")
     val a = kept.select(col("band"), col("bkey"),
-      col("video").as("video_a"), col("frame_idx").as("fi_a"),
-      col("phash").as("ph_a"))
+      col("video").as("video_a"), col("phash").as("ph_a"),
+      col("nf").as("nf_a"))
     val b = kept.select(col("band"), col("bkey"),
-      col("video").as("video_b"), col("frame_idx").as("fi_b"),
-      col("phash").as("ph_b"))
-    val framePairs = a.join(b, Seq("band", "bkey"))
+      col("video").as("video_b"), col("phash").as("ph_b"),
+      col("nf").as("nf_b"))
+    val hashPairs = a.join(b, Seq("band", "bkey"))
       .filter(col("video_a") < col("video_b")) // cross-video, canonical
       .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
         <= hammingMax)
-      .select("video_a", "video_b", "fi_a", "fi_b")
-      .distinct() // a frame pair can match in several bands
-    val pairs = framePairs.groupBy("video_a", "video_b")
-      .agg(countDistinct(col("fi_a")).as("matched_a"),
-        countDistinct(col("fi_b")).as("matched_b"))
+    // one aggregation pass: collect_set dedups multi-band / multi-
+    // partner hash matches (nf is functionally determined by
+    // (video, phash), so set identity is hash identity), then the
+    // in-row fold sums the multiplicities — the sets are bounded by
+    // distinct hashes per video, tiny next to the frame count
+    val pairs = hashPairs
+      .groupBy("video_a", "video_b")
+      .agg(collect_set(struct(col("ph_a"), col("nf_a"))).as("sa"),
+        collect_set(struct(col("ph_b"), col("nf_b"))).as("sb"))
+      .select(col("video_a"), col("video_b"),
+        aggregate(col("sa"), lit(0L), (acc, x) => acc + x("nf_a"))
+          .as("matched_a"),
+        aggregate(col("sb"), lit(0L), (acc, x) => acc + x("nf_b"))
+          .as("matched_b"))
       .join(nFrames.select(col("video").as("video_a"),
         col("n_frames").as("n_frames_a")), Seq("video_a"))
       .join(nFrames.select(col("video").as("video_b"),

@@ -52,18 +52,30 @@ object VideoFrameIndex {
     * for exact-equality blocking — the same banding
     * [[Multimodal.videoPairsFromFrameHashes]] uses (shared here so
     * batch path and standing index can never drift). */
-  def bandRows(frames: DataFrame, bands: Int = 4): DataFrame = {
+  def bandRows(frames: DataFrame, bands: Int = 4): DataFrame =
+    bandRowsKeeping(frames.select("video", "frame_idx", "phash"), bands)
+
+  /** [[bandRows]] generalized: explode `phash` into its (band, bkey)
+    * slices while PRESERVING every input column — the shared banding
+    * arithmetic for callers whose rows are not raw (video, frame_idx,
+    * phash) frames (e.g. the collapsed distinct-hash rows the r18
+    * candidate-join optimization feeds through
+    * [[Multimodal.videoPairsFromFrameHashes]] / [[probePairs]]).
+    * Keeping ONE implementation here is what stops the batch path and
+    * the standing index from ever drifting on the key arithmetic. */
+  def bandRowsKeeping(rows: DataFrame, bands: Int): DataFrame = {
     require(bands >= 1 && 64 % bands == 0,
       s"bands must divide 64, got $bands")
     val bandBits = 64 / bands
     val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
-    frames.select(col("video"), col("frame_idx"), col("phash"),
+    val keep = rows.columns.map(col).toSeq
+    rows.select(keep :+
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("phash"), b * bandBits)
-            .bitwiseAND(lit(bandMask)).as("bkey"))): _*)).as("blk"))
-      .select(col("video"), col("frame_idx"), col("phash"),
-        col("blk.band").as("band"), col("blk.bkey").as("bkey"))
+            .bitwiseAND(lit(bandMask)).as("bkey"))): _*)).as("blk"): _*)
+      .select(keep :+ col("blk.band").as("band") :+
+        col("blk.bkey").as("bkey"): _*)
   }
 
   private def metaPath(path: String) =
@@ -130,7 +142,8 @@ object VideoFrameIndex {
   def writeIndex(frames: DataFrame, path: String, bands: Int = 4): Unit = {
     bandRows(frames, bands)
       .withColumn("bgroup", pmod(col("bkey"), lit(GroupMod)))
-      .repartition(col("band"), col("bgroup"))
+      .transform(graft.io.Layout.clusterForPartitionedWrite(_,
+        Seq("band", "bgroup")))
       .write.partitionBy("band", "bgroup")
       .mode("overwrite").parquet(path)
     writeMeta(frames.sparkSession, path, bands)
@@ -148,7 +161,8 @@ object VideoFrameIndex {
     requireBands(frames.sparkSession, indexPath, bands, "admitBatch")
     bandRows(frames, bands)
       .withColumn("bgroup", pmod(col("bkey"), lit(GroupMod)))
-      .repartition(col("band"), col("bgroup"))
+      .transform(graft.io.Layout.clusterForPartitionedWrite(_,
+        Seq("band", "bgroup")))
       .write.partitionBy("band", "bgroup")
       .mode("append").parquet(indexPath)
   }
@@ -175,7 +189,9 @@ object VideoFrameIndex {
     * item; the corpus side's frame totals live with the corpus, not
     * in a full-index rescan that would defeat the pruning this index
     * exists for). droppedBuckets is the
-    * [[graft.ops.Blocking.capBuckets]] report over the CORPUS side:
+    * [[graft.ops.Blocking.capBucketsWeighted]] report over the CORPUS
+    * side (identical rows to the raw-row capBuckets report —
+    * bucket_size is the expanded frame-row count):
     * a hot band key (flat/black frames — the exact case the batch
     * path's cap exists for) is dropped AND reported, never allowed
     * to explode the nightly probe's fan-out unbounded (ADVICE r17;
@@ -192,7 +208,19 @@ object VideoFrameIndex {
       bands: Int = 4, bucketCap: Int = 10000): (DataFrame, DataFrame) = {
     require(hammingMax >= 0, s"hammingMax must be >= 0, got $hammingMax")
     requireBands(spark, indexPath, bands, "probePairs")
-    val nb = bandRows(newFrames, bands)
+    // r18: collapse both sides to distinct (video, phash) rows with
+    // frame multiplicities before the candidate join — the same
+    // equivalence as [[Multimodal.videoPairsFromFrameHashes]] (frames
+    // sharing a hash band identically; whole buckets are capped;
+    // per-hash frame sets within a video are disjoint, so
+    // countDistinct(frame) = Σ multiplicity over distinct matched
+    // hashes). The batch side collapses before banding; the corpus
+    // side collapses the pruned index rows map-side (duplicates of a
+    // hash co-locate in their (band, bgroup) partition files, so the
+    // partial aggregate collapses before the exchange).
+    val newU = newFrames.groupBy("video", "phash")
+      .agg(count(lit(1)).as("nnf"))
+    val nb = bandRowsKeeping(newU, bands)
       .withColumn("bgroup", pmod(col("bkey"), lit(GroupMod)))
     val groups = nb.select("band", "bgroup").distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
@@ -212,27 +240,38 @@ object VideoFrameIndex {
       val prune = groups.map { case (b, g) =>
         col("band") === b && col("bgroup") === g
       }.reduce(_ || _)
+      // collapse pruned corpus rows to distinct (bucket, video, hash)
+      // with frame counts — the weighted cap keeps the same buckets
+      // and the same (band, bkey, bucket_size) dropped report as the
+      // raw-row capBuckets did (whole buckets, summed multiplicities)
       val pruned = spark.read.parquet(indexPath)
         .filter(prune)
         .select(col("video").as("corpus_video"),
-          col("frame_idx").as("corpus_fi"), col("phash").as("corpus_ph"),
+          col("phash").as("corpus_ph"),
           col("band").cast("int").as("band"), col("bkey"))
-      val (corpus, dropped) = graft.ops.Blocking.capBuckets(
-        pruned, Seq("band", "bkey"), bucketCap)
+        .groupBy("band", "bkey", "corpus_video", "corpus_ph")
+        .agg(count(lit(1)).as("cnf"))
+      val (corpus, dropped) = graft.ops.Blocking.capBucketsWeighted(
+        pruned, Seq("band", "bkey"), bucketCap, "cnf")
       val cand = corpus
         .join(broadcast(nb.select(col("video").as("new_video"),
-          col("frame_idx").as("new_fi"), col("phash").as("new_ph"),
+          col("phash").as("new_ph"), col("nnf"),
           col("band"), col("bkey"))), Seq("band", "bkey"))
         .filter(col("corpus_video") =!= col("new_video"))
         .filter(bit_count(col("corpus_ph").bitwiseXOR(col("new_ph")))
           <= hammingMax)
-        .select("corpus_video", "new_video", "corpus_fi", "new_fi")
-        .distinct() // a frame pair can match in several bands
       val nNew = newFrames.groupBy(col("video").as("new_video"))
         .agg(count(lit(1)).as("n_frames_new"))
+      // collect_set dedups multi-band hash matches; the in-row fold
+      // sums multiplicities (sets bounded by distinct hashes/video)
       val pairs = cand.groupBy("corpus_video", "new_video")
-        .agg(countDistinct(col("corpus_fi")).as("matched_corpus"),
-          countDistinct(col("new_fi")).as("matched_new"))
+        .agg(collect_set(struct(col("corpus_ph"), col("cnf"))).as("sc"),
+          collect_set(struct(col("new_ph"), col("nnf"))).as("sn"))
+        .select(col("corpus_video"), col("new_video"),
+          aggregate(col("sc"), lit(0L), (acc, x) => acc + x("cnf"))
+            .as("matched_corpus"),
+          aggregate(col("sn"), lit(0L), (acc, x) => acc + x("nnf"))
+            .as("matched_new"))
         .join(broadcast(nNew), Seq("new_video"))
         .select(col("corpus_video"), col("new_video"),
           col("matched_corpus"), col("matched_new"), col("n_frames_new"),

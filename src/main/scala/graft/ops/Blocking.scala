@@ -45,6 +45,31 @@ object Blocking {
     (kept, hot)
   }
 
+  /** [[capBuckets]] over PRE-COLLAPSED block rows: `blocks` carries one
+    * row per distinct member with `weightCol` = how many underlying
+    * rows it stands for, and a bucket is dropped when its SUMMED weight
+    * exceeds `maxBucket`. Because [[capBuckets]] drops whole buckets
+    * (never a row subset), capping collapsed rows by summed weight is
+    * row-for-row equivalent to capping the expanded rows — same kept
+    * buckets, and the dropped report carries the same
+    * (bucketCols..., bucket_size) with bucket_size = the EXPANDED row
+    * count. This is the r18 optimization seam for quadratic-in-bucket
+    * candidate joins (video frame hashes repeat heavily across frames:
+    * join distinct hashes, weight the rollup) — see
+    * [[graft.multimodal.Multimodal.videoPairsFromFrameHashes]]. */
+  def capBucketsWeighted(blocks: DataFrame, bucketCols: Seq[String],
+      maxBucket: Int, weightCol: String): (DataFrame, DataFrame) = {
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    val keys = bucketCols.map(col)
+    val hot = blocks.groupBy(keys: _*)
+      .agg(sum(col(weightCol)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+    val hotKeys = hot.select(bucketCols.map(c => col(c).as(s"hot_$c")): _*)
+    val cond = bucketCols.map(c => col(c) <=> col(s"hot_$c")).reduce(_ && _)
+    val kept = blocks.join(hotKeys, cond, "left_anti")
+    (kept, hot)
+  }
+
   /** Candidate pairs (a_id < b_id, distinct) from a blocks frame of
     * (idCol, bucketCols...), with the bucket cap applied first. Returns
     * the pairs and the dropped-bucket report. */

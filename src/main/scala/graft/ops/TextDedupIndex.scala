@@ -76,7 +76,8 @@ object TextDedupIndex {
       k: Int = 8, rowsPerBand: Int = 2): Unit =
     bandRows(docs, idCol, textCol, k, rowsPerBand)
       .withColumn("bgroup", pmod(col("bkey"), lit(GroupMod)))
-      .repartition(col("band"), col("bgroup"))
+      .transform(graft.io.Layout.clusterForPartitionedWrite(_,
+        Seq("band", "bgroup")))
       .write.partitionBy("band", "bgroup")
       .mode("append").parquet(indexPath)
 

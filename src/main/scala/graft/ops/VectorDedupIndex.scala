@@ -108,7 +108,7 @@ object VectorDedupIndex {
           col(vecCol).cast("array<double>").as("vec")),
         "vec", centroids)
       .withColumnRenamed("cell", cellCol)
-      .repartition(col(cellCol))
+      .transform(graft.io.Layout.clusterForPartitionedWrite(_, Seq(cellCol)))
       .write.partitionBy(cellCol).mode("append").parquet(indexPath)
 
   /** Rewrite the index with one id-sorted file per cell — run on the

@@ -167,8 +167,8 @@ object VectorSearch {
     val ids = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
     val index = IvfIndex(null, centroids)
-    index.copy(assigned =
-      assignCells(ids, "vec", centroids).repartition(col("cell")))
+    index.copy(assigned = graft.io.Layout.clusterForPartitionedWrite(
+      assignCells(ids, "vec", centroids), Seq("cell")))
   }
 
   /** Persist the IVF-assigned corpus `partitionBy(cell)` — the layout
@@ -274,7 +274,8 @@ object VectorSearch {
     batch.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       .withColumn(bucketCol, lshBucket(col("vec"), planes))
-      .repartition(col(bucketCol))
+      .transform(graft.io.Layout.clusterForPartitionedWrite(_,
+        Seq(bucketCol)))
       .write.partitionBy(bucketCol).mode("append").parquet(path)
 
   /** Probe a persisted LSH index: the query set's probe buckets are

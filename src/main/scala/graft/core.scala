@@ -101,6 +101,21 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // r18 (guide §3.1/§9): let AQE rewrite a planned sort-merge join
+      // to shuffled-hash at runtime when every measured post-shuffle
+      // partition fits a local hash map (<64 MB) — saves both sides'
+      // sorts exactly where a hash build is safe. Measured at sf1:
+      // d12_leakage_split 7.7→3.2 s, d08 and the j-family 1.5-3×.
+      // preferSortMergeJoin stays at the stock TRUE: the plan-time SHJ
+      // choice trusts size ESTIMATES, and enabling it regressed the
+      // corpus-vs-corpus joins in x26 (big per-partition builds, GC
+      // churn) while the AQE rewrite is measurement-driven and
+      // scale-safe — partitions over the threshold keep SMJ's graceful
+      // spill. Both knobs env-overridable for A/B and deployments.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       // grouped top-k (GroupedTopK) plans as ObjectHashAggregate; the
       // stock 128-key fallback would sort a partition's input by group

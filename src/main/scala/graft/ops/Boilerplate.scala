@@ -71,12 +71,19 @@ object Boilerplate {
           sort_array(collect_list(when(col("__boiler").isNull,
             struct(col("seg_idx"), col("segment"))))),
           x => x("segment"))).as(textCol))
-    // docs shorter than one segment produce no segment rows — without
-    // this join-back they would vanish from the output instead of
-    // degrading to '' (the t16 oracle only EMITS segmented docs, so
-    // parity on segmented docs is unchanged)
-    docs.select(col(idCol))
-      .join(cleaned, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+    // docs shorter than one segment produce no segment rows — emit
+    // them directly as '' so they don't vanish from the output (the
+    // t16 oracle only EMITS segmented docs, so parity on segmented
+    // docs is unchanged). r18: this used to be a corpus-wide
+    // left-join-back on the id (one more scan feeding a full id
+    // Exchange); a doc yields segment rows iff size(tokens) >=
+    // segTokens (the pos-0 shingle exists), so the union below adds
+    // exactly the rows the old join's coalesce('') repaired — same
+    // output, one less corpus join (coalesce(-1) keeps a NULL text on
+    // the '' path, as the old join-back did).
+    val short = docs
+      .filter(coalesce(size(tokens(col(textCol))), lit(-1)) < segTokens)
+      .select(col(idCol), lit("").as(textCol))
+    cleaned.select(col(idCol), col(textCol)).unionByName(short)
   }
 }

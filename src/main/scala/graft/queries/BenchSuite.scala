@@ -453,13 +453,20 @@ object BenchSuite extends QuerySuite {
     sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
 
   private def streamArm(name: String,
-      build: (SparkSession, DataFrame) => org.apache.spark.sql.Dataset[_])
+      build: (SparkSession, DataFrame) => org.apache.spark.sql.Dataset[_],
+      extraConfs: Map[String, String] = Map.empty)
       : GraftQuery =
     GraftQuery(name, (s, dir) => {
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
+      val confs = extraConfs +
+        ("spark.sql.shuffle.partitions" -> streamStateParts)
+      val saved = confs.keys.map(k =>
+        k -> scala.util.Try(s.conf.get(k)).toOption).toMap
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
       try streamArmBody(s, dir, build)
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
     })
 
   private def streamArmBody(s: SparkSession, dir: String,
@@ -530,7 +537,17 @@ object BenchSuite extends QuerySuite {
     val cands = stream.filter(col("event_type").isin("click", "view"))
     val convs = stream.filter(col("event_type") === "purchase")
     graft.streaming.EventStreams.intervalJoin(cands, convs)
-  })
+  },
+    // r18: the terminal no-data micro-batch re-pays every state-store
+    // instance's commit once more purely to EVICT state — for an INNER
+    // interval join it emits nothing (inner joins emit in their data
+    // batch; the StreamProfile r14 table measured this batch at ~40%
+    // of the post-fix wall). x17's flatMapGroupsWithState timeouts and
+    // x18's append-mode window flush EMIT on that batch, so only x21
+    // turns it off; output is unchanged (spec-pinned vs the batch
+    // twin).
+    extraConfs = Map(
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))
 
   /** x19 — A/B baseline for t13: the explode→groupBy repetition-gate
     * form (two corpus-scale exchanges) vs the in-row zero-shuffle fold

@@ -31,4 +31,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r18: a full-registry bench child compiles thousands of generated
+  // (whole-stage-codegen) classes; at the JDK default 240 MB the code
+  // cache fills late in a 69-arm group and the JIT starts flushing/
+  // declining compiles — the one arm that runs interpreted HOFs over
+  // 200k rows (x01) measured 5.6x its pin at position 34/69 while its
+  // codegen neighbors held 0.9-1.3x. 512 MB keeps compiled code
+  // resident for the whole group (bench children inherit every
+  // non-heap JVM arg).
+  "-XX:ReservedCodeCacheSize=512m",
 )

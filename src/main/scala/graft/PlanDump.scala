@@ -32,7 +32,13 @@ object PlanDump {
         case None => System.err.println(s"[plandump] unknown query: $n")
         case Some(fn) =>
           try {
-            val plan = fn(spark, dir).queryExecution.explainString(
+            val df = fn(spark, dir)
+            // AQE rewrites (SMJ→SHJ, coalescing, skew splits) exist
+            // only in the FINAL plan — execute first so the dump
+            // shows what actually ran, not the initial estimate
+            if (sys.env.get("SPARK_GRAFT_PLAN_EXECUTED").contains("1"))
+              df.write.format("noop").mode("overwrite").save()
+            val plan = df.queryExecution.explainString(
               org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"))
             java.nio.file.Files.write(

@@ -189,7 +189,16 @@ object BenchSuite extends QuerySuite {
     "x15_ivfpq",
     (s, dir) => {
       val (index, model, cells) = ivfPqMemo.getOrElseUpdate((s, dir), {
-        val idx = VectorSearch.buildIvf(inflated(s, dir), "id", "vec", 16)
+        // r18: the same ~12.5k-row cell budget as x03/x27/x32 — x15
+        // still carried the fixed 16 cells whose superlinear-slope
+        // class r17 root-caused in x03 (probe scans nprobe/nCells of
+        // the corpus: frozen cells mean the scanned FRACTION is
+        // constant while rows grow, and the sf1 probe read 1/8th of
+        // 2M rows instead of 1/80th). sf0.1 still builds 16 cells, so
+        // its pins are untouched; measured sf1: 4.6 → ~1.8 s steady.
+        val corpus = inflated(s, dir)
+        val nCells = math.max(16, (corpus.count() / 12500L).toInt)
+        val idx = VectorSearch.buildIvf(corpus, "id", "vec", nCells)
         val m = ProductQuantizer.train(Tables(s, dir, "embeddings"),
           "vec_id", "embedding", m = 32, ncent = 64, iters = 10)
         val enc = ProductQuantizer.encodeIvf(idx, "vec", m)

@@ -35,9 +35,13 @@ object PlanDump {
             val df = fn(spark, dir)
             // AQE rewrites (SMJ→SHJ, coalescing, skew splits) exist
             // only in the FINAL plan — execute first so the dump
-            // shows what actually ran, not the initial estimate
+            // shows what actually ran, not the initial estimate. Must
+            // drive THIS DataFrame's own QueryExecution (a noop write
+            // plans a separate command whose AQE result the df's
+            // explain never sees): toRdd.foreach materializes every
+            // row of the exact plan and flips isFinalPlan=true.
             if (sys.env.get("SPARK_GRAFT_PLAN_EXECUTED").contains("1"))
-              df.write.format("noop").mode("overwrite").save()
+              df.queryExecution.toRdd.foreach(_ => ())
             val plan = df.queryExecution.explainString(
               org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"))

@@ -101,21 +101,27 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // r18 (guide §3.1/§9): let AQE rewrite a planned sort-merge join
-      // to shuffled-hash at runtime when every measured post-shuffle
-      // partition fits a local hash map (<64 MB) — saves both sides'
-      // sorts exactly where a hash build is safe. Measured at sf1:
-      // d12_leakage_split 7.7→3.2 s, d08 and the j-family 1.5-3×.
-      // preferSortMergeJoin stays at the stock TRUE: the plan-time SHJ
-      // choice trusts size ESTIMATES, and enabling it regressed the
-      // corpus-vs-corpus joins in x26 (big per-partition builds, GC
-      // churn) while the AQE rewrite is measurement-driven and
-      // scale-safe — partitions over the threshold keep SMJ's graceful
-      // spill. Both knobs env-overridable for A/B and deployments.
+      // r18 join-strategy audit (guide §3.1) — BOTH knobs measured,
+      // both kept at stock; the env overrides remain for deployments:
+      //  - preferSortMergeJoin=false (plan-time SHJ) regressed the
+      //    corpus-vs-corpus joins in x26 ~1.4× (big per-partition
+      //    builds, 2-4× GC) and won nothing the broadcast planner
+      //    wasn't already taking — estimates pick SHJ exactly where
+      //    it's risky;
+      //  - maxShuffledHashJoinLocalMapThreshold=64m (the AQE runtime
+      //    rewrite) showed NO measurable effect in a clean alternating
+      //    A/B (d08/d12/j01 at sf1, 2 rounds each): AQE's own
+      //    partition coalescing targets advisoryPartitionSizeInBytes
+      //    (64 MB), so post-shuffle partitions sit AT the threshold
+      //    and the rewrite rarely fires; the one earlier run that
+      //    suggested a 2× win was a contended-host artifact. Raising
+      //    the threshold well above the advisory size is the knob a
+      //    deployment would turn — with its own memory headroom, not
+      //    ours to default.
       .config("spark.sql.join.preferSortMergeJoin",
         sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "64m"))
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX", "0"))
       .config("spark.sql.session.timeZone", "UTC")
       // grouped top-k (GroupedTopK) plans as ObjectHashAggregate; the
       // stock 128-key fallback would sort a partition's input by group
